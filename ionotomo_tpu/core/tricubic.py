@@ -1,0 +1,167 @@
+"""C¹ tricubic interpolation on a regular 3D grid — the engine's L0 kernel.
+
+The reference implements the Lekien–Marsden 64-coefficient tricubic scheme
+with finite-difference derivative closure (SURVEY.md §2, `TriCubic`).  With
+central-difference derivatives that scheme is mathematically equivalent to
+**separable cubic-convolution (Catmull–Rom) interpolation** over the same
+4×4×4 neighbourhood, which is the TPU-friendly formulation used here:
+
+- per query point: 64 neighbour gathers + a separable weight outer product,
+  instead of a 64×64 coefficient matrix solve per cell;
+- the same gathered 4×4×4 block yields the value *and* the spatial gradient
+  (analytic basis derivatives), so the Fermat ray tracer gets n and ∇n from
+  one gather;
+- everything is static-shape, vmappable, and fuses under jit.
+
+Boundary handling: indices are clamped (edge replication), giving constant
+extrapolation outside the grid — rays are expected to live inside a grid
+built with padding (see inversion.initial model helpers).
+
+The f64 oracle twin lives in ``reference_kernels/tricubic_ref.py``.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .grids import Grid3D
+
+
+def _catmull_rom_weights(u: jax.Array):
+    """Cubic-convolution weights (a=-0.5) for offsets (-1,0,1,2).
+
+    u has shape (...,); returns shape (..., 4).
+    """
+    u2 = u * u
+    u3 = u2 * u
+    w0 = 0.5 * (-u3 + 2.0 * u2 - u)
+    w1 = 0.5 * (3.0 * u3 - 5.0 * u2 + 2.0)
+    w2 = 0.5 * (-3.0 * u3 + 4.0 * u2 + u)
+    w3 = 0.5 * (u3 - u2)
+    return jnp.stack([w0, w1, w2, w3], axis=-1)
+
+
+def _catmull_rom_dweights(u: jax.Array):
+    """d/du of the cubic-convolution weights; shape (..., 4)."""
+    u2 = u * u
+    w0 = 0.5 * (-3.0 * u2 + 4.0 * u - 1.0)
+    w1 = 0.5 * (9.0 * u2 - 10.0 * u)
+    w2 = 0.5 * (-9.0 * u2 + 8.0 * u + 1.0)
+    w3 = 0.5 * (3.0 * u2 - 2.0 * u)
+    return jnp.stack([w0, w1, w2, w3], axis=-1)
+
+
+def _neighborhood(grid: Grid3D, points: jax.Array):
+    """Shared setup: per-axis neighbour indices and fractional offsets.
+
+    points: (N, 3) physical coordinates.
+    Returns (idx, frac): idx (N, 3, 4) int32 clamped voxel indices per axis,
+    frac (N, 3) fractional position in the central cell.
+    """
+    t = grid.world_to_index(points)                      # (N, 3)
+    shape = jnp.asarray(grid.shape, jnp.float32)
+    # Clamp the query into the valid interpolation domain so that frac stays
+    # in [0,1] and extrapolation is constant beyond the edges.
+    t = jnp.clip(t, 0.0, shape - 1.0)
+    base = jnp.floor(t)
+    # Keep the full 4-point stencil addressable: base in [0, n-2].
+    base = jnp.clip(base, 0.0, shape - 2.0)
+    frac = t - base                                      # (N, 3) in [0, 1]
+    offsets = jnp.arange(-1, 3, dtype=jnp.int32)         # (4,)
+    idx = base.astype(jnp.int32)[..., None] + offsets    # (N, 3, 4)
+    ns = jnp.asarray(grid.shape, jnp.int32)
+    idx = jnp.clip(idx, 0, ns[None, :, None] - 1)
+    return idx, frac
+
+
+def _gather_blocks(field: jax.Array, grid: Grid3D, idx: jax.Array):
+    """Gather the 4×4×4 neighbourhoods.
+
+    field: (nx, ny, nz); idx: (N, 3, 4) → (N, 4, 4, 4).
+    A single flat gather keeps this one XLA gather op (TPU-friendly) rather
+    than three chained fancy-index ops.
+    """
+    nx, ny, nz = grid.shape
+    ix = idx[:, 0, :, None, None]                        # (N,4,1,1)
+    iy = idx[:, 1, None, :, None]                        # (N,1,4,1)
+    iz = idx[:, 2, None, None, :]                        # (N,1,1,4)
+    flat = (ix * ny + iy) * nz + iz                      # (N,4,4,4)
+    return jnp.take(field.reshape(-1), flat.reshape(flat.shape[0], 64),
+                    axis=0, fill_value=None).reshape(flat.shape)
+
+
+@partial(jax.jit, static_argnames=())
+def interp(field: jax.Array, grid: Grid3D, points: jax.Array) -> jax.Array:
+    """Tricubic interpolation of ``field`` at ``points`` (N, 3) → (N,)."""
+    idx, frac = _neighborhood(grid, points)
+    blocks = _gather_blocks(field, grid, idx)            # (N,4,4,4)
+    wx = _catmull_rom_weights(frac[:, 0])                # (N,4)
+    wy = _catmull_rom_weights(frac[:, 1])
+    wz = _catmull_rom_weights(frac[:, 2])
+    w = wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
+    return jnp.sum(blocks * w, axis=(1, 2, 3))
+
+
+@partial(jax.jit, static_argnames=())
+def interp_with_grad(field: jax.Array, grid: Grid3D, points: jax.Array):
+    """Value and spatial gradient at ``points``.
+
+    Returns (values (N,), grads (N, 3)).  Gradient is the analytic
+    derivative of the interpolant (in physical units, 1/km if the grid is in
+    km) — this is what the Fermat tracer consumes as ∇n.
+    """
+    idx, frac = _neighborhood(grid, points)
+    blocks = _gather_blocks(field, grid, idx)            # (N,4,4,4)
+    wx = _catmull_rom_weights(frac[:, 0])
+    wy = _catmull_rom_weights(frac[:, 1])
+    wz = _catmull_rom_weights(frac[:, 2])
+    dwx = _catmull_rom_dweights(frac[:, 0])
+    dwy = _catmull_rom_dweights(frac[:, 1])
+    dwz = _catmull_rom_dweights(frac[:, 2])
+
+    # Contract z then y then x, keeping partial sums so the three gradient
+    # components reuse intermediate contractions (12 fused FMAs instead of
+    # 3 full 64-term sums).
+    cz = jnp.einsum("nxyz,nz->nxy", blocks, wz)
+    cz_d = jnp.einsum("nxyz,nz->nxy", blocks, dwz)
+    czy = jnp.einsum("nxy,ny->nx", cz, wy)
+    czy_dy = jnp.einsum("nxy,ny->nx", cz, dwy)
+    czy_dz = jnp.einsum("nxy,ny->nx", cz_d, wy)
+
+    value = jnp.einsum("nx,nx->n", czy, wx)
+    du = jnp.stack(
+        [
+            jnp.einsum("nx,nx->n", czy, dwx),
+            jnp.einsum("nx,nx->n", czy_dy, wx),
+            jnp.einsum("nx,nx->n", czy_dz, wx),
+        ],
+        axis=-1,
+    )
+    grad = du / grid.spacing[None, :]
+    return value, grad
+
+
+def interp_weights(grid: Grid3D, points: jax.Array):
+    """Expose (flat voxel indices, weights) of the interpolation stencil.
+
+    Returns (flat_idx (N, 64) int32, weights (N, 64) f32) such that
+    ``interp(field, grid, points) == (field.ravel()[flat_idx] * w).sum(-1)``.
+    This is the matrix-free ray–voxel Jacobian building block: the TEC
+    operator's adjoint scatters through exactly these index/weight pairs
+    (SURVEY.md §7 "Adjoint scatter-add").
+    """
+    idx, frac = _neighborhood(grid, points)
+    nx, ny, nz = grid.shape
+    ix = idx[:, 0, :, None, None]
+    iy = idx[:, 1, None, :, None]
+    iz = idx[:, 2, None, None, :]
+    flat = ((ix * ny + iy) * nz + iz)
+    flat = jnp.broadcast_to(flat, (points.shape[0], 4, 4, 4))
+    wx = _catmull_rom_weights(frac[:, 0])
+    wy = _catmull_rom_weights(frac[:, 1])
+    wz = _catmull_rom_weights(frac[:, 2])
+    w = wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
+    n = points.shape[0]
+    return flat.reshape(n, 64), w.reshape(n, 64)
