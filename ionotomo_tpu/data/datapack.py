@@ -1,0 +1,134 @@
+"""DataPack — the observation container (host-side, HDF5).
+
+Reference parity (SURVEY.md §2 "DataPack"): an HDF5 container of antennas,
+directions (ICRS), times, and dTEC/phase arrays of shape [Na, Nt, Nd], with
+reference-antenna handling, flagging and subsetting. The on-disk schema is
+reference-compatible in spirit (named HDF5 datasets, self-describing attrs)
+but laid out for bulk array reads.
+
+The device never sees this object: ``to_device_arrays`` produces the flat
+jnp-ready arrays (antenna ENU, per-time per-direction ENU unit vectors,
+dtec, noise std) consumed by the solvers.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover - h5py is present in this image
+    h5py = None
+
+from .radio_array import RadioArray
+from ..geometry.frames import icrs_to_enu
+
+
+class DataPack:
+    """Observations: dtec[Na, Nt, Nd] + geometry + flags + noise."""
+
+    def __init__(self, array: RadioArray, directions_icrs, times_mjd,
+                 dtec=None, flags=None, noise_std=None, ref_antenna=0,
+                 frequency_hz=150e6):
+        self.array = array
+        self.directions = np.atleast_2d(np.asarray(directions_icrs,
+                                                   np.float64))  # (Nd, 2)
+        self.times = np.atleast_1d(np.asarray(times_mjd, np.float64))
+        na, nt, nd = len(array), len(self.times), len(self.directions)
+        self.dtec = (np.zeros((na, nt, nd)) if dtec is None
+                     else np.asarray(dtec, np.float64))
+        assert self.dtec.shape == (na, nt, nd), self.dtec.shape
+        self.flags = (np.zeros((na, nt, nd), bool) if flags is None
+                      else np.asarray(flags, bool))
+        self.noise_std = (np.full((na, nt, nd), 1.0) if noise_std is None
+                          else np.broadcast_to(
+                              np.asarray(noise_std, np.float64),
+                              (na, nt, nd)).copy())
+        self.ref_antenna = int(ref_antenna)
+        self.frequency_hz = float(frequency_hz)
+
+    @property
+    def shape(self):
+        return self.dtec.shape
+
+    # --- geometry ----------------------------------------------------------
+
+    def antennas_enu(self):
+        """(Na, 3) antenna offsets in the array-centre ENU frame [km]."""
+        return self.array.enu
+
+    def directions_enu(self):
+        """(Nt, Nd, 3) per-time ENU unit vectors toward each source."""
+        ra = self.directions[:, 0][None, :]
+        dec = self.directions[:, 1][None, :]
+        mjd = self.times[:, None]
+        return icrs_to_enu(ra, dec, mjd, self.array.enu_frame)
+
+    def to_device_arrays(self, dtype=np.float32):
+        """Flat arrays for the device: dict of plain numpy (cast to f32)."""
+        return dict(
+            antennas_enu=self.antennas_enu().astype(dtype),
+            directions_enu=self.directions_enu().astype(dtype),
+            dtec=self.dtec.astype(dtype),
+            noise_std=self.noise_std.astype(dtype),
+            flags=self.flags,
+            ref_antenna=self.ref_antenna,
+            frequency_hz=self.frequency_hz,
+        )
+
+    # --- subsetting (reference: antenna/facet selection) -------------------
+
+    def select(self, antennas=None, times=None, directions=None):
+        ai = np.arange(self.shape[0]) if antennas is None \
+            else np.atleast_1d(antennas)
+        ti = np.arange(self.shape[1]) if times is None \
+            else np.atleast_1d(times)
+        di = np.arange(self.shape[2]) if directions is None \
+            else np.atleast_1d(directions)
+        ref = self.ref_antenna
+        if antennas is not None:
+            where = np.nonzero(ai == ref)[0]
+            ref = int(where[0]) if len(where) else 0
+        return DataPack(self.array.subset(ai), self.directions[di],
+                        self.times[ti],
+                        self.dtec[np.ix_(ai, ti, di)],
+                        self.flags[np.ix_(ai, ti, di)],
+                        self.noise_std[np.ix_(ai, ti, di)],
+                        ref_antenna=ref, frequency_hz=self.frequency_hz)
+
+    # --- persistence --------------------------------------------------------
+
+    def save(self, path):
+        if h5py is None:
+            raise RuntimeError("h5py unavailable")
+        with h5py.File(path, "w") as f:
+            f.attrs["ref_antenna"] = self.ref_antenna
+            f.attrs["frequency_hz"] = self.frequency_hz
+            f.attrs["array_name"] = self.array.name
+            f.create_dataset("antennas/itrs_km", data=self.array.itrs)
+            f.create_dataset(
+                "antennas/labels",
+                data=np.asarray(self.array.labels, dtype="S"))
+            f.create_dataset("directions/radec", data=self.directions)
+            f.create_dataset("times/mjd", data=self.times)
+            f.create_dataset("dtec", data=self.dtec)
+            f.create_dataset("flags", data=self.flags)
+            f.create_dataset("noise_std", data=self.noise_std)
+
+    @staticmethod
+    def load(path):
+        if h5py is None:
+            raise RuntimeError("h5py unavailable")
+        with h5py.File(path, "r") as f:
+            labels = [s.decode() for s in f["antennas/labels"][:]]
+            array = RadioArray(f["antennas/itrs_km"][:], labels,
+                               name=str(f.attrs.get("array_name", "array")))
+            return DataPack(
+                array,
+                f["directions/radec"][:],
+                f["times/mjd"][:],
+                f["dtec"][:],
+                f["flags"][:],
+                f["noise_std"][:],
+                ref_antenna=int(f.attrs["ref_antenna"]),
+                frequency_hz=float(f.attrs["frequency_hz"]),
+            )

@@ -1,0 +1,112 @@
+"""TEC path integrals and differential-TEC forward equation (device-side).
+
+The reference's ``forward_equation`` (SURVEY.md §3.2): predicted dTEC
+``g[i,j,k] = ∫ K_ne·e^{m(x)} ds`` via Simpson quadrature over ray samples,
+minus the same integral for the reference antenna ``i0``. Here the gather +
+quadrature is one fused XLA program over the whole ray batch; the hand-
+written transpose (adjoint scatter-add) lives in inversion/ and reuses the
+stencil weights exposed by core.tricubic.
+
+Units: ray geometry in km, n_e in m^-3; TEC returned in working units of
+``constants.TEC_SCALE`` m^-2 (1e13 = 1 mTECU), matching the reference's
+~1e13 working scale (SURVEY.md §8).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants
+from ..core import tricubic
+from ..core.grids import Grid3D
+from ..geometry.rays import RayBundle, simpson_weights
+
+
+def ne_at(field_m: jax.Array, grid: Grid3D, points: jax.Array) -> jax.Array:
+    """n_e [m^-3] at points (..., 3) from the log-density field m."""
+    shape = points.shape[:-1]
+    m = tricubic.interp(field_m, grid, points.reshape(-1, 3))
+    return constants.K_NE * jnp.exp(m).reshape(shape)
+
+
+def tec(field_m: jax.Array, grid: Grid3D, rays: RayBundle) -> jax.Array:
+    """TEC per ray, (R,), in TEC_SCALE working units.
+
+    TEC = ∫ n_e ds = Σ w_n · K_ne·exp(m(x_n)) · ds, ds in km → ×1e3 m.
+    """
+    r, n = rays.points.shape[:2]
+    m = tricubic.interp(field_m, grid, rays.points.reshape(-1, 3))
+    ne = constants.K_NE * jnp.exp(m).reshape(r, n)
+    w = simpson_weights(n, ne.dtype)
+    integral = jnp.einsum("rn,n->r", ne, w) * rays.ds * constants.KM_TO_M
+    return integral / constants.TEC_SCALE
+
+
+def dtec(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
+         num_directions: int, i0: int = 0) -> jax.Array:
+    """Differential TEC w.r.t. reference antenna ``i0``.
+
+    rays must be the row-major (antenna × direction) flat batch from
+    geometry.rays.make_ray_batch: ray r = i*Nd + k. Returns (Na, Nd) with
+    dtec[i0, :] ≡ 0 by construction.
+    """
+    t = tec(field_m, grid, rays)
+    t = t.reshape(-1, num_directions)          # (Na, Nd)
+    return t - t[i0][None, :]
+
+
+def dtec_paired(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
+                num_directions: int, i0: int = 0) -> jax.Array:
+    """Cancellation-free differential TEC (straight-ray fast path).
+
+    ``dtec`` subtracts two large, nearly equal TEC integrals, which in f32
+    loses ~eps·|TEC| ≈ 2e-3 working units to catastrophic cancellation.
+    For straight rays all antennas share the same quadrature grid in s per
+    direction, so the subtraction commutes into the integrand:
+    dTEC[i,k] = Σ_n w_n · (n_e(x_{i,k,n}) − n_e(x_{i0,k,n})) · ds.
+    The differences are formed sample-wise *before* the large reduction,
+    recovering f32 accuracy at the dTEC scale. This is the default forward
+    path for configs 1 and 3–5; ``dtec`` remains for bent rays whose
+    quadrature grids differ per antenna.
+    """
+    r, n = rays.points.shape[:2]
+    na = r // num_directions
+    m = tricubic.interp(field_m, grid, rays.points.reshape(-1, 3))
+    ne = constants.K_NE * jnp.exp(m).reshape(na, num_directions, n)
+    dne = ne - ne[i0][None, :, :]
+    w = simpson_weights(n, ne.dtype)
+    ds = rays.ds.reshape(na, num_directions)
+    out = jnp.einsum("akn,n->ak", dne, w) * ds * constants.KM_TO_M
+    return out / constants.TEC_SCALE
+
+
+def tec_linear(ne_field: jax.Array, grid: Grid3D, rays: RayBundle
+               ) -> jax.Array:
+    """TEC as a *linear* operator of the n_e field itself (m^-3 in, working
+    units out). This is the literal ray–voxel projection matrix applied
+    matrix-free — the operator LSQR/CG invert in config 3."""
+    r, n = rays.points.shape[:2]
+    v = tricubic.interp(ne_field, grid, rays.points.reshape(-1, 3))
+    v = v.reshape(r, n)
+    w = simpson_weights(n, v.dtype)
+    return jnp.einsum("rn,n->r", v, w) * rays.ds * constants.KM_TO_M \
+        / constants.TEC_SCALE
+
+
+def tec_linear_adjoint(y: jax.Array, grid: Grid3D, rays: RayBundle
+                       ) -> jax.Array:
+    """Exact transpose of ``tec_linear``: data-space (R,) → voxel grid.
+
+    Scatter-adds y_r · w_n · ds_r · 1e3 / TEC_SCALE through the tricubic
+    stencil weights. Implemented with segment-sum-style scatter (TPU
+    deterministic; SURVEY.md §5.2) via jnp .at[].add on flat indices.
+    """
+    r, n = rays.points.shape[:2]
+    idx, w64 = tricubic.interp_weights(grid, rays.points.reshape(-1, 3))
+    wq = simpson_weights(n, y.dtype)
+    coef = (y[:, None] * wq[None, :] * rays.ds[:, None]
+            * (constants.KM_TO_M / constants.TEC_SCALE)).reshape(-1)
+    contrib = w64 * coef[:, None]              # (R*N, 64)
+    flat = jnp.zeros((grid.num_voxels,), y.dtype)
+    flat = flat.at[idx.reshape(-1)].add(contrib.reshape(-1))
+    return flat.reshape(grid.shape)

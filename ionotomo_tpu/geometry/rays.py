@@ -1,0 +1,87 @@
+"""Straight-line ray sampling (device-side, static shapes).
+
+The reference's ``calc_rays`` straight-line branch (SURVEY.md §3.2):
+``x(s) = ant + s·k̂`` for s in [0, max_length], N samples per ray, for every
+(antenna × time × direction). Here it is a pure jnp broadcast producing a
+``RayBundle`` — a flat batch of rays plus quadrature geometry — which is the
+native currency of the forward/adjoint operators and the axis that gets
+sharded across chips (SURVEY.md §2.1 P1).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RayBundle:
+    """A flat batch of sampled rays.
+
+    points:  (R, N, 3) sample positions [km]
+    ds:      (R,) arc-length spacing between consecutive samples [km]
+             (uniform per ray; bent rays are reparametrised to uniform s)
+    """
+
+    points: jax.Array
+    ds: jax.Array
+
+    @property
+    def num_rays(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def num_samples(self) -> int:
+        return self.points.shape[1]
+
+
+def sample_straight_rays(origins, directions,
+                         max_length_km=constants.DEFAULT_MAX_LENGTH_KM,
+                         n_samples=constants.DEFAULT_N_SAMPLES) -> RayBundle:
+    """Sample straight rays: origins (R,3), unit directions (R,3) → RayBundle.
+
+    ``n_samples`` should be odd so composite Simpson quadrature applies
+    exactly (constants.DEFAULT_N_SAMPLES = 129).
+    """
+    origins = jnp.asarray(origins, jnp.float32)
+    directions = jnp.asarray(directions, jnp.float32)
+    s = jnp.linspace(0.0, max_length_km, n_samples, dtype=jnp.float32)
+    pts = origins[:, None, :] + s[None, :, None] * directions[:, None, :]
+    ds = jnp.full((origins.shape[0],), max_length_km / (n_samples - 1),
+                  jnp.float32)
+    return RayBundle(points=pts, ds=ds)
+
+
+def make_ray_batch(antennas_enu, directions_enu):
+    """Cartesian product (Na,3)×(Nd,3) → flat (Na*Nd, 3) origin/dir arrays.
+
+    Row-major over (antenna, direction): ray r = i*Nd + k, matching the
+    dTEC referencing convention in forward.tec.
+    """
+    ants = jnp.asarray(antennas_enu, jnp.float32)
+    dirs = jnp.asarray(directions_enu, jnp.float32)
+    na, nd = ants.shape[0], dirs.shape[0]
+    origins = jnp.repeat(ants, nd, axis=0)
+    directions = jnp.tile(dirs, (na, 1))
+    return origins, directions
+
+
+def simpson_weights(n_samples: int, dtype=jnp.float32):
+    """Composite Simpson weights [1,4,2,...,4,1]/3 for odd n; trapezoid
+    fallback on the last interval for even n (shouldn't happen in practice).
+    """
+    if n_samples < 2:
+        raise ValueError("need >= 2 samples")
+    if n_samples % 2 == 1:
+        w = jnp.ones((n_samples,), dtype)
+        w = w.at[1:-1:2].set(4.0)
+        w = w.at[2:-1:2].set(2.0)
+        return w / 3.0
+    # even: Simpson on first n-1 points + trapezoid on final interval
+    w = simpson_weights(n_samples - 1, dtype)
+    w = jnp.concatenate([w, jnp.zeros((1,), dtype)])
+    return w.at[-2:].add(0.5)

@@ -1,0 +1,73 @@
+"""Chapman-layer a-priori electron density model (device-side, jnp).
+
+Numerical contract (SURVEY.md §8): ``n_e(h) = N_peak * exp(0.5 * (1 - z -
+exp(-z)))`` with ``z = (h - h_peak)/H``; optional solar-zenith (day/night)
+modulation. This is the reference's ``a_priori_model`` /
+``create_initial_model`` capability (SURVEY.md §2 "A-priori ionosphere
+model") rebuilt as pure functions over Grid3D fields.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants
+from ..core.grids import Grid3D
+
+
+def chapman_ne(h_km, n_peak=1.0e12, h_peak_km=350.0, scale_km=80.0):
+    """Chapman profile n_e(h) in m^-3. h_km may be any jnp array shape."""
+    z = (h_km - h_peak_km) / scale_km
+    return n_peak * jnp.exp(0.5 * (1.0 - z - jnp.exp(-z)))
+
+
+def solar_zenith_factor(cos_chi, floor=0.05):
+    """Day/night modulation: sqrt(max(cos χ, floor)) Chapman scaling."""
+    return jnp.sqrt(jnp.maximum(cos_chi, floor))
+
+
+def chapman_field(grid: Grid3D, n_peak=1.0e12, h_peak_km=350.0,
+                  scale_km=80.0, cos_chi=None):
+    """Sample the Chapman profile onto a Grid3D (z axis = altitude, km).
+
+    Returns n_e in m^-3 with shape ``grid.shape``. ``cos_chi`` (scalar or
+    per-voxel) applies the solar-zenith factor to N_peak.
+    """
+    z_axis = grid.origin[2] + grid.spacing[2] * jnp.arange(grid.shape[2])
+    prof = chapman_ne(z_axis, n_peak, h_peak_km, scale_km)  # (nz,)
+    field = jnp.broadcast_to(prof[None, None, :], grid.shape)
+    if cos_chi is not None:
+        field = field * solar_zenith_factor(cos_chi)
+    return field
+
+
+def log_parametrize(n_e):
+    """m = log(n_e / K_NE), clipped away from -inf for vanishing density."""
+    return jnp.log(jnp.maximum(n_e, 1e-30) / constants.K_NE)
+
+
+def ne_from_log(m):
+    """n_e = K_NE * exp(m)."""
+    return constants.K_NE * jnp.exp(m)
+
+
+def grid_enclosing_rays(antennas_enu, directions_enu,
+                        max_length_km=constants.DEFAULT_MAX_LENGTH_KM,
+                        shape=(64, 64, 64), pad_km=25.0,
+                        h_min_km=None) -> Grid3D:
+    """Build a Grid3D that encloses every (antenna, direction) ray + padding.
+
+    Host-side helper (numpy in, static Grid3D out) — the analogue of the
+    reference's initial-model grid sizing (SURVEY.md §2: "builds initial
+    TriCubic grid sized to enclose all rays + padding").
+    """
+    ants = np.atleast_2d(np.asarray(antennas_enu, np.float64))
+    dirs = np.asarray(directions_enu, np.float64).reshape(-1, 3)
+    ends = ants[:, None, :] + max_length_km * dirs[None, :, :]
+    pts = np.concatenate([np.broadcast_to(ants[:, None, :], ends.shape)
+                          .reshape(-1, 3), ends.reshape(-1, 3)], axis=0)
+    lo = pts.min(axis=0) - pad_km
+    hi = pts.max(axis=0) + pad_km
+    if h_min_km is not None:
+        lo[2] = min(lo[2], h_min_km)
+    return Grid3D.from_bounds(lo, hi, shape)

@@ -1,0 +1,46 @@
+"""Frozen-flow advection (Taylor's hypothesis) — device-side spectral shift.
+
+Reference capability (SURVEY.md §8): ``n_e(x, t+Δt) = n_e(x − v·Δt, t)`` +
+process noise. TPU-native form: a sub-voxel-exact translation as a Fourier
+phase ramp (periodic boundary) — one FFT pair, no gather; this is both the
+simulation's time evolution and the Kalman filter's transition operator.
+
+Periodicity caveat: content advected past a face re-enters on the opposite
+face. Grids are built with padding beyond the ray volume (SURVEY.md §2
+"initial model"), so wrapped content stays outside the rays for the modest
+shifts (v·Δt ≪ grid extent) of a 30-step observation window.
+"""
+from __future__ import annotations
+
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def advect_periodic(field, grid, shift_km):
+    """Translate ``field`` by ``shift_km`` (3,) with spectral interpolation.
+
+    Equivalent to sampling the field at x − shift with periodic boundary.
+    """
+    nx, ny, nz = grid.shape
+    shift = jnp.asarray(shift_km) / grid.spacing  # voxels
+    kx = jnp.fft.fftfreq(nx)[:, None, None]
+    ky = jnp.fft.fftfreq(ny)[None, :, None]
+    kz = jnp.fft.rfftfreq(nz)[None, None, :]
+    phase = -2j * jnp.pi * (kx * shift[0] + ky * shift[1] + kz * shift[2])
+    spec = jnp.fft.rfftn(field) * jnp.exp(phase)
+    return jnp.fft.irfftn(spec, s=(nx, ny, nz)).astype(field.dtype)
+
+
+def frozen_flow_sequence(field0, grid, wind_kmps, dt_s, n_steps):
+    """Stack of n_steps fields advected by t·v·Δt (lax.scan, device-resident)."""
+    wind = jnp.asarray(wind_kmps, jnp.float32)
+
+    def step(carry, _):
+        t = carry
+        out = advect_periodic(field0, grid, wind * (t * dt_s))
+        return t + 1.0, out
+
+    _, seq = jax.lax.scan(step, 0.0, None, length=n_steps)
+    return seq

@@ -1,0 +1,70 @@
+"""DataPack container, radio array, and synthetic-world tests
+(SURVEY.md §4: the universal fixture is a small synthetic world)."""
+import numpy as np
+
+from ionotomo_tpu.data.datapack import DataPack
+from ionotomo_tpu.data.radio_array import RadioArray, generate_lofar_like_array
+from ionotomo_tpu.data.synth import generate_example_datapack
+
+
+def test_lofar_like_array_layout():
+    arr = generate_lofar_like_array()
+    assert len(arr) == 62
+    r = np.linalg.norm(arr.enu[:, :2], axis=1)
+    assert r[:24].max() < 5.0          # core is compact
+    assert r[24:].max() > 40.0         # remotes reach out
+    assert np.abs(arr.enu[:, 2]).max() < 1.5  # near the tangent plane
+
+
+def test_array_config_roundtrip(tmp_path):
+    arr = generate_lofar_like_array(n_core=4, n_remote=4)
+    p = tmp_path / "arr.cfg"
+    arr.save_config(p)
+    arr2 = RadioArray.load_config(str(p))
+    np.testing.assert_allclose(arr2.itrs, arr.itrs, atol=1e-8)
+    assert arr2.labels == arr.labels
+
+
+def test_generate_example_datapack_and_hdf5_roundtrip(tmp_path):
+    dp, truth = generate_example_datapack(
+        n_antennas=8, n_directions=4, n_times=2, grid_shape=(24, 24, 24),
+        noise_tecu=0.0, n_samples=33)
+    assert dp.shape == (8, 2, 4)
+    # reference antenna row is identically zero (noise-free)
+    np.testing.assert_allclose(dp.dtec[dp.ref_antenna], 0.0, atol=1e-6)
+    # non-reference antennas see structure
+    assert np.abs(dp.dtec).max() > 1e-3
+    # directions are above the horizon at all times
+    d = dp.directions_enu()
+    assert d.shape == (2, 4, 3)
+    assert d[..., 2].min() > 0.3
+
+    p = tmp_path / "dp.h5"
+    dp.save(p)
+    dp2 = DataPack.load(p)
+    np.testing.assert_allclose(dp2.dtec, dp.dtec, atol=0)
+    np.testing.assert_allclose(dp2.array.itrs, dp.array.itrs)
+    assert dp2.ref_antenna == dp.ref_antenna
+    np.testing.assert_allclose(dp2.times, dp.times)
+
+
+def test_datapack_select_remaps_reference_antenna():
+    dp, _ = generate_example_datapack(
+        n_antennas=6, n_directions=3, n_times=1, grid_shape=(16, 16, 16),
+        n_samples=17)
+    sub = dp.select(antennas=[2, 0, 4], directions=[1, 2])
+    assert sub.shape == (3, 1, 2)
+    assert sub.ref_antenna == 1  # antenna 0 is now at position 1
+    np.testing.assert_allclose(sub.dtec[:, 0, :],
+                               dp.dtec[np.ix_([2, 0, 4], [0], [1, 2])][:, 0])
+
+
+def test_noise_is_reproducible_and_scaled():
+    dp1, _ = generate_example_datapack(n_antennas=5, n_directions=3,
+                                       n_times=1, grid_shape=(16, 16, 16),
+                                       noise_tecu=0.01, seed=7, n_samples=17)
+    dp2, _ = generate_example_datapack(n_antennas=5, n_directions=3,
+                                       n_times=1, grid_shape=(16, 16, 16),
+                                       noise_tecu=0.01, seed=7, n_samples=17)
+    np.testing.assert_allclose(dp1.dtec, dp2.dtec)
+    assert np.all(dp1.noise_std > 0)

@@ -1,0 +1,143 @@
+"""Tests for straight-ray sampling and the TEC forward equation
+(SURVEY.md §4: endpoint/length invariants; TEC vs closed form; dTEC of the
+reference antenna ≡ 0; oracle parity; adjoint exactness)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ionotomo_tpu import constants
+from ionotomo_tpu.core.grids import Grid3D
+from ionotomo_tpu.forward import tec as tec_mod
+from ionotomo_tpu.geometry import rays as rays_mod
+from ionotomo_tpu.models import chapman
+from reference_kernels import tec_ref
+
+
+def small_world(nx=24, seed=0, n_ants=4, n_dirs=3, perturb=0.3):
+    rng = np.random.default_rng(seed)
+    ants = np.concatenate([rng.uniform(-20, 20, (n_ants, 2)),
+                           np.zeros((n_ants, 1))], axis=-1)
+    # directions near zenith
+    az = rng.uniform(0, 2 * np.pi, n_dirs)
+    zen = rng.uniform(0.05, 0.5, n_dirs)
+    dirs = np.stack([np.sin(zen) * np.sin(az), np.sin(zen) * np.cos(az),
+                     np.cos(zen)], axis=-1)
+    grid = chapman.grid_enclosing_rays(ants, dirs, max_length_km=1000.0,
+                                       shape=(nx, nx, nx), h_min_km=0.0)
+    ne = chapman.chapman_field(grid)
+    m = np.asarray(chapman.log_parametrize(ne))
+    if perturb:
+        # horizontal structure so that dTEC is non-degenerate: a smooth
+        # random field in log-density
+        pts = grid.meshgrid()
+        blob = np.zeros(grid.shape)
+        for _ in range(4):
+            c = np.array([rng.uniform(-150, 150), rng.uniform(-150, 150),
+                          rng.uniform(200, 500)])
+            w = rng.uniform(50, 150)
+            blob += rng.normal() * np.exp(
+                -0.5 * np.sum((pts - c) ** 2, -1) / w**2)
+        m = m + perturb * blob
+    return ants, dirs, grid, jnp.asarray(m, jnp.float32)
+
+
+def test_ray_endpoints_and_length():
+    origins = jnp.asarray([[0.0, 0.0, 0.0], [5.0, -3.0, 0.0]])
+    dirs = jnp.asarray([[0.0, 0.0, 1.0], [0.6, 0.0, 0.8]])
+    rb = rays_mod.sample_straight_rays(origins, dirs, max_length_km=900.0,
+                                       n_samples=91)
+    assert rb.points.shape == (2, 91, 3)
+    np.testing.assert_allclose(np.asarray(rb.points[:, 0]),
+                               np.asarray(origins), atol=1e-5)
+    end = np.asarray(origins) + 900.0 * np.asarray(dirs)
+    np.testing.assert_allclose(np.asarray(rb.points[:, -1]), end, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(rb.ds), 10.0, atol=1e-5)
+
+
+def test_simpson_weights_integrate_cubic_exactly():
+    n = 17
+    w = np.asarray(rays_mod.simpson_weights(n, jnp.float32), np.float64)
+    x = np.linspace(0.0, 1.0, n)
+    h = x[1] - x[0]
+    f = 3 * x**3 - x**2 + 2 * x - 1
+    got = float(np.sum(f * w) * h)
+    want = 3 / 4 - 1 / 3 + 1 - 1
+    # weights are exact small rationals; only their f32 storage rounds
+    assert abs(got - want) < 1e-7
+
+
+def test_vertical_tec_matches_chapman_closed_form():
+    """Vertical ray through a full Chapman layer ≈ N_peak·H·sqrt(2πe)."""
+    grid = Grid3D.from_bounds((-50, -50, 0.0), (50, 50, 1500.0),
+                              (8, 8, 256))
+    ne = chapman.chapman_field(grid, n_peak=1e12, h_peak_km=350.0,
+                               scale_km=80.0)
+    m = chapman.log_parametrize(ne)
+    rb = rays_mod.sample_straight_rays(
+        jnp.asarray([[0.0, 0.0, 0.0]]), jnp.asarray([[0.0, 0.0, 1.0]]),
+        max_length_km=1500.0, n_samples=257)
+    got = float(tec_mod.tec(m, grid, rb)[0])
+    want = tec_ref.chapman_tec_analytic(1e12, 350.0, 80.0,
+                                        alt_rad=np.pi / 2)
+    assert abs(got - want) / want < 2e-3
+
+
+def test_dtec_reference_antenna_is_zero_and_matches_oracle():
+    ants, dirs, grid, m = small_world()
+    origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
+    rb = rays_mod.sample_straight_rays(origins, dvecs, n_samples=65)
+    g = tec_mod.dtec(m, grid, rb, num_directions=dirs.shape[0], i0=1)
+    g = np.asarray(g)
+    np.testing.assert_allclose(g[1], 0.0, atol=1e-7)
+
+    ref = tec_ref.dtec_ref(np.asarray(m, np.float64), np.asarray(grid.origin),
+                           np.asarray(grid.spacing), np.asarray(rb.points),
+                           np.asarray(rb.ds), num_directions=dirs.shape[0],
+                           i0=1)
+    # tolerance contract for the naive (subtract-two-big-integrals) path:
+    # f32 cancellation bounds the error at ~eps * |TEC|, not |dTEC|
+    tec_scale = np.abs(np.asarray(
+        tec_ref.tec_ref(np.asarray(m, np.float64), np.asarray(grid.origin),
+                        np.asarray(grid.spacing), np.asarray(rb.points),
+                        np.asarray(rb.ds)))).max()
+    np.testing.assert_allclose(g, ref, atol=2e-6 * tec_scale)
+
+    # the paired path must do much better: errors at the dTEC scale
+    gp = np.asarray(tec_mod.dtec_paired(m, grid, rb,
+                                        num_directions=dirs.shape[0], i0=1))
+    np.testing.assert_allclose(gp, ref, atol=2e-4 * np.abs(ref).max())
+    assert np.abs(gp - ref).max() <= np.abs(g - ref).max() + 1e-9
+
+
+def test_tec_linear_adjoint_is_exact_transpose():
+    """<A x, y> == <x, A^T y> to f32 roundoff — the matrix-free Jacobian
+    contract that the whole inversion engine rests on."""
+    ants, dirs, grid, m = small_world(nx=16)
+    origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
+    rb = rays_mod.sample_straight_rays(origins, dvecs, n_samples=33)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=grid.shape), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(rb.num_rays,)), jnp.float32)
+    ax = tec_mod.tec_linear(x, grid, rb)
+    aty = tec_mod.tec_linear_adjoint(y, grid, rb)
+    lhs = float(jnp.vdot(ax, y))
+    rhs = float(jnp.vdot(x, aty))
+    assert abs(lhs - rhs) <= 1e-4 * max(abs(lhs), abs(rhs))
+
+
+def test_tec_nonlinear_vjp_matches_finite_difference():
+    """grad of sum(tec(m)) via jax.grad vs central finite differences."""
+    ants, dirs, grid, m = small_world(nx=16)
+    origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
+    rb = rays_mod.sample_straight_rays(origins, dvecs, n_samples=33)
+
+    def loss(mm):
+        return jnp.sum(tec_mod.tec(mm, grid, rb))
+
+    g = np.asarray(jax.grad(loss)(m))
+    rng = np.random.default_rng(4)
+    v = rng.normal(size=grid.shape).astype(np.float32)
+    eps = 1e-3
+    fd = (float(loss(m + eps * v)) - float(loss(m - eps * v))) / (2 * eps)
+    got = float(np.vdot(g, v))
+    assert abs(fd - got) / max(abs(fd), 1e-8) < 5e-3
