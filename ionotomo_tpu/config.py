@@ -1,0 +1,94 @@
+"""One frozen dataclass-tree configuration (SURVEY.md §5.6).
+
+The reference passes physical constants as scattered kwargs; here every run
+is described by a single immutable ``EngineConfig`` that is serialised into
+every checkpoint (utils.checkpoint) and metrics stream, so any artifact is
+reproducible from its own metadata. No global flags.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Tuple
+
+from . import constants
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsConfig:
+    frequency_hz: float = constants.DEFAULT_FREQUENCY_HZ
+    k_ne: float = constants.K_NE
+    tec_scale: float = constants.TEC_SCALE
+    max_length_km: float = constants.DEFAULT_MAX_LENGTH_KM
+    chapman_n_peak: float = 1.0e12
+    chapman_h_peak_km: float = 350.0
+    chapman_scale_km: float = 80.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    shape: Tuple[int, int, int] = (128, 128, 128)
+    pad_km: float = 25.0
+    h_min_km: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RayConfig:
+    n_samples: int = constants.DEFAULT_N_SAMPLES   # straight-ray quadrature
+    n_steps: int = 128                             # bent-ray integrator
+    method: str = "leapfrog"                       # "leapfrog" | "rk4"
+    bent: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class PriorConfig:
+    kind: str = "exponential"        # GP kernel family
+    sigma: float = 0.3               # log-density std
+    length_scale_km: float = 60.0
+    smooth: float = 1.0              # Laplacian weight (config-3 solver)
+    damp: float = 1e-2
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    solver: str = "map_gauss_newton"  # | "lsqr_smoothness" | "steepest"
+    gn_iters: int = 3
+    cg_iters: int = 40
+    cg_tol: float = 1e-4
+    lsqr_iters: int = 64
+    kalman_fade: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_every: int = 1
+    metrics_path: str = "metrics.jsonl"
+    seed: int = 0
+    nan_checks: bool = False          # jax.debug/checkify mode (SURVEY §5.2)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    physics: PhysicsConfig = PhysicsConfig()
+    grid: GridConfig = GridConfig()
+    rays: RayConfig = RayConfig()
+    prior: PriorConfig = PriorConfig()
+    solver: SolverConfig = SolverConfig()
+    runtime: RuntimeConfig = RuntimeConfig()
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @staticmethod
+    def from_json(text: str) -> "EngineConfig":
+        raw = json.loads(text)
+        return EngineConfig(
+            physics=PhysicsConfig(**raw["physics"]),
+            grid=GridConfig(shape=tuple(raw["grid"].pop("shape")),
+                            **raw["grid"]),
+            rays=RayConfig(**raw["rays"]),
+            prior=PriorConfig(**raw["prior"]),
+            solver=SolverConfig(**raw["solver"]),
+            runtime=RuntimeConfig(**raw["runtime"]),
+        )

@@ -1,0 +1,143 @@
+"""Matrix-free Krylov solvers, device-resident (SURVEY.md §7 M4/M5).
+
+Design rules ("Early-exit Krylov under jit", SURVEY.md §7): fixed iteration
+count with **masked convergence** — once a system converges its updates are
+frozen by `jnp.where`, so the whole solve is one static-shape jitted program
+with solver state (x, r, p, Krylov vectors) resident in HBM; no host
+round-trips, no dynamic shapes. All solvers support a leading batch axis
+via vmap (config 4: "batched Krylov solves").
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SolveInfo(NamedTuple):
+    iterations: jax.Array      # iteration at which convergence froze (or max)
+    residual_norm: jax.Array   # final ‖r‖ (CG) or ‖Aᵀr‖ (LSQR)
+    converged: jax.Array       # bool
+
+
+def _vdot(a, b):
+    return jnp.sum(a * b)
+
+
+def cg(matvec: Callable, b, x0=None, max_iters: int = 100, tol: float = 1e-6,
+       preconditioner: Callable = None):
+    """Conjugate gradients for SPD ``matvec``; pytree-valued operands.
+
+    Stops updating (masked) once ‖r‖ ≤ tol·‖b‖. Returns (x, SolveInfo).
+    """
+    if x0 is None:
+        x0 = jax.tree.map(jnp.zeros_like, b)
+    M = preconditioner or (lambda v: v)
+
+    r0 = jax.tree.map(jnp.subtract, b, matvec(x0))
+    z0 = M(r0)
+    p0 = z0
+    bnorm = jnp.sqrt(sum(jax.tree.leaves(jax.tree.map(
+        lambda u: _vdot(u, u), b))))
+    tol2 = (tol * bnorm) ** 2
+
+    def tdot(u, v):
+        return sum(jax.tree.leaves(jax.tree.map(_vdot, u, v)))
+
+    def body(carry, _):
+        x, r, z, p, rz, it, done = carry
+        ap = matvec(p)
+        pap = tdot(p, ap)
+        alpha = jnp.where(done | (pap == 0), 0.0, rz / jnp.where(pap == 0,
+                                                                 1.0, pap))
+        x = jax.tree.map(lambda xx, pp: xx + alpha * pp, x, p)
+        r = jax.tree.map(lambda rr, aa: rr - alpha * aa, r, ap)
+        z = M(r)
+        rz_new = tdot(r, z)
+        rr = tdot(r, r)
+        new_done = done | (rr <= tol2)
+        beta = jnp.where(new_done | (rz == 0), 0.0,
+                         rz_new / jnp.where(rz == 0, 1.0, rz))
+        p = jax.tree.map(lambda zz, pp: zz + beta * pp, z, p)
+        it = it + jnp.where(new_done, 0, 1)
+        return (x, r, z, p, rz_new, it, new_done), rr
+
+    rz0 = tdot(r0, z0)
+    init = (x0, r0, z0, p0, rz0, jnp.int32(0), rz0 <= tol2)
+    (x, r, *_, it, done), res_hist = jax.lax.scan(body, init, None,
+                                                  length=max_iters)
+    rnorm = jnp.sqrt(tdot(r, r))
+    return x, SolveInfo(iterations=it, residual_norm=rnorm, converged=done)
+
+
+def lsqr(aop: Callable, atop: Callable, b, x_shape_like, damp: float = 0.0,
+         max_iters: int = 100, tol: float = 1e-6):
+    """LSQR (Paige–Saunders bidiagonalisation) for min ‖Ax − b‖² + damp²‖x‖².
+
+    aop: x → Ax (data space), atop: y → Aᵀy (model space). x_shape_like
+    provides the model-space zero. Masked fixed-iteration form. Returns
+    (x, SolveInfo) with residual_norm = ‖Aᵀr‖ estimate.
+    """
+    x0 = jnp.zeros_like(x_shape_like)
+
+    def norm(v):
+        return jnp.sqrt(jnp.sum(v * v))
+
+    beta0 = norm(b)
+    u0 = b / jnp.where(beta0 == 0, 1.0, beta0)
+    v_raw = atop(u0)
+    alpha0 = norm(v_raw)
+    v0 = v_raw / jnp.where(alpha0 == 0, 1.0, alpha0)
+    w0 = v0
+    phibar0 = beta0
+    rhobar0 = alpha0
+    # stopping: ‖Aᵀr‖ ≤ tol · ‖A‖·‖r‖ proxy via tol·alpha0·beta0
+    thresh = tol * alpha0 * beta0
+
+    def body(carry, _):
+        x, u, v, w, alpha, beta, phibar, rhobar, it, done = carry
+        # bidiagonalisation
+        u_raw = aop(v) - alpha * u
+        beta_n = norm(u_raw)
+        u_n = u_raw / jnp.where(beta_n == 0, 1.0, beta_n)
+        v_raw = atop(u_n) - beta_n * v
+        alpha_n = norm(v_raw)
+        v_n = v_raw / jnp.where(alpha_n == 0, 1.0, alpha_n)
+        # damped rotation
+        rhobar1 = jnp.sqrt(rhobar**2 + damp**2)
+        c1 = rhobar / jnp.where(rhobar1 == 0, 1.0, rhobar1)
+        phibar_d = c1 * phibar
+        # Givens rotation
+        rho = jnp.sqrt(rhobar1**2 + beta_n**2)
+        c = rhobar1 / jnp.where(rho == 0, 1.0, rho)
+        s = beta_n / jnp.where(rho == 0, 1.0, rho)
+        theta = s * alpha_n
+        rhobar_n = -c * alpha_n
+        phi = c * phibar_d
+        phibar_n = s * phibar_d
+
+        step = jnp.where(done, 0.0, phi / jnp.where(rho == 0, 1.0, rho))
+        x = x + step * w
+        w_n = v_n - (theta / jnp.where(rho == 0, 1.0, rho)) * w
+        w_n = jnp.where(done, w, w_n)
+        u_n = jnp.where(done, u, u_n)
+        v_n = jnp.where(done, v, v_n)
+        # ‖Aᵀr‖ ≈ |phibar · alpha · c| — phibar carries an alternating sign
+        # through the signed damping rotation, so take the magnitude
+        atr = jnp.abs(phibar_n * alpha_n * c)
+        new_done = done | (atr <= thresh)
+        it = it + jnp.where(new_done, 0, 1)
+        carry = (x, u_n, v_n, w_n,
+                 jnp.where(done, alpha, alpha_n),
+                 jnp.where(done, beta, beta_n),
+                 jnp.where(done, phibar, phibar_n),
+                 jnp.where(done, rhobar, rhobar_n), it, new_done)
+        return carry, atr
+
+    init = (x0, u0, v0, w0, alpha0, beta0, phibar0, rhobar0,
+            jnp.int32(0), alpha0 * beta0 <= thresh)
+    (x, _, _, _, _, _, phibar, _, it, done), hist = jax.lax.scan(
+        body, init, None, length=max_iters)
+    return x, SolveInfo(iterations=it, residual_norm=hist[-1],
+                        converged=done)

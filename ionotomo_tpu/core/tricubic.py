@@ -76,6 +76,24 @@ def _neighborhood(grid: Grid3D, points: jax.Array):
     return idx, frac
 
 
+def _sharded_take(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather rows of ``table`` at ``idx``, propagating the indices'
+    sharding to the output (a batch-sharded gather of a replicated table —
+    the engine's standard data layout; SURVEY.md §2.1 P1). Under jax's
+    sharding-in-types the output spec of a gather is ambiguous and must be
+    given explicitly whenever the indices are sharded."""
+    try:
+        sh = jax.typeof(idx).sharding
+        if any(s is not None for s in sh.spec):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            out_spec = P(*sh.spec, *([None] * (table.ndim - 1)))
+            return table.at[idx].get(
+                mode="clip", out_sharding=NamedSharding(sh.mesh, out_spec))
+    except Exception:
+        pass
+    return jnp.take(table, idx, axis=0)
+
+
 def _gather_blocks(field: jax.Array, grid: Grid3D, idx: jax.Array):
     """Gather the 4×4×4 neighbourhoods.
 
@@ -88,8 +106,8 @@ def _gather_blocks(field: jax.Array, grid: Grid3D, idx: jax.Array):
     iy = idx[:, 1, None, :, None]                        # (N,1,4,1)
     iz = idx[:, 2, None, None, :]                        # (N,1,1,4)
     flat = (ix * ny + iy) * nz + iz                      # (N,4,4,4)
-    return jnp.take(field.reshape(-1), flat.reshape(flat.shape[0], 64),
-                    axis=0, fill_value=None).reshape(flat.shape)
+    return _sharded_take(field.reshape(-1),
+                         flat.reshape(flat.shape[0], 64)).reshape(flat.shape)
 
 
 @partial(jax.jit, static_argnames=())
@@ -141,6 +159,86 @@ def interp_with_grad(field: jax.Array, grid: Grid3D, points: jax.Array):
     )
     grad = du / grid.spacing[None, :]
     return value, grad
+
+
+def _row_neighborhood(grid: Grid3D, points: jax.Array):
+    """Row-gather setup: (x,y) pencil indices + dense z weight vectors.
+
+    TPU gathers of single scalars are slow; gathers of full minor-axis rows
+    (slice size (1, nz), nz lanes) are fast. So instead of 64 scalar
+    neighbours we fetch the 16 (x,y) z-pencils of the stencil and contract
+    the z axis with a dense, 4-banded weight vector built from iota
+    comparisons (pure VPU work, no gather).
+    """
+    idx, frac = _neighborhood(grid, points)
+    nx, ny, nz = grid.shape
+    row_idx = (idx[:, 0, :, None] * ny + idx[:, 1, None, :])  # (N,4,4)
+    n = points.shape[0]
+    return idx, frac, row_idx.reshape(n, 16)
+
+
+def _z_band(idx_z: jax.Array, w: jax.Array, nz: int):
+    """Dense (N, nz) vector with w[:, o] at positions idx_z[:, o]."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, nz), 1)
+    band = jnp.zeros((idx_z.shape[0], nz), w.dtype)
+    for o in range(4):
+        band = band + jnp.where(lanes == idx_z[:, o][:, None],
+                                w[:, o][:, None], 0.0)
+    return band
+
+
+def interp_rows(field2d: jax.Array, grid: Grid3D, points: jax.Array
+                ) -> jax.Array:
+    """Row-gather tricubic interpolation (TPU fast path).
+
+    ``field2d`` is the field pre-reshaped to (nx*ny, nz) — pass it reshaped
+    once outside any scan so the layout change isn't paid per step.
+    """
+    idx, frac, row_idx = _row_neighborhood(grid, points)
+    nz = grid.shape[2]
+    rows = _sharded_take(field2d, row_idx)               # (N,16,nz)
+    wz = _z_band(idx[:, 2], _catmull_rom_weights(frac[:, 2]), nz)
+    pencil = jnp.einsum("nkz,nz->nk", rows, wz)          # (N,16)
+    wx = _catmull_rom_weights(frac[:, 0])
+    wy = _catmull_rom_weights(frac[:, 1])
+    wxy = (wx[:, :, None] * wy[:, None, :]).reshape(-1, 16)
+    return jnp.sum(pencil * wxy, axis=-1)
+
+
+def interp_rows_with_grad(field2d: jax.Array, grid: Grid3D,
+                          points: jax.Array):
+    """Row-gather value + physical gradient (TPU fast path).
+
+    Same contraction structure as ``interp_with_grad`` but with the z axis
+    handled by two dense banded vectors (weights and derivative weights)
+    against the gathered pencils.
+    """
+    idx, frac, row_idx = _row_neighborhood(grid, points)
+    nz = grid.shape[2]
+    rows = _sharded_take(field2d, row_idx)               # (N,16,nz)
+    wz_band = _z_band(idx[:, 2], _catmull_rom_weights(frac[:, 2]), nz)
+    dwz_band = _z_band(idx[:, 2], _catmull_rom_dweights(frac[:, 2]), nz)
+    cz = jnp.einsum("nkz,nz->nk", rows, wz_band).reshape(-1, 4, 4)
+    cz_d = jnp.einsum("nkz,nz->nk", rows, dwz_band).reshape(-1, 4, 4)
+
+    wx = _catmull_rom_weights(frac[:, 0])
+    wy = _catmull_rom_weights(frac[:, 1])
+    dwx = _catmull_rom_dweights(frac[:, 0])
+    dwy = _catmull_rom_dweights(frac[:, 1])
+
+    czy = jnp.einsum("nxy,ny->nx", cz, wy)
+    czy_dy = jnp.einsum("nxy,ny->nx", cz, dwy)
+    czy_dz = jnp.einsum("nxy,ny->nx", cz_d, wy)
+    value = jnp.einsum("nx,nx->n", czy, wx)
+    du = jnp.stack(
+        [
+            jnp.einsum("nx,nx->n", czy, dwx),
+            jnp.einsum("nx,nx->n", czy_dy, wx),
+            jnp.einsum("nx,nx->n", czy_dz, wx),
+        ],
+        axis=-1,
+    )
+    return value, du / grid.spacing[None, :]
 
 
 def interp_weights(grid: Grid3D, points: jax.Array):

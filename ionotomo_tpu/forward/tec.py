@@ -22,6 +22,26 @@ from ..core.grids import Grid3D
 from ..geometry.rays import RayBundle, simpson_weights
 
 
+def _ref_row(arr: jax.Array, i0: int) -> jax.Array:
+    """arr[i0] that stays valid when arr's leading (antenna) axis is
+    sharded: the reference antenna's row lives on one shard and dTEC
+    referencing broadcasts it — under sharding-in-types the replicated
+    output spec must be stated explicitly."""
+    try:
+        sh = jax.typeof(arr).sharding
+        sharded = any(s is not None for s in sh.spec)
+    except Exception:
+        sharded = False
+    if sharded:
+        # one-hot masked reduction over the sharded axis: the sum
+        # all-reduces to a replicated row (slicing a sharded dim is not
+        # supported; a psum-backed reduce is the natural collective here)
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (arr.shape[0],) + (1,) * (arr.ndim - 1), 0)
+        return jnp.sum(jnp.where(iota == i0, arr, 0), axis=0)
+    return arr[i0]
+
+
 def ne_at(field_m: jax.Array, grid: Grid3D, points: jax.Array) -> jax.Array:
     """n_e [m^-3] at points (..., 3) from the log-density field m."""
     shape = points.shape[:-1]
@@ -52,7 +72,7 @@ def dtec(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
     """
     t = tec(field_m, grid, rays)
     t = t.reshape(-1, num_directions)          # (Na, Nd)
-    return t - t[i0][None, :]
+    return t - _ref_row(t, i0)[None, :]
 
 
 def dtec_paired(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
@@ -73,7 +93,7 @@ def dtec_paired(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
     na = r // num_directions
     m = tricubic.interp(field_m, grid, rays.points.reshape(-1, 3))
     ne = constants.K_NE * jnp.exp(m).reshape(na, num_directions, n)
-    dne = ne - ne[i0][None, :, :]
+    dne = ne - _ref_row(ne, i0)[None, :, :]
     w = simpson_weights(n, ne.dtype)
     ds = rays.ds.reshape(na, num_directions)
     out = jnp.einsum("akn,n->ak", dne, w) * ds * constants.KM_TO_M

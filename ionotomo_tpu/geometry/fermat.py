@@ -1,0 +1,166 @@
+"""Bent-ray Fermat tracer (device-side) — the engine's hot kernel.
+
+Physics (SURVEY.md §3.3 / §8): rays in an isotropic refractive medium obey
+Fermat's principle; in arc-length parametrisation the Euler–Lagrange
+equations are
+
+    d/ds (n t̂) = ∇n,   dx/ds = t̂,
+
+with t̂ the unit tangent. Writing p := n·t̂ gives the first-order system
+dx/ds = p/|p|, dp/ds = ∇n(x). The refractive index is the cold-plasma
+Appleton–Hartree form n = sqrt(1 − KAPPA·n_e/f²), n_e = K_NE·exp(m(x)) from
+the tricubic-interpolated log-density field.
+
+TPU-native design (vs the reference's per-ray scipy.integrate.odeint, its
+biggest bottleneck): a **fixed-step RK4 under lax.scan, batched over the
+whole ray bundle** — the RHS operates on (R,3) arrays directly so every
+integrator stage is one fused gather+arithmetic program over all rays; the
+TEC path integral rides along as extra ODE state (dτ/ds = n_e), integrated
+at the same 4th order. No Python in the loop, no host round-trips; state
+(x, p, τ) stays in HBM/VMEM across the scan.
+
+Step-count contract (SURVEY.md §7 "Bent-ray step control"): fixed-step RK4
+at n_steps=128 over 1000 km matches the adaptive f64 oracle to <1e-6 rel in
+endpoint and TEC for ionospheric contrast at 150 MHz (see
+tests/test_fermat.py convergence study).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants
+from ..core import tricubic
+from ..core.grids import Grid3D
+from .rays import RayBundle
+
+
+def refractive_index(ne, frequency_hz):
+    """n = sqrt(1 − KAPPA·n_e/f²), clipped above 0 for over-dense plasma."""
+    w = constants.KAPPA / (frequency_hz * frequency_hz)
+    return jnp.sqrt(jnp.maximum(1.0 - w * ne, 1e-6))
+
+
+def _rhs(field2d: jax.Array, grid: Grid3D, x: jax.Array, p: jax.Array,
+         inv_f2: jax.Array):
+    """Batched ODE right-hand side.
+
+    x, p: (R, 3). Returns (dx/ds (R,3), dp/ds (R,3), n_e (R,)).
+    One tricubic value+gradient evaluation per stage serves all three.
+    ``field2d`` is the log-density field reshaped to (nx*ny, nz) once by the
+    caller — the row-gather fast path (see core.tricubic.interp_rows).
+    """
+    m, gm = tricubic.interp_rows_with_grad(field2d, grid, x)
+    ne = constants.K_NE * jnp.exp(m)                      # (R,)
+    w = constants.KAPPA * inv_f2
+    n = jnp.sqrt(jnp.maximum(1.0 - w * ne, 1e-6))         # (R,)
+    # ∇n = -KAPPA/(2 n f²) · ∇n_e,  ∇n_e = n_e · ∇m  [1/km]
+    grad_n = (-0.5 * w * ne / n)[:, None] * gm            # (R, 3)
+    tangent = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
+    return tangent, grad_n, ne
+
+
+@partial(jax.jit, static_argnames=("n_steps", "keep_path", "method"))
+def trace_rays(field_m: jax.Array, grid: Grid3D, origins: jax.Array,
+               directions: jax.Array, frequency_hz,
+               max_length_km=constants.DEFAULT_MAX_LENGTH_KM,
+               n_steps: int = 128, keep_path: bool = True,
+               method: str = "rk4"):
+    """Trace all rays at once; returns (RayBundle, tec).
+
+    origins, directions: (R, 3), directions unit-norm. The bundle holds
+    n_steps+1 uniformly-spaced (in arc length) sample positions per ray —
+    directly consumable by the linearised forward operator — and ``tec`` is
+    the path integral of n_e in TEC_SCALE working units.
+
+    With ``keep_path=False`` only the endpoint state is kept (the benchmark
+    configuration: rays/sec with TEC, minimal HBM traffic).
+
+    Integrators:
+    - ``rk4``: classic 4-stage Runge-Kutta, 4 field evaluations/step, TEC
+      integrated at 4th order. The accuracy reference.
+    - ``leapfrog``: velocity-Verlet kick-drift with the field gradient
+      carried between steps — **one** field evaluation/step (4× fewer
+      gathers than rk4), 2nd order in the path, trapezoid TEC. Since the
+      gather is the arithmetic-intensity bottleneck on TPU, leapfrog at
+      2× the step count beats rk4 in accuracy-per-second by ~2×; this is
+      the benchmark/production configuration (see bench.py).
+    """
+    origins = jnp.asarray(origins, jnp.float32)
+    directions = jnp.asarray(directions, jnp.float32)
+    h = jnp.float32(max_length_km / n_steps)
+    inv_f2 = jnp.float32(1.0 / (frequency_hz * frequency_hz))
+    nx, ny, nz = grid.shape
+    field2d = field_m.reshape(nx * ny, nz)  # row-gather layout, paid once
+    # initial momentum p0 = n(x0)·t̂0
+    m0 = tricubic.interp_rows(field2d, grid, origins)
+    n0 = refractive_index(constants.K_NE * jnp.exp(m0), frequency_hz)
+    p0 = n0[:, None] * directions
+
+    tau0 = jnp.zeros(origins.shape[0], jnp.float32)
+    tec_unit = constants.KM_TO_M / constants.TEC_SCALE
+
+    if method == "rk4":
+
+        def step(carry, _):
+            x, p, tau = carry
+            k1x, k1p, ne1 = _rhs(field2d, grid, x, p, inv_f2)
+            k2x, k2p, ne2 = _rhs(field2d, grid, x + 0.5 * h * k1x,
+                                 p + 0.5 * h * k1p, inv_f2)
+            k3x, k3p, ne3 = _rhs(field2d, grid, x + 0.5 * h * k2x,
+                                 p + 0.5 * h * k2p, inv_f2)
+            k4x, k4p, ne4 = _rhs(field2d, grid, x + h * k3x, p + h * k3p,
+                                 inv_f2)
+            sixth = h / 6.0
+            x_new = x + sixth * (k1x + 2 * k2x + 2 * k3x + k4x)
+            p_new = p + sixth * (k1p + 2 * k2p + 2 * k3p + k4p)
+            tau_new = tau + sixth * (ne1 + 2 * ne2 + 2 * ne3 + ne4) \
+                * tec_unit
+            out = x_new if keep_path else None
+            return (x_new, p_new, tau_new), out
+
+        (x_f, p_f, tau_f), path = jax.lax.scan(
+            step, (origins, p0, tau0), None, length=n_steps)
+
+    elif method == "leapfrog":
+        # velocity-Verlet: carry (x, p, ∇n(x), n_e(x), τ); one field
+        # evaluation per step.
+        _, gn0, ne0 = _rhs(field2d, grid, origins, p0, inv_f2)
+
+        def step(carry, _):
+            x, p, gn, ne, tau = carry
+            p_half = p + (0.5 * h) * gn
+            x_new = x + h * (p_half / jnp.linalg.norm(p_half, axis=-1,
+                                                      keepdims=True))
+            _, gn_new, ne_new = _rhs(field2d, grid, x_new, p_half, inv_f2)
+            p_new = p_half + (0.5 * h) * gn_new
+            tau_new = tau + (0.5 * h) * (ne + ne_new) * tec_unit
+            out = x_new if keep_path else None
+            return (x_new, p_new, gn_new, ne_new, tau_new), out
+
+        (x_f, p_f, _, _, tau_f), path = jax.lax.scan(
+            step, (origins, p0, gn0, ne0, tau0), None, length=n_steps)
+
+    else:
+        raise ValueError(f"unknown method: {method}")
+
+    if keep_path:
+        pts = jnp.concatenate([origins[:, None, :],
+                               jnp.moveaxis(path, 0, 1)], axis=1)
+    else:
+        pts = jnp.stack([origins, x_f], axis=1)
+    ds = jnp.full((origins.shape[0],), h, jnp.float32)
+    return RayBundle(points=pts, ds=ds), tau_f
+
+
+def straight_line_limit_error(field_m, grid, origins, directions,
+                              frequency_hz, max_length_km, n_steps=128):
+    """Max endpoint deviation [km] from the straight path — diagnostics and
+    the n→1 invariant test (SURVEY.md §4: "bent ray → straight ray in the
+    limit of zero density / high frequency")."""
+    bundle, _ = trace_rays(field_m, grid, origins, directions, frequency_hz,
+                           max_length_km, n_steps)
+    straight_end = origins + max_length_km * directions
+    return jnp.linalg.norm(bundle.points[:, -1] - straight_end, axis=-1)

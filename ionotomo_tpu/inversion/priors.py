@@ -1,0 +1,131 @@
+"""Model priors: smoothness operator + stationary GP covariance via FFT.
+
+Reference parity (SURVEY.md §3.5 "Covariance / GP application"): the model
+covariance C_m with a stationary kernel (σ_m, correlation length L), applied
+spectrally in O(N log N) on the grid, plus its inverse contraction for the
+MAP objective. TPU-native: jnp.fft 3D transforms, spectrum built once by
+circulant embedding of the kernel on the (padded-by-construction) grid.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grids import Grid3D
+
+
+def laplacian(field: jax.Array, grid: Grid3D) -> jax.Array:
+    """Second-difference Laplacian with replicated edges (1/km² units).
+
+    The smoothness-prior operator L for config 3's ‖L m‖² regularisation.
+    """
+    out = jnp.zeros_like(field)
+    for ax in range(3):
+        up = jnp.roll(field, -1, axis=ax)
+        dn = jnp.roll(field, 1, axis=ax)
+        # replicate edges: roll wraps, overwrite wrapped slabs
+        idx_first = [slice(None)] * 3
+        idx_first[ax] = slice(0, 1)
+        idx_last = [slice(None)] * 3
+        idx_last[ax] = slice(-1, None)
+        up = up.at[tuple(idx_last)].set(field[tuple(idx_last)])
+        dn = dn.at[tuple(idx_first)].set(field[tuple(idx_first)])
+        out = out + (up - 2.0 * field + dn) / (grid.spacing[ax] ** 2)
+    return out
+
+
+def _kernel_values(r, kind: str, length_scale: float):
+    """Stationary kernel k(r), r in km, unit variance."""
+    x = r / length_scale
+    if kind == "exponential":
+        return np.exp(-x)
+    if kind == "sqexp":
+        return np.exp(-0.5 * x * x)
+    if kind == "matern32":
+        a = np.sqrt(3.0) * x
+        return (1.0 + a) * np.exp(-a)
+    if kind == "matern52":
+        a = np.sqrt(5.0) * x
+        return (1.0 + a + a * a / 3.0) * np.exp(-a)
+    raise ValueError(f"unknown kernel kind: {kind}")
+
+
+@dataclasses.dataclass(frozen=True)
+class GPCovariance:
+    """Stationary GP covariance operator on a Grid3D, applied spectrally.
+
+    Built by circulant embedding: the kernel is evaluated on the periodic
+    distance lattice of the grid and FFT'd; negative spectral leakage is
+    clipped to keep the operator PSD. ``sqrt_spectrum`` enables exact
+    sampling and C^{1/2} preconditioning.
+
+    Reference twin: the `Covariance` class (SURVEY.md §2 "Prior covariance
+    operator").
+    """
+
+    spectrum: jax.Array        # (nx, ny, nz//2+1) rfftn layout, PSD
+    shape: tuple
+    sigma: float
+    length_scale: float
+    kind: str
+
+    @staticmethod
+    def create(grid: Grid3D, sigma=1.0, length_scale=50.0,
+               kind="exponential"):
+        nx, ny, nz = grid.shape
+        sp = np.asarray(jax.device_get(grid.spacing), np.float64)
+        # periodic (minimum-image) distance lattice
+        ax = [np.minimum(np.arange(n), n - np.arange(n)) * sp[d]
+              for d, n in enumerate(grid.shape)]
+        r = np.sqrt(ax[0][:, None, None] ** 2 + ax[1][None, :, None] ** 2
+                    + ax[2][None, None, :] ** 2)
+        k = (sigma ** 2) * _kernel_values(r, kind, length_scale)
+        spec = np.fft.rfftn(k).real
+        spec = np.maximum(spec, 0.0)  # PSD-ify circulant embedding
+        return GPCovariance(spectrum=jnp.asarray(spec, jnp.float32),
+                            shape=tuple(grid.shape), sigma=float(sigma),
+                            length_scale=float(length_scale), kind=kind)
+
+    def apply(self, v: jax.Array) -> jax.Array:
+        """C_m v — spectral multiply, O(N log N)."""
+        spec = jnp.fft.rfftn(v) * self.spectrum
+        return jnp.fft.irfftn(spec, s=self.shape).astype(v.dtype)
+
+    def apply_sqrt(self, v: jax.Array) -> jax.Array:
+        """C_m^{1/2} v — for sampling and symmetric preconditioning."""
+        spec = jnp.fft.rfftn(v) * jnp.sqrt(self.spectrum)
+        return jnp.fft.irfftn(spec, s=self.shape).astype(v.dtype)
+
+    def apply_inv(self, v: jax.Array, floor_ratio=1e-6) -> jax.Array:
+        """C_m^{-1} v with a spectral floor for numerical stability."""
+        floor = floor_ratio * jnp.max(self.spectrum)
+        spec = jnp.fft.rfftn(v) / jnp.maximum(self.spectrum, floor)
+        return jnp.fft.irfftn(spec, s=self.shape).astype(v.dtype)
+
+    def contract(self, v: jax.Array) -> jax.Array:
+        """φᵀ C_m⁻¹ φ — the prior term of the MAP objective."""
+        return jnp.vdot(v, self.apply_inv(v)).real
+
+    def sample(self, key, n=None) -> jax.Array:
+        """Draw sample(s) with covariance C_m (zero mean).
+
+        y = F⁻¹(√S · Fw) for white w gives E[y yᵀ] = k(·) exactly under
+        numpy FFT conventions (S = DFT(k), inverse carries the 1/N), so no
+        extra normalisation is applied.
+        """
+        if n is None:
+            w = jax.random.normal(key, self.shape, jnp.float32)
+            return self.apply_sqrt(w)
+        keys = jax.random.split(key, n)
+        return jax.vmap(lambda k: self.sample(k))(keys)
+
+
+jax.tree_util.register_dataclass(
+    GPCovariance,
+    data_fields=["spectrum"],
+    meta_fields=["shape", "sigma", "length_scale", "kind"],
+)

@@ -1,0 +1,190 @@
+"""Tomographic inversion solvers (configs 3–4 of BASELINE.json).
+
+Three device-resident solvers, all matrix-free over the frozen-path ray
+operator (paths from geometry.rays or geometry.fermat are fixed during the
+solve; only the field varies — standard linearisation, matching the
+reference's per-iteration ray freeze, SURVEY.md §3.1):
+
+- ``lsqr_smoothness``: config 3 — linear LSQR on the damped ray–voxel
+  system with a gradient-smoothness prior.
+- ``map_gauss_newton``: config 4 — Bayesian MAP with a GP covariance prior,
+  Gauss-Newton outer loop, covariance-preconditioned CG inner solves in
+  **data space** (R×R system, R = #rays ≪ #voxels), the classic
+  representer/kriging trick: δm = C JᵀA(JC Jᵀ + C_d)⁻¹ r, so every Krylov
+  vector is ray-sized and the voxel grid appears only through forward and
+  adjoint applications.
+- ``steepest_descent_map``: the reference's own iteration (covariance-
+  preconditioned gradient + line search, SURVEY.md §8) for parity testing.
+
+All loops are jit-compiled end-to-end: state lives in HBM, zero host
+round-trips (SURVEY.md north-star).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import linalg
+from ..core.grids import Grid3D
+from ..forward import tec as tec_mod
+from ..geometry.rays import RayBundle
+from .priors import GPCovariance, laplacian
+
+
+class InversionResult(NamedTuple):
+    m: jax.Array               # reconstructed log-density field
+    residual_norm: jax.Array   # ‖W(g(m) − d)‖ final
+    info: tuple                # solver-specific diagnostics
+
+
+def _dtec_operator(grid: Grid3D, rays: RayBundle, num_directions: int,
+                   i0: int, m0: jax.Array):
+    """Linearised dTEC operator about m0 and its exact transpose.
+
+    J δm = dtec'(m0)[δm]; both directions via jax JVP/VJP of the paired
+    forward — XLA turns the gather into the scatter-add adjoint
+    automatically, which matches the hand adjoint (tested).
+    Returns (apply, applyT, g0) with data space flattened to (Na*Nd,).
+    """
+
+    def fwd(m):
+        return tec_mod.dtec_paired(m, grid, rays, num_directions, i0).ravel()
+
+    g0, jvp_lin = jax.linearize(fwd, m0)
+    applyT = jax.linear_transpose(jvp_lin, m0)
+
+    def apply(dm):
+        return jvp_lin(dm)
+
+    def applyt(y):
+        (out,) = applyT(y)
+        return out
+
+    return apply, applyt, g0
+
+
+@partial(jax.jit, static_argnames=("num_directions", "i0", "max_iters"))
+def lsqr_smoothness(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
+                    m0, num_directions: int, i0: int = 0,
+                    damp: float = 1e-2, smooth: float = 1.0,
+                    max_iters: int = 64):
+    """Config 3: single-snapshot linear inversion with smoothness prior.
+
+    Solves min ‖W(J δm − r)‖² + damp²‖δm‖² + smooth²‖L δm‖² by LSQR on the
+    stacked operator [W J; smooth·L; damp·I] — matrix-free, one jit.
+    d_obs: (Na, Nd) observed dTEC; noise_std broadcastable to it.
+    """
+    w = 1.0 / jnp.maximum(jnp.asarray(noise_std), 1e-12)
+    w = jnp.broadcast_to(w, d_obs.shape).ravel()
+    apply_j, apply_jt, g0 = _dtec_operator(grid, rays, num_directions, i0,
+                                           m0)
+    r = (jnp.asarray(d_obs).ravel() - g0) * w
+    nvox = grid.num_voxels
+
+    def aop(x):
+        dm = x.reshape(grid.shape)
+        top = apply_j(dm) * w
+        mid = smooth * laplacian(dm, grid).ravel()
+        return jnp.concatenate([top, mid])
+
+    def atop(y):
+        y1 = y[: r.shape[0]] * w
+        y2 = y[r.shape[0]:].reshape(grid.shape)
+        out = apply_jt(y1.reshape(-1)) + smooth * laplacian(y2, grid)
+        return out.ravel()
+
+    b = jnp.concatenate([r, jnp.zeros((nvox,), r.dtype)])
+    dm, info = linalg.lsqr(aop, atop, b, jnp.zeros((nvox,), r.dtype),
+                           damp=damp, max_iters=max_iters)
+    m = m0 + dm.reshape(grid.shape)
+    res = jnp.linalg.norm(apply_j(dm.reshape(grid.shape)) * w - r)
+    return InversionResult(m=m, residual_norm=res, info=(info,))
+
+
+@partial(jax.jit, static_argnames=("num_directions", "i0", "gn_iters",
+                                   "cg_iters"))
+def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
+                     m_prior, cov: GPCovariance, num_directions: int,
+                     i0: int = 0, gn_iters: int = 3, cg_iters: int = 40,
+                     cg_tol: float = 1e-4):
+    """Config 4: Bayesian MAP with GP covariance prior, data-space CG.
+
+    Minimises S(m) = ½‖g(m)−d‖²_{C_d⁻¹} + ½‖m−m_prior‖²_{C_m⁻¹}
+    (SURVEY.md §8). Each Gauss-Newton step linearises g about m_k and
+    solves the representer system (J C Jᵀ + C_d) λ = d − g(m_k) +
+    J(m_k − m_prior) in data space, then δm = m_prior − m_k + C Jᵀ λ.
+    """
+    d = jnp.asarray(d_obs).ravel()
+    cd_diag = jnp.broadcast_to(jnp.asarray(noise_std),
+                               jnp.asarray(d_obs).shape).ravel() ** 2
+
+    def gn_step(m_k, _):
+        apply_j, apply_jt, g0 = _dtec_operator(grid, rays, num_directions,
+                                               i0, m_k)
+        dm_prior = m_k - m_prior
+        rhs = d - g0 + apply_j(dm_prior)
+
+        def matvec(lam):
+            v = apply_jt(lam)              # voxel space
+            v = cov.apply(v)               # C_m
+            return apply_j(v) + cd_diag * lam
+
+        lam, info = linalg.cg(matvec, rhs, max_iters=cg_iters, tol=cg_tol)
+        dm = cov.apply(apply_jt(lam)) - dm_prior
+        m_next = m_k + dm
+        res = jnp.linalg.norm((g0 + apply_j(dm) - d)
+                              / jnp.sqrt(cd_diag))
+        return m_next, (res, info.iterations, info.residual_norm)
+
+    m_final, diags = jax.lax.scan(gn_step, m_prior, None, length=gn_iters)
+    return InversionResult(m=m_final, residual_norm=diags[0][-1],
+                           info=diags)
+
+
+@partial(jax.jit, static_argnames=("num_directions", "i0", "n_iters",
+                                   "n_linesearch"))
+def steepest_descent_map(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
+                         m_prior, cov: GPCovariance, num_directions: int,
+                         i0: int = 0, n_iters: int = 20,
+                         n_linesearch: int = 8, eps_max: float = 1.0):
+    """Reference-style covariance-preconditioned steepest descent with a
+    grid line search (SURVEY.md §8: m ← m − ε(C_m Jᵀ C_d⁻¹ r + (m−m_prior)),
+    line-searched ε) — kept for behavioural parity with the reference
+    pipeline; Gauss-Newton above is the faster default.
+    """
+    d = jnp.asarray(d_obs)
+    inv_var = 1.0 / jnp.broadcast_to(jnp.asarray(noise_std), d.shape) ** 2
+
+    def objective(m):
+        g = tec_mod.dtec_paired(m, grid, rays, num_directions, i0)
+        data = 0.5 * jnp.sum((g - d) ** 2 * inv_var)
+        dmp = m - m_prior
+        prior = 0.5 * jnp.vdot(dmp, cov.apply_inv(dmp))
+        return data + prior
+
+    epsilons = jnp.concatenate(
+        [jnp.zeros((1,)), jnp.logspace(-3, 0, n_linesearch - 1)]) * eps_max
+
+    def it(m_k, _):
+        def data_res(m):
+            g = tec_mod.dtec_paired(m, grid, rays, num_directions, i0)
+            return jnp.sum(0.5 * (g - d) ** 2 * inv_var)
+
+        grad_data = jax.grad(data_res)(m_k)
+        direction = -(cov.apply(grad_data) + (m_k - m_prior))
+        # normalise so ε is a step in log-density units — the raw
+        # preconditioned gradient scale depends on C_d and would overflow
+        # exp(m) for any fixed ε grid
+        direction = direction / (jnp.max(jnp.abs(direction)) + 1e-20)
+        objs = jax.vmap(lambda e: objective(m_k + e * direction))(epsilons)
+        best = jnp.argmin(objs)
+        m_next = m_k + epsilons[best] * direction
+        return m_next, objs[best]
+
+    m_final, hist = jax.lax.scan(it, m_prior, None, length=n_iters)
+    g = tec_mod.dtec_paired(m_final, grid, rays, num_directions, i0)
+    res = jnp.linalg.norm((g - d) * jnp.sqrt(inv_var))
+    return InversionResult(m=m_final, residual_norm=res, info=(hist,))

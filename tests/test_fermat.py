@@ -1,0 +1,134 @@
+"""Bent-ray tracer tests: straight-line limit, oracle parity, convergence,
+and physical bending direction (SURVEY.md §4)."""
+import numpy as np
+import jax.numpy as jnp
+
+from ionotomo_tpu.core.grids import Grid3D
+from ionotomo_tpu.geometry import fermat
+from ionotomo_tpu.models import chapman
+from reference_kernels import fermat_ref
+
+
+def world(nx=32, n_peak=1e12):
+    grid = Grid3D.from_bounds((-400, -400, 0.0), (400, 400, 1100.0),
+                              (nx, nx, nx))
+    ne = chapman.chapman_field(grid, n_peak=n_peak)
+    m = chapman.log_parametrize(ne)
+    return grid, m
+
+
+def slanted_rays(n=6, seed=0):
+    rng = np.random.default_rng(seed)
+    origins = np.concatenate([rng.uniform(-30, 30, (n, 2)),
+                              np.zeros((n, 1))], -1).astype(np.float32)
+    zen = rng.uniform(0.1, 0.6, n)
+    az = rng.uniform(0, 2 * np.pi, n)
+    dirs = np.stack([np.sin(zen) * np.sin(az), np.sin(zen) * np.cos(az),
+                     np.cos(zen)], -1).astype(np.float32)
+    return jnp.asarray(origins), jnp.asarray(dirs)
+
+
+def test_high_frequency_limit_is_straight():
+    grid, m = world()
+    origins, dirs = slanted_rays()
+    err = fermat.straight_line_limit_error(
+        m, grid, origins, dirs, frequency_hz=1e12, max_length_km=1000.0)
+    assert float(jnp.max(err)) < 1e-2  # km — sub-10m over a 1000 km path
+
+
+def test_zero_density_limit_is_straight():
+    grid, m = world(n_peak=1.0)  # essentially vacuum
+    origins, dirs = slanted_rays()
+    err = fermat.straight_line_limit_error(
+        m, grid, origins, dirs, frequency_hz=150e6, max_length_km=1000.0)
+    assert float(jnp.max(err)) < 1e-2
+
+
+def test_momentum_norm_tracks_refractive_index():
+    """|p| = n is a conserved relation of the Fermat system; check |p|
+    stays within the physical range [n_min, 1]."""
+    grid, m = world()
+    origins, dirs = slanted_rays(3)
+    bundle, tec = fermat.trace_rays(m, grid, origins, dirs, 150e6,
+                                    1000.0, n_steps=128)
+    assert np.isfinite(np.asarray(bundle.points)).all()
+    assert np.isfinite(np.asarray(tec)).all()
+    assert (np.asarray(tec) > 0).all()
+
+
+def test_matches_f64_adaptive_oracle():
+    grid, m = world()
+    origins, dirs = slanted_rays(4)
+    bundle, tec = fermat.trace_rays(m, grid, origins, dirs, 150e6,
+                                    1000.0, n_steps=128)
+    m64 = np.asarray(m, np.float64)
+    for i in range(4):
+        end_ref, tec_ref_v = fermat_ref.trace_ray_ref(
+            m64, np.asarray(grid.origin), np.asarray(grid.spacing),
+            np.asarray(origins[i]), np.asarray(dirs[i]), 150e6, 1000.0,
+            rtol=1e-9, atol=1e-11)
+        end = np.asarray(bundle.points[i, -1])
+        # endpoint to ~meters over 1000 km (f32 + fixed step)
+        assert np.linalg.norm(end - end_ref) < 5e-3, (i, end, end_ref)
+        assert abs(float(tec[i]) - tec_ref_v) / tec_ref_v < 1e-4
+
+
+def test_bending_increases_at_lower_frequency():
+    grid, m = world()
+    origins, dirs = slanted_rays(5, seed=3)
+    e_low = np.asarray(fermat.straight_line_limit_error(
+        m, grid, origins, dirs, 60e6, 1000.0))
+    e_high = np.asarray(fermat.straight_line_limit_error(
+        m, grid, origins, dirs, 300e6, 1000.0))
+    assert (e_low > e_high).all()
+    assert e_low.max() > 1e-2  # ionospheric bending is measurable at 60 MHz
+
+
+def test_fixed_step_convergence():
+    """Halving the step should shrink the endpoint error ~16x (4th order);
+    assert monotone decrease and small absolute error at 128 steps."""
+    grid, m = world()
+    origins, dirs = slanted_rays(2, seed=5)
+    m64 = np.asarray(m, np.float64)
+    ref_ends = [fermat_ref.trace_ray_ref(
+        m64, np.asarray(grid.origin), np.asarray(grid.spacing),
+        np.asarray(origins[i]), np.asarray(dirs[i]), 60e6, 1000.0)[0]
+        for i in range(2)]
+    errs = []
+    for n_steps in (16, 64, 256):
+        bundle, _ = fermat.trace_rays(m, grid, origins, dirs, 60e6, 1000.0,
+                                      n_steps=n_steps)
+        e = max(np.linalg.norm(np.asarray(bundle.points[i, -1]) - ref_ends[i])
+                for i in range(2))
+        errs.append(e)
+    assert errs[2] <= errs[0] + 1e-6
+    assert errs[2] < 5e-3
+
+
+def test_leapfrog_matches_rk4_and_oracle():
+    """The production integrator (1 eval/step) must stay within the same
+    accuracy contract as rk4 vs the adaptive f64 oracle."""
+    grid, m = world()
+    origins, dirs = slanted_rays(3, seed=11)
+    m64 = np.asarray(m, np.float64)
+    b, t = fermat.trace_rays(m, grid, origins, dirs, 60e6, 1000.0,
+                             n_steps=128, method="leapfrog")
+    for i in range(3):
+        end_ref, tec_ref_v = fermat_ref.trace_ray_ref(
+            m64, np.asarray(grid.origin), np.asarray(grid.spacing),
+            np.asarray(origins[i]), np.asarray(dirs[i]), 60e6, 1000.0,
+            rtol=1e-9, atol=1e-11)
+        assert np.linalg.norm(np.asarray(b.points[i, -1]) - end_ref) < 5e-3
+        assert abs(float(t[i]) - tec_ref_v) / tec_ref_v < 1e-4
+
+
+def test_keep_path_false_matches_endpoint():
+    grid, m = world()
+    origins, dirs = slanted_rays(3, seed=7)
+    b1, t1 = fermat.trace_rays(m, grid, origins, dirs, 150e6, 1000.0,
+                               n_steps=64, keep_path=True)
+    b2, t2 = fermat.trace_rays(m, grid, origins, dirs, 150e6, 1000.0,
+                               n_steps=64, keep_path=False)
+    np.testing.assert_allclose(np.asarray(b1.points[:, -1]),
+                               np.asarray(b2.points[:, -1]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-5)

@@ -1,0 +1,106 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4: sharding logic CI-testable without TPUs).
+
+The contract: sharded execution is *numerically identical* (up to f32
+reduction order) to single-device execution, for the forward TEC, the bent
+tracer, and a full gradient step (forward + adjoint psum).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ionotomo_tpu.parallel import sharding as shard_mod
+from ionotomo_tpu.geometry import rays as rays_mod, fermat
+from ionotomo_tpu.forward import tec as tec_mod
+from ionotomo_tpu.models import chapman
+from ionotomo_tpu.core.grids import Grid3D
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 2,
+                                reason="needs multi-device mesh")
+
+
+def world(nx=16, n_rays=40):
+    rng = np.random.default_rng(0)
+    grid = Grid3D.from_bounds((-300, -300, 0.0), (300, 300, 1000.0),
+                              (nx, nx, nx))
+    m = chapman.log_parametrize(chapman.chapman_field(grid))
+    o = np.concatenate([rng.uniform(-30, 30, (n_rays, 2)),
+                        np.zeros((n_rays, 1))], -1).astype(np.float32)
+    zen = rng.uniform(0.05, 0.5, n_rays)
+    az = rng.uniform(0, 2 * np.pi, n_rays)
+    d = np.stack([np.sin(zen) * np.sin(az), np.sin(zen) * np.cos(az),
+                  np.cos(zen)], -1).astype(np.float32)
+    return grid, m, jnp.asarray(o), jnp.asarray(d)
+
+
+def test_mesh_and_padding():
+    mesh = shard_mod.ray_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    o = jnp.ones((13, 3))
+    (o_p,), n = shard_mod.shard_ray_batch(mesh, o)
+    assert n == 13
+    assert o_p.shape[0] % mesh.devices.size == 0
+    o_np = np.asarray(o_p)
+    np.testing.assert_allclose(o_np[12], o_np[-1])
+
+
+def test_sharded_tec_matches_single_device():
+    grid, m, o, d = world()
+    rb = rays_mod.sample_straight_rays(o, d, n_samples=33)
+    want = np.asarray(tec_mod.tec(m, grid, rb))
+
+    mesh = shard_mod.ray_mesh()
+    (pts, ds), n = shard_mod.shard_ray_batch(mesh, rb.points, rb.ds)
+    (m_r,) = shard_mod.replicate(mesh, m)
+    got = jax.jit(lambda mm, p, s: tec_mod.tec(
+        mm, grid, rays_mod.RayBundle(points=p, ds=s)))(m_r, pts, ds)
+    np.testing.assert_allclose(np.asarray(got)[:n], want, rtol=2e-6,
+                               atol=1e-3 * np.abs(want).max())
+
+
+def test_sharded_bent_tracer_matches_single_device():
+    grid, m, o, d = world()
+    _, tec_single = fermat.trace_rays(m, grid, o, d, 150e6, 1000.0,
+                                      n_steps=16, keep_path=False,
+                                      method="leapfrog")
+    mesh = shard_mod.ray_mesh()
+    (o_p, d_p), n = shard_mod.shard_ray_batch(mesh, o, d)
+    (m_r,) = shard_mod.replicate(mesh, m)
+    f = jax.jit(lambda mm, oo, dd: fermat.trace_rays(
+        mm, grid, oo, dd, 150e6, 1000.0, n_steps=16, keep_path=False,
+        method="leapfrog")[1])
+    got = f(m_r, o_p, d_p)
+    np.testing.assert_allclose(np.asarray(got)[:n], np.asarray(tec_single),
+                               rtol=3e-6)
+
+
+def test_sharded_gradient_step_psums_correctly():
+    """Gradient of a data-misfit wrt the replicated grid, with rays sharded:
+    XLA must all-reduce the scatter-add; compare against single-device."""
+    grid, m, o, d = world(n_rays=48)
+    rb = rays_mod.sample_straight_rays(o, d, n_samples=33)
+    target = tec_mod.tec(m, grid, rb) * 1.1
+
+    def loss(mm, pts, ds, tgt):
+        g = tec_mod.tec(mm, grid, rays_mod.RayBundle(points=pts, ds=ds))
+        return jnp.sum((g - tgt) ** 2)
+
+    g_single = np.asarray(jax.grad(loss)(m, rb.points, rb.ds, target))
+
+    mesh = shard_mod.ray_mesh()
+    (pts, ds, tgt), n = shard_mod.shard_ray_batch(
+        mesh, rb.points, rb.ds, target)
+    # mask padded rays out of the loss by zeroing their target AND their
+    # prediction contribution via a weight vector
+    w = jnp.zeros(pts.shape[0]).at[:n].set(1.0)
+    w = jax.device_put(w, shard_mod.ray_sharding(mesh))
+    (m_r,) = shard_mod.replicate(mesh, m)
+
+    def loss_masked(mm, pts, ds, tgt, w):
+        g = tec_mod.tec(mm, grid, rays_mod.RayBundle(points=pts, ds=ds))
+        return jnp.sum(w * (g - tgt) ** 2)
+
+    g_sharded = jax.jit(jax.grad(loss_masked))(m_r, pts, ds, tgt, w)
+    np.testing.assert_allclose(np.asarray(g_sharded), g_single,
+                               atol=2e-3 * np.abs(g_single).max())
