@@ -42,10 +42,18 @@ def _ref_row(arr: jax.Array, i0: int) -> jax.Array:
     return arr[i0]
 
 
+def _interp_fast(field_m: jax.Array, grid: Grid3D, pts2d: jax.Array):
+    """Row-gather tricubic interp (the TPU fast path for both the forward
+    gather and — via its AD transpose — the row-aligned adjoint scatter).
+    The (nx*ny, nz) reshape is a free layout view."""
+    nx, ny, nz = grid.shape
+    return tricubic.interp_rows(field_m.reshape(nx * ny, nz), grid, pts2d)
+
+
 def ne_at(field_m: jax.Array, grid: Grid3D, points: jax.Array) -> jax.Array:
     """n_e [m^-3] at points (..., 3) from the log-density field m."""
     shape = points.shape[:-1]
-    m = tricubic.interp(field_m, grid, points.reshape(-1, 3))
+    m = _interp_fast(field_m, grid, points.reshape(-1, 3))
     return constants.K_NE * jnp.exp(m).reshape(shape)
 
 
@@ -55,7 +63,7 @@ def tec(field_m: jax.Array, grid: Grid3D, rays: RayBundle) -> jax.Array:
     TEC = ∫ n_e ds = Σ w_n · K_ne·exp(m(x_n)) · ds, ds in km → ×1e3 m.
     """
     r, n = rays.points.shape[:2]
-    m = tricubic.interp(field_m, grid, rays.points.reshape(-1, 3))
+    m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3))
     ne = constants.K_NE * jnp.exp(m).reshape(r, n)
     w = simpson_weights(n, ne.dtype)
     integral = jnp.einsum("rn,n->r", ne, w) * rays.ds * constants.KM_TO_M
@@ -91,7 +99,7 @@ def dtec_paired(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
     """
     r, n = rays.points.shape[:2]
     na = r // num_directions
-    m = tricubic.interp(field_m, grid, rays.points.reshape(-1, 3))
+    m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3))
     ne = constants.K_NE * jnp.exp(m).reshape(na, num_directions, n)
     dne = ne - _ref_row(ne, i0)[None, :, :]
     w = simpson_weights(n, ne.dtype)
@@ -106,7 +114,7 @@ def tec_linear(ne_field: jax.Array, grid: Grid3D, rays: RayBundle
     units out). This is the literal ray–voxel projection matrix applied
     matrix-free — the operator LSQR/CG invert in config 3."""
     r, n = rays.points.shape[:2]
-    v = tricubic.interp(ne_field, grid, rays.points.reshape(-1, 3))
+    v = _interp_fast(ne_field, grid, rays.points.reshape(-1, 3))
     v = v.reshape(r, n)
     w = simpson_weights(n, v.dtype)
     return jnp.einsum("rn,n->r", v, w) * rays.ds * constants.KM_TO_M \

@@ -1,0 +1,95 @@
+"""End-to-end pipeline + checkpoint/resume + Solution persistence tests."""
+import dataclasses
+import numpy as np
+
+from ionotomo_tpu.config import EngineConfig, GridConfig, RayConfig, \
+    SolverConfig, RuntimeConfig, PriorConfig
+from ionotomo_tpu.data.synth import generate_example_datapack
+from ionotomo_tpu.inversion.pipeline import InversionPipeline
+from ionotomo_tpu.inversion.solution import Solution
+from ionotomo_tpu.utils import checkpoint as ckpt
+
+
+def small_config(tmp_path, **solver_kw):
+    return EngineConfig(
+        grid=GridConfig(shape=(14, 14, 14)),
+        rays=RayConfig(n_samples=33),
+        prior=PriorConfig(sigma=0.3, length_scale_km=90.0, kind="sqexp"),
+        solver=SolverConfig(gn_iters=2, cg_iters=15, **solver_kw),
+        runtime=RuntimeConfig(checkpoint_dir=str(tmp_path / "ckpt"),
+                              metrics_path=str(tmp_path / "m.jsonl")),
+    )
+
+
+def make_dp(n_times=2, seed=3):
+    dp, truth = generate_example_datapack(
+        n_antennas=8, n_directions=5, n_times=n_times,
+        grid_shape=(14, 14, 14), noise_tecu=1e-3, seed=seed, n_samples=33)
+    return dp, truth
+
+
+def test_pipeline_runs_and_reduces_residual(tmp_path):
+    dp, truth = make_dp()
+    pipe = InversionPipeline(dp, small_config(tmp_path))
+    sol = pipe.run(resume=False)
+    assert sol.m.shape[0] == 2
+    recs = pipe.metrics.read_all()
+    assert len(recs) == 2
+    assert all(np.isfinite(r["residual"]) for r in recs)
+    # solution is persistable and reloadable
+    p = tmp_path / "sol.h5"
+    sol.save(p)
+    sol2 = Solution.load(p)
+    np.testing.assert_allclose(sol2.m, sol.m)
+    assert sol2.config_json == sol.config_json
+
+
+def test_pipeline_resume_after_kill_is_identical(tmp_path):
+    """Fault-injection light (SURVEY.md §5.3): run 1 of 2 timesteps, then
+    'crash' and resume — the final model must match an uninterrupted run."""
+    dp, _ = make_dp()
+    cfg = small_config(tmp_path)
+    pipe = InversionPipeline(dp, cfg)
+    sol_full = pipe.run(resume=False)
+
+    # fresh pipeline, simulate crash after t=0 by manufacturing the same
+    # checkpoint state the interrupted run would have left
+    import shutil
+    shutil.rmtree(cfg.runtime.checkpoint_dir)
+    ckpt.save_checkpoint(cfg.runtime.checkpoint_dir, 1,
+                         {"m_seq": sol_full.m[:1]}, cfg.to_json())
+    pipe2 = InversionPipeline(dp, cfg)
+    sol_resumed = pipe2.run(resume=True)
+    np.testing.assert_allclose(sol_resumed.m[0], sol_full.m[0], atol=0)
+    np.testing.assert_allclose(sol_resumed.m[1], sol_full.m[1], atol=1e-5)
+
+
+def test_pipeline_kalman_mode(tmp_path):
+    dp, truth = make_dp(n_times=3)
+    dp.wind_kmps = truth["wind_kmps"]
+    cfg = small_config(tmp_path, solver="kalman")
+    pipe = InversionPipeline(dp, cfg)
+    sol = pipe.run(resume=False)
+    assert sol.m.shape[0] == 3
+    assert (sol.diagnostics["post_residuals"]
+            < sol.diagnostics["pre_residuals"]).all()
+
+
+def test_checkpoint_atomicity_and_latest(tmp_path):
+    d = str(tmp_path / "c")
+    ckpt.save_checkpoint(d, 1, {"x": np.arange(4)}, '{"a":1}')
+    ckpt.save_checkpoint(d, 7, {"x": np.arange(4) * 2}, '{"a":2}')
+    step, state, cfg = ckpt.resume(d)
+    assert step == 7
+    np.testing.assert_array_equal(state["x"], np.arange(4) * 2)
+    assert cfg == '{"a":2}'
+    # no tmp droppings
+    import os
+    assert all(not f.endswith(".tmp") for f in os.listdir(d))
+
+
+def test_config_json_roundtrip():
+    cfg = EngineConfig(grid=GridConfig(shape=(32, 16, 8)))
+    cfg2 = EngineConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+    assert cfg2.grid.shape == (32, 16, 8)

@@ -1,0 +1,78 @@
+"""Antenna/facet selection + plotting smoke tests."""
+import numpy as np
+
+from ionotomo_tpu.data import selection
+from ionotomo_tpu.data.synth import generate_example_datapack
+from ionotomo_tpu.inversion.solution import Solution
+from ionotomo_tpu.models import chapman
+from ionotomo_tpu.core.grids import Grid3D
+from ionotomo_tpu.plotting import plot_tools
+
+
+def dp():
+    d, _ = generate_example_datapack(n_antennas=12, n_directions=6,
+                                     n_times=1, grid_shape=(12, 12, 12),
+                                     n_samples=17)
+    return d
+
+
+def test_core_remote_partition():
+    d = dp()
+    core = selection.core_antenna_indices(d, radius_km=5.0)
+    remote = selection.remote_antenna_indices(d, radius_km=5.0)
+    assert len(core) + len(remote) == d.shape[0]
+    assert len(set(core) & set(remote)) == 0
+    assert len(core) >= 1 and len(remote) >= 1
+
+
+def test_select_antennas_by_distance_keeps_ref():
+    d = dp()
+    sub = selection.select_antennas_by_distance(d, 5)
+    assert sub.shape[0] <= 6
+    assert sub.array.labels[sub.ref_antenna] == d.array.labels[d.ref_antenna]
+
+
+def test_facet_max_spread_covers_field():
+    d = dp()
+    sub = selection.select_facets_max_spread(d, 3)
+    assert sub.shape[2] == 3
+    # algorithm properties: the centre-most direction is included, and the
+    # farthest-from-centre direction is picked next (greedy farthest point)
+    radec = d.directions
+    x = (radec[:, 0] - radec[:, 0].mean()) * np.cos(radec[:, 1].mean())
+    y = radec[:, 1] - radec[:, 1].mean()
+    p = np.stack([x, y], -1)
+    centermost = d.directions[np.argmin(np.linalg.norm(p, axis=1))]
+    assert any(np.allclose(centermost, s) for s in sub.directions)
+    first = int(np.argmin(np.linalg.norm(p, axis=1)))
+    farthest = d.directions[
+        np.argmax(np.linalg.norm(p - p[first], axis=1))]
+    assert any(np.allclose(farthest, s) for s in sub.directions)
+
+
+def test_drop_flagged_never_drops_ref():
+    d = dp()
+    d.flags[3] = True  # fully flag antenna 3
+    d.flags[d.ref_antenna] = True  # and the reference
+    sub = selection.drop_flagged(d, max_flag_fraction=0.5)
+    assert 3 not in [i for i, lab in enumerate(sub.array.labels)
+                     if lab == d.array.labels[3]]
+    assert d.array.labels[d.ref_antenna] in sub.array.labels
+
+
+def test_plots_render(tmp_path):
+    d = dp()
+    fig = plot_tools.plot_datapack(d, filename=str(tmp_path / "dp.png"))
+    assert (tmp_path / "dp.png").exists()
+
+    grid = Grid3D.from_bounds((0, 0, 0), (100, 100, 100), (10, 10, 10))
+    m = np.asarray(chapman.log_parametrize(chapman.chapman_field(grid)))
+    sol = Solution(grid, np.stack([m, m]))
+    plot_tools.plot_model_slices(sol, filename=str(tmp_path / "sl.png"),
+                                 truth=sol.ne(0))
+    assert (tmp_path / "sl.png").exists()
+
+    recs = [dict(timestep=0, residual=10.0, seconds=1.0),
+            dict(timestep=1, residual=3.0, seconds=0.8)]
+    plot_tools.plot_convergence(recs, filename=str(tmp_path / "cv.png"))
+    assert (tmp_path / "cv.png").exists()
