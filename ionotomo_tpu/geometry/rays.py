@@ -70,6 +70,36 @@ def make_ray_batch(antennas_enu, directions_enu):
     return origins, directions
 
 
+def calc_rays(antennas_enu, directions_enu, ne_field_m=None, grid=None,
+              frequency_hz=None, straight_line_approx=True,
+              max_length_km=constants.DEFAULT_MAX_LENGTH_KM,
+              n_samples=constants.DEFAULT_N_SAMPLES,
+              method="leapfrog"):
+    """Reference-parity facade over the ray subsystem.
+
+    Mirrors the reference's ``calc_rays(antennas, patches, …, ne_tci,
+    frequency, straight_line_approx, max_length, N)`` entry point
+    (SURVEY.md §2 "Ray calculation"): builds the (antenna × direction)
+    product and dispatches to the straight sampler or the Fermat tracer.
+    Per-time geometry is the caller's loop/vmap axis (directions_enu may be
+    the slice for one time).
+
+    Returns a RayBundle of shape (Na*Nd, N, 3), row-major over
+    (antenna, direction).
+    """
+    origins, dvecs = make_ray_batch(antennas_enu, directions_enu)
+    if straight_line_approx:
+        return sample_straight_rays(origins, dvecs, max_length_km,
+                                    n_samples)
+    if ne_field_m is None or grid is None or frequency_hz is None:
+        raise ValueError("bent rays need ne_field_m, grid, frequency_hz")
+    from .fermat import trace_rays
+    bundle, _ = trace_rays(ne_field_m, grid, origins, dvecs, frequency_hz,
+                           max_length_km, n_steps=n_samples - 1,
+                           keep_path=True, method=method)
+    return bundle
+
+
 def simpson_weights(n_samples: int, dtype=jnp.float32):
     """Composite Simpson weights [1,4,2,...,4,1]/3 for odd n; trapezoid
     fallback on the last interval for even n (shouldn't happen in practice).

@@ -33,6 +33,40 @@ def advect_periodic(field, grid, shift_km):
     return jnp.fft.irfftn(spec, s=(nx, ny, nz)).astype(field.dtype)
 
 
+def estimate_wind(field_a, field_b, grid, dt_s, n_iters=200, lr=0.05,
+                  v0=(0.0, 0.0, 0.0)):
+    """Estimate the bulk wind between two snapshots (Taylor hypothesis).
+
+    Minimises ‖advect(field_a, v·Δt) − field_b‖² over v by Adam — the
+    spectral phase ramp is smooth in the shift, so the match is
+    differentiable to sub-voxel accuracy. Fields should be zero-mean
+    perturbations (subtract the background first). Returns v [km/s].
+    """
+    a = field_a - jnp.mean(field_a)
+    b = field_b - jnp.mean(field_b)
+
+    def loss(v):
+        pred = advect_periodic(a, grid, v * dt_s)
+        return jnp.mean((pred - b) ** 2)
+
+    grad = jax.value_and_grad(loss)
+
+    def step(carry, _):
+        v, m, s, t = carry
+        val, g = grad(v)
+        t = t + 1
+        m = 0.9 * m + 0.1 * g
+        s = 0.999 * s + 0.001 * g * g
+        v = v - lr * (m / (1 - 0.9**t)) / (jnp.sqrt(s / (1 - 0.999**t))
+                                           + 1e-12)
+        return (v, m, s, t), val
+
+    v0 = jnp.asarray(v0, jnp.float32)
+    (v, *_), hist = jax.lax.scan(
+        step, (v0, jnp.zeros(3), jnp.zeros(3), 0.0), None, length=n_iters)
+    return v, hist
+
+
 def frozen_flow_sequence(field0, grid, wind_kmps, dt_s, n_steps):
     """Stack of n_steps fields advected by t·v·Δt (lax.scan, device-resident)."""
     wind = jnp.asarray(wind_kmps, jnp.float32)
