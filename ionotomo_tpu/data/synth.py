@@ -69,8 +69,11 @@ def generate_example_datapack(n_antennas=62, n_directions=10, n_times=1,
     grid = chapman.grid_enclosing_rays(
         array.enu, dirs_enu.reshape(-1, 3), shape=grid_shape, h_min_km=0.0)
 
-    # ground-truth ionosphere: Chapman background + frozen-flow turbulence
-    ne_bg = chapman.chapman_field(grid)
+    # ground-truth ionosphere: Chapman background (with day/night solar
+    # modulation, matching the pipeline's prior) + frozen-flow turbulence
+    from ..geometry.frames import solar_cos_zenith
+    cos_chi = float(solar_cos_zenith(times.mean(), array.enu_frame))
+    ne_bg = chapman.chapman_field(grid, cos_chi=cos_chi)
     m_bg = chapman.log_parametrize(ne_bg)
     pert0 = turbulent_log_perturbation(grid, amplitude=turbulence_amp,
                                        seed=seed + 2)

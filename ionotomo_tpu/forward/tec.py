@@ -121,6 +121,15 @@ def tec_linear(ne_field: jax.Array, grid: Grid3D, rays: RayBundle
         / constants.TEC_SCALE
 
 
+def ray_coverage(grid: Grid3D, rays: RayBundle) -> jax.Array:
+    """Per-voxel sampling weight: adjoint of the path integral applied to
+    ones — how much total ray path (in quadrature-weight units) touches
+    each voxel. Use as a diagnostic and to restrict error metrics to the
+    constrained region (voxels with ~zero coverage are unobservable)."""
+    ones = jnp.ones((rays.num_rays,), jnp.float32)
+    return tec_linear_adjoint(ones, grid, rays)
+
+
 def tec_linear_adjoint(y: jax.Array, grid: Grid3D, rays: RayBundle
                        ) -> jax.Array:
     """Exact transpose of ``tec_linear``: data-space (R,) → voxel grid.

@@ -126,6 +126,28 @@ def icrs_to_enu(ra, dec, mjd, enu: ENUFrame):
     return v / np.linalg.norm(v, axis=-1, keepdims=True)
 
 
+def solar_radec(mjd):
+    """Low-precision solar ICRS (ra, dec) [rad] — ±0.01° class (adequate
+    for Chapman day/night modulation; the reference used astropy's sun)."""
+    mjd = np.asarray(mjd, np.float64)
+    d = mjd - 51544.5
+    g = np.deg2rad((357.529 + 0.98560028 * d) % 360.0)   # mean anomaly
+    q = (280.459 + 0.98564736 * d) % 360.0               # mean longitude
+    lam = np.deg2rad(q + 1.915 * np.sin(g) + 0.020 * np.sin(2 * g))
+    eps = np.deg2rad(23.439 - 0.00000036 * d)            # obliquity
+    ra = np.arctan2(np.cos(eps) * np.sin(lam), np.cos(lam)) % (2 * np.pi)
+    dec = np.arcsin(np.sin(eps) * np.sin(lam))
+    return ra, dec
+
+
+def solar_cos_zenith(mjd, enu: ENUFrame):
+    """cos of the solar zenith angle at the frame origin — the Chapman
+    day/night driver: pass as ``cos_chi`` to models.chapman.chapman_field."""
+    ra, dec = solar_radec(mjd)
+    v = icrs_to_enu(ra, dec, mjd, enu)
+    return v[..., 2]
+
+
 def enu_to_altaz(enu_vec):
     """ENU unit vector → (alt, az) in radians, az from North through East."""
     v = np.asarray(enu_vec, np.float64)

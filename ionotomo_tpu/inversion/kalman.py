@@ -58,6 +58,8 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
                                d_seq.shape[1:]).ravel() ** 2
     shift = jnp.asarray(wind_kmps, jnp.float32) * dt_s
 
+    inv_cd = 1.0 / cd_diag
+
     def update(m_pred, rays_t, d_t):
         def fwd(m):
             return tec_mod.dtec_paired(m, grid, rays_t, num_directions,
@@ -67,13 +69,18 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
         vjp = jax.linear_transpose(jvp, m_pred)
         r = d_t.ravel() - g0
 
-        def matvec(lam):
-            (v,) = vjp(lam)
-            return jvp(cov.apply(v)) + cd_diag * lam
+        # C^{1/2}-preconditioned model-space CG (see solvers.map_gauss_
+        # newton): identity-plus-PSD system, truncated iterates are
+        # regularised updates
+        def matvec(u):
+            v = cov.apply_sqrt(u.reshape(grid.shape))
+            w = jvp(v) * inv_cd
+            (z,) = vjp(w)
+            return u + cov.apply_sqrt(z).ravel()
 
-        lam, _ = linalg.cg(matvec, r, max_iters=cg_iters, tol=cg_tol)
-        (v,) = vjp(lam)
-        m_new = m_pred + cov.apply(v)
+        rhs = cov.apply_sqrt(vjp(r * inv_cd)[0]).ravel()
+        u, _ = linalg.cg(matvec, rhs, max_iters=cg_iters, tol=cg_tol)
+        m_new = m_pred + cov.apply_sqrt(u.reshape(grid.shape))
         pre = jnp.linalg.norm(r / jnp.sqrt(cd_diag))
         post = jnp.linalg.norm((d_t.ravel() - fwd(m_new))
                                / jnp.sqrt(cd_diag))

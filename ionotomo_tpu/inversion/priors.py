@@ -75,17 +75,47 @@ class GPCovariance:
 
     @staticmethod
     def create(grid: Grid3D, sigma=1.0, length_scale=50.0,
-               kind="exponential"):
+               kind="exponential", inner_scale=2.0):
         nx, ny, nz = grid.shape
         sp = np.asarray(jax.device_get(grid.spacing), np.float64)
-        # periodic (minimum-image) distance lattice
-        ax = [np.minimum(np.arange(n), n - np.arange(n)) * sp[d]
-              for d, n in enumerate(grid.shape)]
-        r = np.sqrt(ax[0][:, None, None] ** 2 + ax[1][None, :, None] ** 2
-                    + ax[2][None, None, :] ** 2)
-        k = (sigma ** 2) * _kernel_values(r, kind, length_scale)
-        spec = np.fft.rfftn(k).real
-        spec = np.maximum(spec, 0.0)  # PSD-ify circulant embedding
+        if kind == "von_karman":
+            # built directly in spectral space: the turbulence spectrum
+            # itself (models.turbulence), normalised to marginal σ² —
+            # the *matched* prior for frozen-flow turbulent ionospheres.
+            # length_scale plays the outer scale L0.
+            ax = [np.fft.fftfreq(nx, sp[0]), np.fft.fftfreq(ny, sp[1]),
+                  np.fft.rfftfreq(nz, sp[2])]
+            kmag = 2 * np.pi * np.sqrt(
+                ax[0][:, None, None] ** 2 + ax[1][None, :, None] ** 2
+                + ax[2][None, None, :] ** 2)
+            k0 = 2 * np.pi / length_scale
+            li = inner_scale / (2 * np.pi)
+            spec = (kmag**2 + k0**2) ** (-11.0 / 6.0) \
+                * np.exp(-((kmag * li) ** 2))
+            spec[0, 0, 0] = 0.0  # zero-mean field
+            # marginal variance: (1/N²)·Σ_full spec, rfft conjugate pairs
+            # counted twice except the self-conjugate kz planes
+            w = np.full(spec.shape, 2.0)
+            w[:, :, 0] = 1.0
+            if nz % 2 == 0:
+                w[:, :, -1] = 1.0
+            # Spectrum entries are DFT(kernel) values: the sampling/apply
+            # convention (see sample()) implies marginal variance Σ_full S/N,
+            # so scale so that Σ_full S = N σ².
+            n_tot = float(nx * ny * nz)
+            s_full = float((spec * w).sum())
+            spec = spec * (sigma**2 * n_tot / max(s_full, 1e-300))
+        else:
+            # circulant embedding of a closed-form kernel on the periodic
+            # (minimum-image) distance lattice
+            ax = [np.minimum(np.arange(n), n - np.arange(n)) * sp[d]
+                  for d, n in enumerate(grid.shape)]
+            r = np.sqrt(ax[0][:, None, None] ** 2
+                        + ax[1][None, :, None] ** 2
+                        + ax[2][None, None, :] ** 2)
+            k = (sigma ** 2) * _kernel_values(r, kind, length_scale)
+            spec = np.fft.rfftn(k).real
+            spec = np.maximum(spec, 0.0)  # PSD-ify
         return GPCovariance(spectrum=jnp.asarray(spec, jnp.float32),
                             shape=tuple(grid.shape), sigma=float(sigma),
                             length_scale=float(length_scale), kind=kind)

@@ -110,33 +110,41 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                      m_prior, cov: GPCovariance, num_directions: int,
                      i0: int = 0, gn_iters: int = 3, cg_iters: int = 40,
                      cg_tol: float = 1e-4):
-    """Config 4: Bayesian MAP with GP covariance prior, data-space CG.
+    """Config 4: Bayesian MAP with GP covariance prior.
 
     Minimises S(m) = ½‖g(m)−d‖²_{C_d⁻¹} + ½‖m−m_prior‖²_{C_m⁻¹}
-    (SURVEY.md §8). Each Gauss-Newton step linearises g about m_k and
-    solves the representer system (J C Jᵀ + C_d) λ = d − g(m_k) +
-    J(m_k − m_prior) in data space, then δm = m_prior − m_k + C Jᵀ λ.
+    (SURVEY.md §8) by Gauss-Newton with **C^{1/2}-preconditioned
+    model-space CG**: substituting δm = (m_prior − m_k) + C^{1/2} u turns
+    each inner system into (I + C^{1/2} Jᵀ C_d⁻¹ J C^{1/2}) u = rhs — an
+    identity-plus-PSD operator whose truncated-CG iterates are themselves
+    regularised steps (each CG iteration fits one more dominant data
+    direction, the rest stays at the prior). The raw representer system
+    (J C Jᵀ + C_d) is catastrophically ill-conditioned at high SNR and
+    diverges under truncated CG; this is the standard B^{1/2} trick from
+    variational data assimilation.
     """
     d = jnp.asarray(d_obs).ravel()
     cd_diag = jnp.broadcast_to(jnp.asarray(noise_std),
                                jnp.asarray(d_obs).shape).ravel() ** 2
+    inv_cd = 1.0 / cd_diag
 
     def gn_step(m_k, _):
         apply_j, apply_jt, g0 = _dtec_operator(grid, rays, num_directions,
                                                i0, m_k)
-        dm_prior = m_k - m_prior
-        rhs = d - g0 + apply_j(dm_prior)
+        dm_prior = m_prior - m_k
+        r_hat = d - g0 - apply_j(dm_prior)     # residual after prior pull
 
-        def matvec(lam):
-            v = apply_jt(lam)              # voxel space
-            v = cov.apply(v)               # C_m
-            return apply_j(v) + cd_diag * lam
+        def matvec(u):
+            v = cov.apply_sqrt(u.reshape(grid.shape))
+            w = apply_j(v) * inv_cd
+            z = cov.apply_sqrt(apply_jt(w))
+            return u + z.ravel()
 
-        lam, info = linalg.cg(matvec, rhs, max_iters=cg_iters, tol=cg_tol)
-        dm = cov.apply(apply_jt(lam)) - dm_prior
+        rhs = cov.apply_sqrt(apply_jt(r_hat * inv_cd)).ravel()
+        u, info = linalg.cg(matvec, rhs, max_iters=cg_iters, tol=cg_tol)
+        dm = dm_prior + cov.apply_sqrt(u.reshape(grid.shape))
         m_next = m_k + dm
-        res = jnp.linalg.norm((g0 + apply_j(dm) - d)
-                              / jnp.sqrt(cd_diag))
+        res = jnp.linalg.norm((g0 + apply_j(dm) - d) / jnp.sqrt(cd_diag))
         return m_next, (res, info.iterations, info.residual_norm)
 
     m_final, diags = jax.lax.scan(gn_step, m_prior, None, length=gn_iters)

@@ -59,6 +59,24 @@ def test_icrs_direction_drifts_with_sidereal_time():
     np.testing.assert_allclose(v2, v[0], atol=1e-3)
 
 
+def test_solar_position_sanity():
+    """Sun near vernal equinox 2020 (MJD 58928.0, ~Mar 20): dec ≈ 0,
+    ra ≈ 0/2π; and local solar zenith follows day/night over 24 h."""
+    ra, dec = frames.solar_radec(58928.0)
+    assert abs(dec) < np.deg2rad(1.0)
+    assert min(ra, 2 * np.pi - ra) < np.deg2rad(2.0)
+
+    ref = frames.geodetic_to_ecef(np.deg2rad(52.905), np.deg2rad(6.868), 0.0)
+    enu = frames.ENUFrame(ref)
+    mjds = 58928.0 + np.linspace(0, 1, 25)
+    cz = frames.solar_cos_zenith(mjds, enu)
+    # at 53N on the equinox: noon cos χ ≈ cos(53°) ≈ 0.6, midnight < 0
+    assert cz.max() > 0.5
+    assert cz.min() < -0.4
+    # noon occurs near 12h UT minus lon/15 ≈ 11.5h UT
+    assert abs(float(np.argmax(cz)) - 11.5) <= 1.5
+
+
 def test_gmst_reference_value():
     """GMST at J2000.0 epoch (MJD 51544.5, 12h UT) ≈ 18.697 h (IAU 1982)."""
     got_hours = frames.gmst_rad(51544.5) * 12.0 / np.pi

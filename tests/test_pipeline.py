@@ -22,8 +22,10 @@ def small_config(tmp_path, **solver_kw):
 
 
 def make_dp(n_times=2, seed=3):
+    # mjd fraction 0.45 → ~12:48 UT, daytime at the LOFAR site (full
+    # Chapman ionization; night worlds have ~4x lower SNR at fixed noise)
     dp, truth = generate_example_datapack(
-        n_antennas=8, n_directions=5, n_times=n_times,
+        n_antennas=8, n_directions=5, n_times=n_times, mjd0=58000.45,
         grid_shape=(14, 14, 14), noise_tecu=1e-3, seed=seed, n_samples=33)
     return dp, truth
 
