@@ -32,6 +32,11 @@ TEC_SCALE = 1.0e13     # working scale for solver internals (1 mTECU)
 # is self-consistent so a spherical Earth is exact for it).
 EARTH_RADIUS_KM = 6371.0
 
+# Dispersive phase: Δφ [rad] = PHASE_COEF · TEC [m^-2] / f [Hz]
+# (e² / (4 π ε0 m_e c) = 1.3445 m²/s; PHASE_COEF = 2π × 1.3445/(2π) ... the
+# standard radio-astronomy value is 8.4479745e9 rad·Hz/TECU ⇒ per m^-2:)
+PHASE_COEF = 8.4479745e9 / 1.0e16  # [rad · Hz · m²]
+
 # Default observing frequency (LOFAR HBA band centre).
 DEFAULT_FREQUENCY_HZ = 150.0e6
 

@@ -50,6 +50,14 @@ class DataPack:
     def shape(self):
         return self.dtec.shape
 
+    def phase(self, frequency_hz=None):
+        """Dispersive ionospheric phase [rad] of the stored dTEC:
+        Δφ = PHASE_COEF · dTEC[m^-2] / f (the reference's dTEC/phase dual
+        view of the observations)."""
+        from .. import constants
+        f = frequency_hz or self.frequency_hz
+        return constants.PHASE_COEF * (self.dtec * constants.TEC_SCALE) / f
+
     # --- geometry ----------------------------------------------------------
 
     def antennas_enu(self):

@@ -126,6 +126,32 @@ def icrs_to_enu(ra, dec, mjd, enu: ENUFrame):
     return v / np.linalg.norm(v, axis=-1, keepdims=True)
 
 
+def enu_to_uvw(baselines_enu, mjd, ra, dec, enu: "ENUFrame"):
+    """Interferometric UVW coordinates of ENU baselines (km) toward a
+    phase centre (ra, dec) at times mjd — the reference's UVW frame
+    (SURVEY.md §2 "Coordinate frames").
+
+    Convention: w toward the source, u toward increasing east-ish RA,
+    v completing the right-handed set (toward north celestial pole
+    projection). baselines_enu (..., 3); returns same shape.
+    """
+    h = gmst_rad(mjd) + enu.lon - ra  # hour angle of the phase centre
+    lat = enu.lat
+    # ENU -> (equatorial XYZ at the site): X toward (H=0, dec=0),
+    # Y toward (H=-6h), Z toward the pole
+    b = np.asarray(baselines_enu, np.float64)
+    e, n, u = b[..., 0], b[..., 1], b[..., 2]
+    x = -np.sin(lat) * n + np.cos(lat) * u
+    y = e
+    z = np.cos(lat) * n + np.sin(lat) * u
+    sh, ch = np.sin(h), np.cos(h)
+    sd, cd = np.sin(dec), np.cos(dec)
+    uu = sh * x + ch * y
+    vv = -sd * ch * x + sd * sh * y + cd * z
+    ww = cd * ch * x - cd * sh * y + sd * z
+    return np.stack([uu, vv, ww], axis=-1)
+
+
 def solar_radec(mjd):
     """Low-precision solar ICRS (ra, dec) [rad] — ±0.01° class (adequate
     for Chapman day/night modulation; the reference used astropy's sun)."""
