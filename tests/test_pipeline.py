@@ -77,6 +77,26 @@ def test_pipeline_kalman_mode(tmp_path):
             < sol.diagnostics["pre_residuals"]).all()
 
 
+def test_pipeline_bent_ray_mode(tmp_path):
+    """bent=True traces Fermat paths through the prior model and inverts
+    along them; at 150 MHz the result must closely match the straight-ray
+    solve (small bending), validating the frozen-path linearisation."""
+    dp, _ = make_dp(n_times=1)
+    cfg = small_config(tmp_path)
+    import dataclasses
+    from ionotomo_tpu.config import RayConfig
+    cfg_bent = dataclasses.replace(
+        cfg, rays=RayConfig(n_samples=33, n_steps=32, bent=True))
+    sol_s = InversionPipeline(dp, cfg).run(resume=False)
+    import shutil
+    shutil.rmtree(cfg.runtime.checkpoint_dir)
+    sol_b = InversionPipeline(dp, cfg_bent).run(resume=False)
+    assert np.isfinite(sol_b.m).all()
+    # same reconstruction to within the (small) bending difference
+    scale = np.abs(sol_s.m).max()
+    assert np.abs(sol_b.m - sol_s.m).max() < 0.05 * scale
+
+
 def test_checkpoint_atomicity_and_latest(tmp_path):
     d = str(tmp_path / "c")
     ckpt.save_checkpoint(d, 1, {"x": np.arange(4)}, '{"a":1}')
