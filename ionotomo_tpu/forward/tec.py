@@ -45,9 +45,29 @@ def _ref_row(arr: jax.Array, i0: int) -> jax.Array:
 def _interp_fast(field_m: jax.Array, grid: Grid3D, pts2d: jax.Array):
     """Row-gather tricubic interp (the TPU fast path for both the forward
     gather and — via its AD transpose — the row-aligned adjoint scatter).
-    The (nx*ny, nz) reshape is a free layout view."""
+    The (nx*ny, nz) reshape is a free layout view.
+
+    Large point batches are processed in lax.map chunks so the gathered
+    (N, 16, nz) pencil intermediate stays bounded (~512 MB) — a 256³ grid
+    with 1.3M quadrature points would otherwise materialise ~21 GB and
+    exhaust HBM (config 4 scale). Chunked scan also bounds the VJP's
+    memory, which is what the Krylov solvers differentiate through.
+    """
     nx, ny, nz = grid.shape
-    return tricubic.interp_rows(field_m.reshape(nx * ny, nz), grid, pts2d)
+    field2d = field_m.reshape(nx * ny, nz)
+    n = pts2d.shape[0]
+    budget = 512 * 1024 * 1024  # bytes for the pencil intermediate
+    chunk = max(8192, budget // (16 * nz * 4))
+    if n <= chunk:
+        return tricubic.interp_rows(field2d, grid, pts2d)
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    pts_p = jnp.concatenate(
+        [pts2d, jnp.broadcast_to(pts2d[-1:], (n_pad - n, 3))], axis=0)
+    out = jax.lax.map(
+        lambda p: tricubic.interp_rows(field2d, grid, p),
+        pts_p.reshape(n_chunks, chunk, 3))
+    return out.reshape(n_pad)[:n]
 
 
 def ne_at(field_m: jax.Array, grid: Grid3D, points: jax.Array) -> jax.Array:

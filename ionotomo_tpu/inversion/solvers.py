@@ -152,6 +152,32 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                            info=diags)
 
 
+@partial(jax.jit, static_argnames=("num_directions", "i0", "gn_iters",
+                                   "cg_iters"))
+def map_gauss_newton_batched(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
+                             noise_std, m_prior, cov: GPCovariance,
+                             num_directions: int, i0: int = 0,
+                             gn_iters: int = 2, cg_iters: int = 30,
+                             cg_tol: float = 1e-4):
+    """Independent snapshots inverted as one vmapped batch (SURVEY.md §2.1
+    P2 — the reference ran time-chunks on separate dask workers; here they
+    are a leading batch axis over the same compiled Gauss-Newton program,
+    sharing the grid/prior and saturating the chip).
+
+    rays_seq: RayBundle with leading time axis (points (Nt,R,N,3),
+    ds (Nt,R)); d_obs_seq: (Nt, Na, Nd). Returns stacked InversionResult.
+    """
+    def solve_one(pts, ds, d_t):
+        return map_gauss_newton(grid, RayBundle(points=pts, ds=ds), d_t,
+                                noise_std, m_prior, cov,
+                                num_directions=num_directions, i0=i0,
+                                gn_iters=gn_iters, cg_iters=cg_iters,
+                                cg_tol=cg_tol)
+
+    return jax.vmap(solve_one)(rays_seq.points, rays_seq.ds,
+                               jnp.asarray(d_obs_seq))
+
+
 @partial(jax.jit, static_argnames=("num_directions", "i0", "n_iters",
                                    "n_linesearch"))
 def steepest_descent_map(grid: Grid3D, rays: RayBundle, d_obs, noise_std,

@@ -85,6 +85,26 @@ def test_map_gauss_newton_beats_prior_and_fits_data():
     assert r1 < 0.1 * r0
 
 
+def test_batched_gn_matches_sequential():
+    """vmapped multi-snapshot solve == per-snapshot solves."""
+    w = inversion_world(seed=4, n_ants=8, n_dirs=5)
+    cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=90.0,
+                              kind="sqexp")
+    rb = w["rays"]
+    d2 = jnp.stack([w["d_obs"], w["d_obs"] * 1.1])
+    rays_seq = rays_mod.RayBundle(points=jnp.stack([rb.points] * 2),
+                                  ds=jnp.stack([rb.ds] * 2))
+    batched = solvers.map_gauss_newton_batched(
+        w["grid"], rays_seq, d2, w["noise_std"], w["m_prior"], cov,
+        num_directions=w["n_dirs"], gn_iters=1, cg_iters=15)
+    single = solvers.map_gauss_newton(
+        w["grid"], rb, d2[1], w["noise_std"], w["m_prior"], cov,
+        num_directions=w["n_dirs"], gn_iters=1, cg_iters=15)
+    assert batched.m.shape[0] == 2
+    np.testing.assert_allclose(np.asarray(batched.m[1]),
+                               np.asarray(single.m), atol=2e-4)
+
+
 def test_steepest_descent_reference_iteration_converges():
     w = inversion_world(seed=2, n_ants=8, n_dirs=6)
     cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=90.0,
