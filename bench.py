@@ -40,7 +40,12 @@ def main():
     d = np.stack([np.sin(zen) * np.sin(az), np.sin(zen) * np.cos(az),
                   np.cos(zen)], -1).astype(np.float32)
 
-    n_steps = 128
+    # Step count from the convergence study vs the f64 adaptive oracle
+    # (PRECISION.md): leapfrog@64 traces to ≤0.9 m endpoint error over
+    # 1000 km and ≤2.3e-5 relative TEC even at 60 MHz (worst-case bending);
+    # the accuracy contract (5 m / 1e-4) holds with margin at half the
+    # field evaluations of the 128-step configuration.
+    n_steps = 64
     mesh = shard_mod.ray_mesh()
     (o_s, d_s), _ = shard_mod.shard_ray_batch(mesh, jnp.asarray(o),
                                               jnp.asarray(d))

@@ -37,6 +37,28 @@ class MetricsWriter:
 
 
 @contextmanager
+def trace(name: str):
+    """jax.profiler annotation around a kernel group (SURVEY.md §5.1):
+    shows up as a named span in TensorBoard/perfetto traces."""
+    import jax.profiler
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+@contextmanager
+def profile_to(logdir: str):
+    """Capture a device trace for the enclosed block:
+    ``with profile_to("/tmp/trace"): run()`` then inspect with
+    tensorboard/xprof."""
+    import jax.profiler
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextmanager
 def timed(records: dict, key: str):
     """Context timer: records wall seconds under ``key``."""
     t0 = time.perf_counter()
