@@ -170,11 +170,25 @@ class InversionPipeline:
             ds=jnp.stack([b.ds for b in bundles]))
         d_seq = jnp.moveaxis(jnp.asarray(self.d_obs), 1, 0)  # (Nt, Na, Nd)
         noise = jnp.asarray(self.noise_std[:, 0, :])
-        # wind is taken from config-free synthetic metadata when available;
-        # a production run estimates it upstream (see models.frozen_flow)
-        wind = getattr(self.datapack, "wind_kmps", (0.0, 0.0, 0.0))
         dt_s = (float(np.diff(self.datapack.times).mean() * 86400.0)
                 if nt > 1 else 0.0)
+        # bulk wind: taken from datapack metadata when present (synthetic
+        # worlds), otherwise estimated from quick single-snapshot solves of
+        # the first two timesteps via the differentiable frozen-flow match
+        wind = getattr(self.datapack, "wind_kmps", None)
+        if wind is None:
+            if nt >= 2 and dt_s > 0:
+                m0_est, _ = self.solve_snapshot(0)
+                m1_est, _ = self.solve_snapshot(1)
+                from ..models.frozen_flow import estimate_wind
+                v, _ = estimate_wind(m0_est - self.m_prior,
+                                     m1_est - self.m_prior,
+                                     self.grid, dt_s, n_iters=200)
+                wind = np.asarray(v)
+                self.metrics.write(dict(event="wind_estimated",
+                                        wind_kmps=list(map(float, wind))))
+            else:
+                wind = (0.0, 0.0, 0.0)
         t0 = time.perf_counter()
         res = kalman_filter(self.grid, rays_seq, d_seq, noise,
                             self.m_prior, self.cov, wind, dt_s,

@@ -34,19 +34,25 @@ def advect_periodic(field, grid, shift_km):
 
 
 def estimate_wind(field_a, field_b, grid, dt_s, n_iters=200, lr=0.05,
-                  v0=(0.0, 0.0, 0.0)):
+                  v0=(0.0, 0.0, 0.0), horizontal_only=True):
     """Estimate the bulk wind between two snapshots (Taylor hypothesis).
 
     Minimises ‖advect(field_a, v·Δt) − field_b‖² over v by Adam — the
     spectral phase ramp is smooth in the shift, so the match is
     differentiable to sub-voxel accuracy. Fields should be zero-mean
     perturbations (subtract the background first). Returns v [km/s].
+
+    ``horizontal_only`` (default) pins v_z = 0: ionospheric frozen flow is
+    horizontal drift, and near-vertical ray geometry leaves the vertical
+    shift of reconstructed snapshots essentially unconstrained (the
+    unconstrained fit slides along the ray direction).
     """
     a = field_a - jnp.mean(field_a)
     b = field_b - jnp.mean(field_b)
+    mask = jnp.asarray([1.0, 1.0, 0.0 if horizontal_only else 1.0])
 
     def loss(v):
-        pred = advect_periodic(a, grid, v * dt_s)
+        pred = advect_periodic(a, grid, (v * mask) * dt_s)
         return jnp.mean((pred - b) ** 2)
 
     grad = jax.value_and_grad(loss)
@@ -54,6 +60,7 @@ def estimate_wind(field_a, field_b, grid, dt_s, n_iters=200, lr=0.05,
     def step(carry, _):
         v, m, s, t = carry
         val, g = grad(v)
+        g = g * mask
         t = t + 1
         m = 0.9 * m + 0.1 * g
         s = 0.999 * s + 0.001 * g * g

@@ -77,6 +77,19 @@ def test_pipeline_kalman_mode(tmp_path):
             < sol.diagnostics["pre_residuals"]).all()
 
 
+def test_pipeline_kalman_estimates_wind_when_absent(tmp_path):
+    dp, truth = make_dp(n_times=3)
+    assert not hasattr(dp, "wind_kmps")
+    cfg = small_config(tmp_path, solver="kalman")
+    pipe = InversionPipeline(dp, cfg)
+    sol = pipe.run(resume=False)
+    assert sol.m.shape[0] == 3
+    recs = [r for r in pipe.metrics.read_all()
+            if r.get("event") == "wind_estimated"]
+    assert len(recs) == 1
+    assert np.isfinite(recs[0]["wind_kmps"]).all()
+
+
 def test_pipeline_bent_ray_mode(tmp_path):
     """bent=True traces Fermat paths through the prior model and inverts
     along them; at 150 MHz the result must closely match the straight-ray
