@@ -47,7 +47,9 @@ class InversionPipeline:
         self.antennas = dev["antennas_enu"]
         self.directions = dev["directions_enu"]      # (Nt, Nd, 3)
         self.d_obs = dev["dtec"]                      # (Na, Nt, Nd)
-        self.noise_std = dev["noise_std"]
+        # flagged samples are soft-masked by noise inflation (their weight
+        # in every C_d^-1-weighted misfit becomes ~0, shapes stay static)
+        self.noise_std = np.where(dev["flags"], 1e6, dev["noise_std"])
         self.i0 = dev["ref_antenna"]
         self.grid = chapman.grid_enclosing_rays(
             self.antennas, self.directions.reshape(-1, 3),

@@ -110,6 +110,29 @@ def test_pipeline_bent_ray_mode(tmp_path):
     assert np.abs(sol_b.m - sol_s.m).max() < 0.05 * scale
 
 
+def test_pipeline_ignores_flagged_data(tmp_path):
+    """Corrupt + flag a block of observations: the solve must match the
+    clean solve (flags soft-mask via noise inflation)."""
+    import shutil
+    dp, _ = make_dp(n_times=1)
+    cfg = small_config(tmp_path)
+    dp.flags[3, 0, :] = True
+    sol_flag_clean = InversionPipeline(dp, cfg).run(resume=False)
+
+    # corrupt the flagged entries: solution must not move
+    shutil.rmtree(cfg.runtime.checkpoint_dir)
+    dp.dtec[3, 0, :] += 1e4
+    sol_flag_bad = InversionPipeline(dp, cfg).run(resume=False)
+    scale = np.abs(sol_flag_clean.m).max()
+    assert np.abs(sol_flag_bad.m - sol_flag_clean.m).max() < 1e-4 * scale
+
+    # sanity: without the flag the same garbage corrupts the solve
+    shutil.rmtree(cfg.runtime.checkpoint_dir)
+    dp.flags[3, 0, :] = False
+    sol_bad = InversionPipeline(dp, cfg).run(resume=False)
+    assert np.abs(sol_bad.m - sol_flag_clean.m).max() > 1e-2 * scale
+
+
 def test_checkpoint_atomicity_and_latest(tmp_path):
     d = str(tmp_path / "c")
     ckpt.save_checkpoint(d, 1, {"x": np.arange(4)}, '{"a":1}')
