@@ -5,7 +5,6 @@ Metric: TEC integrals/sec (full dTEC forward applications/sec × rays), plus
 f64-oracle max TEC error (the correctness gate)."""
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from bench.common import make_rays, timed, emit
 from ionotomo_tpu.models import chapman

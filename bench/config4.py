@@ -3,7 +3,6 @@ grid, 10k rays, batched Krylov solves (BASELINE.json configs[3]).
 
 Metric: wall seconds per Gauss-Newton solve and data-space CG
 iterations/sec with the 256³ covariance operator in the loop."""
-import numpy as np
 import jax
 import jax.numpy as jnp
 

@@ -2,7 +2,6 @@
 ionosphere, 30 timesteps × 10k rays end-to-end (BASELINE.json configs[4]).
 
 Metric: end-to-end wall seconds for the 30-step filter and timesteps/sec."""
-import numpy as np
 import jax
 import jax.numpy as jnp
 

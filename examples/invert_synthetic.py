@@ -61,7 +61,6 @@ def main():
     plot_tools.plot_datapack(dp, filename=os.path.join(args.outdir,
                                                        "datapack.png"))
     # compare against the known truth on the same grid
-    import jax.numpy as jnp
     from ionotomo_tpu import constants
     truth_ne = constants.K_NE * np.exp(truth["m"][0])
     plot_tools.plot_model_slices(

@@ -14,7 +14,6 @@ import os
 
 import numpy as np
 
-from .. import constants
 from ..geometry.frames import ENUFrame, geodetic_to_ecef
 
 # LOFAR core (Exloo, NL), the canonical array location for this domain.

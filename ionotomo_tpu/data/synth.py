@@ -12,10 +12,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from .. import constants
-from ..core.grids import Grid3D
 from ..forward import tec as tec_mod
 from ..geometry import rays as rays_mod
-from ..geometry.frames import icrs_to_enu, gmst_rad
+from ..geometry.frames import gmst_rad
 from ..models import chapman
 from ..models.turbulence import turbulent_log_perturbation
 from .datapack import DataPack

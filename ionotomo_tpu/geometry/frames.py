@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..constants import EARTH_RADIUS_KM
 
 # WGS84 ellipsoid (km)
 WGS84_A = 6378.137

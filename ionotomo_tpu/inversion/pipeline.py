@@ -21,10 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import constants
 from ..config import EngineConfig
 from ..data.datapack import DataPack
-from ..forward import tec as tec_mod
 from ..geometry import fermat, rays as rays_mod
 from ..models import chapman
 from ..parallel import sharding as shard_mod

@@ -9,7 +9,6 @@ circulant embedding of the kernel on the (padded-by-construction) grid.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

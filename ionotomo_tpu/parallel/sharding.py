@@ -12,7 +12,6 @@ all-reduces automatically).
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

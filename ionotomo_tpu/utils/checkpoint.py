@@ -9,7 +9,6 @@ tested in tests/test_checkpoint.py).
 """
 from __future__ import annotations
 
-import json
 import os
 import tempfile
 

@@ -12,12 +12,10 @@ inversion.priors).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.flatten_util  # noqa: F401 — registers jax.flatten_util
 import jax.numpy as jnp
-import numpy as np
 
 
 # --- kernels -----------------------------------------------------------------

@@ -3,7 +3,6 @@ blob beats both the static prior and a no-advection filter."""
 import numpy as np
 import jax.numpy as jnp
 
-from ionotomo_tpu.core.grids import Grid3D
 from ionotomo_tpu.forward import tec as tec_mod
 from ionotomo_tpu.geometry import rays as rays_mod
 from ionotomo_tpu.inversion.kalman import kalman_filter

@@ -5,7 +5,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ionotomo_tpu import constants
 from ionotomo_tpu.core.grids import Grid3D
 from ionotomo_tpu.forward import tec as tec_mod
 from ionotomo_tpu.geometry import rays as rays_mod

@@ -8,7 +8,6 @@ and its gradient must match finite differences and the f64 oracle.
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from ionotomo_tpu.core.grids import Grid3D
 from ionotomo_tpu.core import tricubic

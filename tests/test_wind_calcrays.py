@@ -1,6 +1,5 @@
 """Wind estimation + calc_rays facade tests."""
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ionotomo_tpu.core.grids import Grid3D
