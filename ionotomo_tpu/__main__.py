@@ -1,0 +1,131 @@
+"""Command-line interface: simulate observations, invert them, inspect.
+
+  python -m ionotomo_tpu simulate --out obs.h5 [--antennas 50 ...]
+  python -m ionotomo_tpu invert obs.h5 --out solution.h5 [--solver ...]
+  python -m ionotomo_tpu info obs.h5|solution.h5
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_simulate(args):
+    from .data.synth import generate_example_datapack
+
+    dp, truth = generate_example_datapack(
+        n_antennas=args.antennas, n_directions=args.directions,
+        n_times=args.times, mjd0=args.mjd0, grid_shape=(args.grid,) * 3,
+        noise_tecu=args.noise_tecu, turbulence_amp=args.turbulence,
+        seed=args.seed)
+    dp.save(args.out)
+    print(f"wrote {args.out}: dtec shape {dp.shape}, "
+          f"ref antenna {dp.array.labels[dp.ref_antenna]}")
+    if args.truth_out:
+        import numpy as np
+        from .inversion.solution import Solution
+        sol = Solution(truth["grid"], truth["m"])
+        sol.save(args.truth_out)
+        print(f"wrote ground truth to {args.truth_out}")
+
+
+def cmd_invert(args):
+    from .config import (EngineConfig, GridConfig, PriorConfig, RayConfig,
+                         RuntimeConfig, SolverConfig)
+    from .data.datapack import DataPack
+    from .inversion.pipeline import InversionPipeline
+
+    dp = DataPack.load(args.datapack)
+    cfg = EngineConfig(
+        grid=GridConfig(shape=(args.grid,) * 3),
+        rays=RayConfig(bent=args.bent, n_samples=args.samples),
+        prior=PriorConfig(sigma=args.prior_sigma,
+                          length_scale_km=args.prior_length,
+                          kind=args.prior_kind),
+        solver=SolverConfig(solver=args.solver, gn_iters=args.gn_iters,
+                            cg_iters=args.cg_iters),
+        runtime=RuntimeConfig(checkpoint_dir=args.checkpoint_dir,
+                              metrics_path=args.metrics),
+    )
+    pipe = InversionPipeline(dp, cfg)
+    sol = pipe.run(resume=args.resume)
+    sol.save(args.out)
+    print(f"wrote {args.out}: {sol.num_times} timestep(s), "
+          f"grid {sol.grid.shape}")
+    for rec in pipe.metrics.read_all():
+        rec.pop("t_wall", None)
+        print("  ", json.dumps(rec))
+
+
+def cmd_info(args):
+    import h5py
+
+    with h5py.File(args.path, "r") as f:
+        if "dtec" in f:
+            print(f"DataPack: {args.path}")
+            print(f"  antennas: {f['antennas/itrs_km'].shape[0]}  "
+                  f"times: {f['times/mjd'].shape[0]}  "
+                  f"directions: {f['directions/radec'].shape[0]}")
+            print(f"  ref antenna index: {f.attrs['ref_antenna']}  "
+                  f"frequency: {f.attrs['frequency_hz']/1e6:.1f} MHz")
+            d = f["dtec"][:]
+            print(f"  dtec range [{d.min():.3f}, {d.max():.3f}] "
+                  f"(working units), flagged "
+                  f"{100.0 * f['flags'][:].mean():.1f}%")
+        elif "m" in f:
+            print(f"Solution: {args.path}")
+            print(f"  timesteps: {f['m'].shape[0]}  "
+                  f"grid: {tuple(int(s) for s in f['grid/shape'][:])}")
+            if f.attrs.get("config"):
+                print(f"  config: {f.attrs['config'][:160]}...")
+        else:
+            print("unrecognised file")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ionotomo_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("simulate", help="generate a synthetic DataPack")
+    s.add_argument("--out", required=True)
+    s.add_argument("--truth-out", default=None)
+    s.add_argument("--antennas", type=int, default=50)
+    s.add_argument("--directions", type=int, default=10)
+    s.add_argument("--times", type=int, default=1)
+    s.add_argument("--mjd0", type=float, default=58000.45)
+    s.add_argument("--grid", type=int, default=64)
+    s.add_argument("--noise-tecu", type=float, default=1e-3)
+    s.add_argument("--turbulence", type=float, default=0.3)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_simulate)
+
+    i = sub.add_parser("invert", help="invert a DataPack to a Solution")
+    i.add_argument("datapack")
+    i.add_argument("--out", required=True)
+    i.add_argument("--grid", type=int, default=64)
+    i.add_argument("--samples", type=int, default=129)
+    i.add_argument("--bent", action="store_true")
+    i.add_argument("--solver", default="map_gauss_newton",
+                   choices=["map_gauss_newton", "lsqr_smoothness",
+                            "steepest", "kalman"])
+    i.add_argument("--gn-iters", type=int, default=2)
+    i.add_argument("--cg-iters", type=int, default=40)
+    i.add_argument("--prior-sigma", type=float, default=0.3)
+    i.add_argument("--prior-length", type=float, default=80.0)
+    i.add_argument("--prior-kind", default="von_karman")
+    i.add_argument("--checkpoint-dir", default="checkpoints")
+    i.add_argument("--metrics", default="metrics.jsonl")
+    i.add_argument("--resume", action="store_true")
+    i.set_defaults(fn=cmd_invert)
+
+    n = sub.add_parser("info", help="describe a DataPack/Solution file")
+    n.add_argument("path")
+    n.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
