@@ -152,6 +152,56 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                            info=diags)
 
 
+@partial(jax.jit, static_argnames=("num_directions", "i0", "n_samples",
+                                   "cg_iters"))
+def posterior_samples(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
+                      m_prior, cov: GPCovariance, num_directions: int,
+                      key, n_samples: int = 8, i0: int = 0,
+                      cg_iters: int = 40, cg_tol: float = 1e-4):
+    """Randomise-then-optimise posterior sampling (uncertainty beyond MAP).
+
+    Draws n_samples from the linearised Bayesian posterior by solving the
+    MAP system with perturbed data d + C_d^{1/2}ε and perturbed prior mean
+    m_prior + C^{1/2}η — each solve identical in structure to
+    map_gauss_newton's inner system and all of them vmapped into one
+    batched-Krylov program (the "batched Krylov solves" of config 4).
+    Returns (samples (n_samples, *grid.shape), mean, std). The spread of
+    the samples estimates posterior uncertainty (exact in the linearised
+    Gaussian limit).
+    """
+    d = jnp.asarray(d_obs).ravel()
+    cd_diag = jnp.broadcast_to(jnp.asarray(noise_std),
+                               jnp.asarray(d_obs).shape).ravel() ** 2
+    inv_cd = 1.0 / cd_diag
+    apply_j, apply_jt, g0 = _dtec_operator(grid, rays, num_directions, i0,
+                                           m_prior)
+    r0 = d - g0
+
+    def matvec(u):
+        v = cov.apply_sqrt(u.reshape(grid.shape))
+        w = apply_j(v) * inv_cd
+        z = cov.apply_sqrt(apply_jt(w))
+        return u + z.ravel()
+
+    k1, k2 = jax.random.split(key)
+    eps = jax.random.normal(k1, (n_samples,) + d.shape) \
+        * jnp.sqrt(cd_diag)[None, :]
+    eta = jax.random.normal(k2, (n_samples,) + grid.shape)
+
+    def solve_one(e, h):
+        # perturbed system: data residual gains noise draw, prior mean
+        # shifts by a prior draw (whose J-image enters the rhs)
+        prior_shift = cov.apply_sqrt(h)
+        rhs_vec = (r0 + e - apply_j(prior_shift)) * inv_cd
+        rhs = cov.apply_sqrt(apply_jt(rhs_vec)).ravel()
+        u, _ = linalg.cg(matvec, rhs, max_iters=cg_iters, tol=cg_tol)
+        return m_prior + prior_shift \
+            + cov.apply_sqrt(u.reshape(grid.shape))
+
+    samples = jax.vmap(solve_one)(eps, eta)
+    return samples, samples.mean(0), samples.std(0)
+
+
 @partial(jax.jit, static_argnames=("num_directions", "i0", "gn_iters",
                                    "cg_iters"))
 def map_gauss_newton_batched(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,

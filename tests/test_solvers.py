@@ -85,6 +85,40 @@ def test_map_gauss_newton_beats_prior_and_fits_data():
     assert r1 < 0.1 * r0
 
 
+def test_posterior_samples_statistics():
+    """Randomise-then-optimise: sample mean ≈ MAP; sampled uncertainty is
+    smaller where rays constrain the model than where they don't."""
+    import jax
+    w = inversion_world(seed=5, n_ants=10, n_dirs=6)
+    cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=90.0,
+                              kind="sqexp")
+    samples, mean, std = solvers.posterior_samples(
+        w["grid"], w["rays"], w["d_obs"], w["noise_std"], w["m_prior"],
+        cov, num_directions=w["n_dirs"], key=jax.random.key(0),
+        n_samples=6, cg_iters=25)
+    assert samples.shape[0] == 6
+    assert np.isfinite(np.asarray(samples)).all()
+    res = solvers.map_gauss_newton(
+        w["grid"], w["rays"], w["d_obs"], w["noise_std"], w["m_prior"],
+        cov, num_directions=w["n_dirs"], gn_iters=1, cg_iters=25)
+    # sample mean approaches MAP at the Monte-Carlo rate σ_post/√n —
+    # bound by 3·σ_prior/√n (posterior ≤ prior variance everywhere)
+    err = float(jnp.sqrt(jnp.mean((mean - res.m) ** 2)))
+    assert err < 3.0 * cov.sigma / np.sqrt(samples.shape[0])
+    # in unconstrained regions the sampled std recovers the prior σ
+    from ionotomo_tpu.forward.tec import ray_coverage as _rc
+    cw0 = np.asarray(_rc(w["grid"], w["rays"]))
+    s0 = np.asarray(std)[cw0 <= 1e-6 * cw0.max()]
+    assert abs(s0.mean() - cov.sigma) < 0.4 * cov.sigma
+    # posterior std is reduced below prior sigma inside the ray bundle
+    from ionotomo_tpu.forward.tec import ray_coverage
+    cw = np.asarray(ray_coverage(w["grid"], w["rays"]))
+    strong = cw > 0.3 * cw.max()
+    weak = cw <= 1e-6 * cw.max()
+    s = np.asarray(std)
+    assert s[strong].mean() < 0.85 * s[weak].mean()
+
+
 def test_batched_gn_matches_sequential():
     """vmapped multi-snapshot solve == per-snapshot solves."""
     w = inversion_world(seed=4, n_ants=8, n_dirs=5)
