@@ -124,6 +124,25 @@ def test_tec_linear_adjoint_is_exact_transpose():
     assert abs(lhs - rhs) <= 1e-4 * max(abs(lhs), abs(rhs))
 
 
+def test_adjoint_and_gradient_are_deterministic():
+    """SURVEY §5.2: scatter-add ordering must be deterministic — repeated
+    evaluation of the adjoint and of an AD gradient is bitwise identical."""
+    import jax
+    ants, dirs, grid, m = small_world(nx=16)
+    origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
+    rb = rays_mod.sample_straight_rays(origins, dvecs, n_samples=33)
+    y = jnp.asarray(np.random.default_rng(9).normal(size=(rb.num_rays,)),
+                    jnp.float32)
+    a1 = np.asarray(tec_mod.tec_linear_adjoint(y, grid, rb))
+    a2 = np.asarray(tec_mod.tec_linear_adjoint(y, grid, rb))
+    np.testing.assert_array_equal(a1, a2)
+
+    g = jax.jit(jax.grad(lambda mm: jnp.sum(
+        tec_mod.tec(mm, grid, rb) ** 2)))
+    g1, g2 = np.asarray(g(m)), np.asarray(g(m))
+    np.testing.assert_array_equal(g1, g2)
+
+
 def test_tec_nonlinear_vjp_matches_finite_difference():
     """grad of sum(tec(m)) via jax.grad vs central finite differences."""
     ants, dirs, grid, m = small_world(nx=16)
