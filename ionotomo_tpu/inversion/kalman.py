@@ -54,13 +54,14 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
     """
     d_seq = jnp.asarray(d_obs_seq)
     nt = d_seq.shape[0]
-    cd_diag = jnp.broadcast_to(jnp.asarray(noise_std),
-                               d_seq.shape[1:]).ravel() ** 2
+    # noise may be scalar, per-(antenna,direction), or fully per-timestep
+    # (Nt, Na, Nd) — e.g. time-varying flag inflation
+    cd_seq = (jnp.broadcast_to(jnp.asarray(noise_std), d_seq.shape)
+              .reshape(nt, -1) ** 2)
     shift = jnp.asarray(wind_kmps, jnp.float32) * dt_s
 
-    inv_cd = 1.0 / cd_diag
-
-    def update(m_pred, rays_t, d_t):
+    def update(m_pred, rays_t, d_t, cd_diag):
+        inv_cd = 1.0 / cd_diag
         def fwd(m):
             return tec_mod.dtec_paired(m, grid, rays_t, num_directions,
                                        i0).ravel()
@@ -87,15 +88,15 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
         return m_new, pre, post
 
     def step(m_t, inputs):
-        rays_pts, rays_ds, d_t, is_first = inputs
+        rays_pts, rays_ds, d_t, cd_t, is_first = inputs
         rays_t = RayBundle(points=rays_pts, ds=rays_ds)
         # predict: advect except at t=0 (state already at t=0)
         m_adv = advect_periodic(m_t, grid, shift)
         m_pred = jnp.where(is_first, m_t, fade * m_adv + (1 - fade) * m0)
-        m_new, pre, post = update(m_pred, rays_t, d_t)
+        m_new, pre, post = update(m_pred, rays_t, d_t, cd_t)
         return m_new, (m_new, pre, post)
 
     is_first = jnp.zeros((nt,), bool).at[0].set(True)
     _, (m_seq, pre, post) = jax.lax.scan(
-        step, m0, (rays_seq.points, rays_seq.ds, d_seq, is_first))
+        step, m0, (rays_seq.points, rays_seq.ds, d_seq, cd_seq, is_first))
     return KalmanResult(m_seq=m_seq, residuals=pre, post_residuals=post)

@@ -169,7 +169,8 @@ class InversionPipeline:
             points=jnp.stack([b.points for b in bundles]),
             ds=jnp.stack([b.ds for b in bundles]))
         d_seq = jnp.moveaxis(jnp.asarray(self.d_obs), 1, 0)  # (Nt, Na, Nd)
-        noise = jnp.asarray(self.noise_std[:, 0, :])
+        # per-timestep noise (time-varying flags inflate per step)
+        noise = jnp.moveaxis(jnp.asarray(self.noise_std), 1, 0)
         dt_s = (float(np.diff(self.datapack.times).mean() * 86400.0)
                 if nt > 1 else 0.0)
         # bulk wind: taken from datapack metadata when present (synthetic
