@@ -1,9 +1,40 @@
 """ionotomo_tpu — TPU-native ionospheric tomography engine.
 
-A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+A from-scratch JAX/XLA rebuild of the capabilities of
 Joshuaalbert/IonoTomo (see SURVEY.md): bent-ray Fermat tracing through 3D
 electron-density grids, TEC path integrals, and Bayesian tomographic
 inversion, all running device-resident with solver state in HBM.
+
+Commonly-used names are re-exported here; submodules remain the canonical
+homes (core/, geometry/, models/, forward/, inversion/, data/, parallel/,
+utils/, plotting/).
 """
 
 __version__ = "0.1.0"
+
+from .config import EngineConfig                              # noqa: F401
+from .core.grids import Grid3D                                # noqa: F401
+from .core import tricubic                                    # noqa: F401
+from .data.datapack import DataPack                           # noqa: F401
+from .data.radio_array import (RadioArray,                    # noqa: F401
+                               generate_lofar_like_array)
+from .data.synth import generate_example_datapack             # noqa: F401
+from .forward.tec import (tec, dtec, dtec_paired,             # noqa: F401
+                          tec_linear, tec_linear_adjoint,
+                          ray_coverage)
+from .geometry.fermat import trace_rays                       # noqa: F401
+from .geometry.rays import (RayBundle, calc_rays,             # noqa: F401
+                            sample_straight_rays, make_ray_batch)
+from .inversion.kalman import kalman_filter                   # noqa: F401
+from .inversion.pipeline import InversionPipeline             # noqa: F401
+from .inversion.priors import GPCovariance, laplacian         # noqa: F401
+from .inversion.solution import Solution                      # noqa: F401
+from .inversion import solvers                                # noqa: F401
+from .models.chapman import (chapman_field, chapman_ne,       # noqa: F401
+                             log_parametrize, ne_from_log,
+                             grid_enclosing_rays)
+from .models.frozen_flow import (advect_periodic,             # noqa: F401
+                                 estimate_wind,
+                                 frozen_flow_sequence)
+from .models.turbulence import (turbulent_log_perturbation,   # noqa: F401
+                                turbulent_realizations)

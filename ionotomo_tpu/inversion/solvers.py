@@ -7,12 +7,12 @@ reference's per-iteration ray freeze, SURVEY.md §3.1):
 
 - ``lsqr_smoothness``: config 3 — linear LSQR on the damped ray–voxel
   system with a gradient-smoothness prior.
-- ``map_gauss_newton``: config 4 — Bayesian MAP with a GP covariance prior,
-  Gauss-Newton outer loop, covariance-preconditioned CG inner solves in
-  **data space** (R×R system, R = #rays ≪ #voxels), the classic
-  representer/kriging trick: δm = C JᵀA(JC Jᵀ + C_d)⁻¹ r, so every Krylov
-  vector is ray-sized and the voxel grid appears only through forward and
-  adjoint applications.
+- ``map_gauss_newton``: config 4 — Bayesian MAP with a GP covariance
+  prior: Gauss-Newton outer loop, C^{1/2}-preconditioned model-space CG
+  inner solves (identity-plus-PSD systems; see its docstring).
+- ``posterior_samples``: randomise-then-optimise posterior draws (vmapped
+  batched Krylov).
+- ``map_gauss_newton_batched``: independent snapshots as one vmapped batch.
 - ``steepest_descent_map``: the reference's own iteration (covariance-
   preconditioned gradient + line search, SURVEY.md §8) for parity testing.
 
