@@ -1,0 +1,96 @@
+"""Property-based grid/ray fuzzing (SURVEY.md §4 rebuild test plan).
+
+Algebraic invariants that must hold for ANY grid geometry (anisotropic
+spacings, odd shapes, shifted origins) and any query points, including
+points far outside the grid:
+
+- linearity: interp(a·f + b·g) = a·interp(f) + b·interp(g)
+- translation equivariance: shifting origin and points together is a no-op
+- partition of unity: interp of a constant field is that constant
+- TEC positivity and scaling: tec(m + c) = e^c · tec(m)
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from ionotomo_tpu.core.grids import Grid3D
+from ionotomo_tpu.core import tricubic
+from ionotomo_tpu.forward import tec as tec_mod
+from ionotomo_tpu.geometry import rays as rays_mod
+
+
+def random_world(rng):
+    shape = tuple(int(s) for s in rng.integers(5, 20, 3))
+    origin = rng.uniform(-100, 100, 3)
+    spacing = rng.uniform(0.5, 30.0, 3)
+    grid = Grid3D.create(origin, spacing, shape)
+    f = rng.normal(size=shape).astype(np.float32)
+    hi = origin + spacing * (np.asarray(shape) - 1)
+    pts = rng.uniform(origin - 0.5 * (hi - origin),
+                      hi + 0.5 * (hi - origin),
+                      size=(50, 3)).astype(np.float32)
+    return grid, f, pts
+
+
+def test_fuzz_linearity_and_translation():
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        grid, f, pts = random_world(rng)
+        g = rng.normal(size=f.shape).astype(np.float32)
+        a, b = rng.normal(), rng.normal()
+        lin = np.asarray(tricubic.interp(
+            jnp.asarray(a * f + b * g), grid, jnp.asarray(pts)))
+        sep = a * np.asarray(tricubic.interp(jnp.asarray(f), grid,
+                                             jnp.asarray(pts))) \
+            + b * np.asarray(tricubic.interp(jnp.asarray(g), grid,
+                                             jnp.asarray(pts)))
+        scale = np.abs(lin).max() + 1.0
+        np.testing.assert_allclose(lin, sep, atol=3e-5 * scale,
+                                   err_msg=f"trial {trial}")
+
+        shift = rng.normal(size=3).astype(np.float32) * 50
+        grid2 = Grid3D.create(np.asarray(grid.origin) + shift,
+                              np.asarray(grid.spacing), grid.shape)
+        moved = np.asarray(tricubic.interp(jnp.asarray(f), grid2,
+                                           jnp.asarray(pts + shift)))
+        base = np.asarray(tricubic.interp(jnp.asarray(f), grid,
+                                          jnp.asarray(pts)))
+        np.testing.assert_allclose(moved, base, atol=2e-4 * scale,
+                                   err_msg=f"trial {trial} translation")
+
+
+def test_fuzz_constant_field_and_row_path_agree():
+    rng = np.random.default_rng(1)
+    for trial in range(6):
+        grid, f, pts = random_world(rng)
+        c = float(rng.normal())
+        const = np.asarray(tricubic.interp(
+            jnp.full(grid.shape, c, jnp.float32), grid, jnp.asarray(pts)))
+        np.testing.assert_allclose(const, c, atol=1e-5 * (abs(c) + 1))
+        # flat-gather and row-gather paths agree everywhere (incl. edges)
+        nx, ny, nz = grid.shape
+        flat = np.asarray(tricubic.interp(jnp.asarray(f), grid,
+                                          jnp.asarray(pts)))
+        rows = np.asarray(tricubic.interp_rows(
+            jnp.asarray(f).reshape(nx * ny, nz), grid, jnp.asarray(pts)))
+        np.testing.assert_allclose(flat, rows, atol=1e-5,
+                                   err_msg=f"trial {trial}")
+
+
+def test_fuzz_tec_exponential_scaling():
+    rng = np.random.default_rng(2)
+    for _ in range(4):
+        grid, f, _ = random_world(rng)
+        m = jnp.asarray(0.1 * f)
+        n_rays = 7
+        lo = np.asarray(grid.origin)
+        hi = np.asarray(grid.upper())
+        o = rng.uniform(lo, hi, (n_rays, 3)).astype(np.float32)
+        d = rng.normal(size=(n_rays, 3))
+        d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+        rb = rays_mod.sample_straight_rays(jnp.asarray(o), jnp.asarray(d),
+                                           max_length_km=50.0, n_samples=21)
+        t0 = np.asarray(tec_mod.tec(m, grid, rb))
+        assert (t0 > 0).all()
+        c = 0.7
+        t1 = np.asarray(tec_mod.tec(m + c, grid, rb))
+        np.testing.assert_allclose(t1, np.exp(c) * t0, rtol=2e-5)
