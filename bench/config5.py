@@ -41,7 +41,7 @@ def main():
 
     f = jax.jit(lambda d: kalman_filter(
         grid, rays_seq, d, noise, m_bg, cov, wind, dt_s,
-        num_directions=100, cg_iters=20))
+        num_directions=100, cg_iters=10))
     res, secs = timed(f, d_seq, reps=1)
     emit("config5", "kalman_30steps_seconds", secs, "s",
          timesteps_per_sec=nt / secs,
