@@ -74,3 +74,32 @@ class Grid3D:
         ax = [np.asarray(a) for a in self.axes()]
         X, Y, Z = np.meshgrid(*ax, indexing="ij")
         return np.stack([X, Y, Z], axis=-1)
+
+
+def save_field(path, grid: Grid3D, field, name="field", attrs=None):
+    """Persist (grid, field) to HDF5 — the reference TriCubic's save/load
+    capability (SURVEY.md §2) as free functions over (Grid3D, array)."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.create_dataset("grid/origin", data=np.asarray(grid.origin))
+        f.create_dataset("grid/spacing", data=np.asarray(grid.spacing))
+        f.create_dataset("grid/shape",
+                         data=np.asarray(grid.shape, np.int64))
+        f.create_dataset(name, data=np.asarray(field))
+        f.attrs["field_name"] = name
+        for k, v in (attrs or {}).items():
+            f.attrs[k] = v
+
+
+def load_field(path):
+    """Returns (Grid3D, field ndarray, attrs dict)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        grid = Grid3D.create(f["grid/origin"][:], f["grid/spacing"][:],
+                             tuple(int(s) for s in f["grid/shape"][:]))
+        name = f.attrs.get("field_name", "field")
+        field = f[name][:]
+        attrs = {k: f.attrs[k] for k in f.attrs if k != "field_name"}
+    return grid, field, attrs

@@ -128,6 +128,7 @@ class InversionPipeline:
                     residual=float(res.residual_norm),
                     solver=sc.solver,
                     rays=int(rb.num_rays),
+                    rays_per_sec=rb.num_rays / dt,
                     iters_per_sec=(sc.gn_iters / dt
                                    if sc.solver == "map_gauss_newton"
                                    else None))
