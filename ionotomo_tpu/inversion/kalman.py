@@ -100,3 +100,102 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
     _, (m_seq, pre, post) = jax.lax.scan(
         step, m0, (rays_seq.points, rays_seq.ds, d_seq, cd_seq, is_first))
     return KalmanResult(m_seq=m_seq, residuals=pre, post_residuals=post)
+
+
+class EnsembleKalmanResult(NamedTuple):
+    mean_seq: jax.Array     # (Nt, *grid.shape) ensemble means
+    std_seq: jax.Array      # (Nt, *grid.shape) ensemble spreads
+    residuals: jax.Array    # (Nt,) pre-update whitened residuals (mean)
+
+
+@partial(jax.jit, static_argnames=("num_directions", "i0", "cg_iters",
+                                   "n_members"))
+def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
+                           noise_std, m0, cov: GPCovariance, wind_kmps,
+                           dt_s, num_directions: int, key,
+                           n_members: int = 8, i0: int = 0,
+                           cg_iters: int = 20, cg_tol: float = 1e-4,
+                           fade: float = 1.0, process_sigma: float = 0.0):
+    """Ensemble variant: time-propagated posterior uncertainty.
+
+    Goes beyond the reference's point-estimate filter: an ensemble of
+    n_members states is advected by the frozen flow (plus optional process
+    noise ~ process_sigma·C^{1/2}η per step) and each member is updated by
+    a randomise-then-optimise solve against data perturbed with its own
+    C_d^{1/2} draw — the vmapped batched-Krylov machinery of
+    solvers.posterior_samples inside one lax.scan over time. The ensemble
+    spread is a consistent (linearised-Gaussian) estimate of the filtered
+    posterior std, including information accumulated across timesteps.
+
+    Calibration notes: with truncated inner CG the member updates
+    under-fit their perturbed residuals, which *inflates* the spread
+    slightly (conservative uncertainty); and because dTEC data constrain
+    only ~R directions of the voxel space, per-voxel spread stays near the
+    prior σ even where the posterior mean is well determined — both
+    behaviours are exercised in tests/test_kalman.py.
+    """
+    d_seq = jnp.asarray(d_obs_seq)
+    nt = d_seq.shape[0]
+    cd_seq = (jnp.broadcast_to(jnp.asarray(noise_std), d_seq.shape)
+              .reshape(nt, -1) ** 2)
+    shift = jnp.asarray(wind_kmps, jnp.float32) * dt_s
+    keys = jax.random.split(key, nt + 1)
+
+    # initial ensemble: prior mean + prior draws
+    init_noise = jax.vmap(
+        lambda k: cov.apply_sqrt(jax.random.normal(k, grid.shape)))(
+            jax.random.split(keys[0], n_members))
+    ens0 = m0[None] + init_noise
+
+    def member_update(m_pred, rays_t, d_t, cd_diag, eps):
+        inv_cd = 1.0 / cd_diag
+
+        def fwd(m):
+            return tec_mod.dtec_paired(m, grid, rays_t, num_directions,
+                                       i0).ravel()
+
+        g0, jvp = jax.linearize(fwd, m_pred)
+        vjp = jax.linear_transpose(jvp, m_pred)
+        r = d_t.ravel() + eps - g0
+
+        def matvec(u):
+            v = cov.apply_sqrt(u.reshape(grid.shape))
+            w = jvp(v) * inv_cd
+            (z,) = vjp(w)
+            return u + cov.apply_sqrt(z).ravel()
+
+        rhs = cov.apply_sqrt(vjp(r * inv_cd)[0]).ravel()
+        u, _ = linalg.cg(matvec, rhs, max_iters=cg_iters, tol=cg_tol)
+        pre = jnp.linalg.norm((d_t.ravel() - g0) / jnp.sqrt(cd_diag))
+        return m_pred + cov.apply_sqrt(u.reshape(grid.shape)), pre
+
+    def step(carry, inputs):
+        ens, t_key = carry
+        rays_pts, rays_ds, d_t, cd_t, is_first, k_t = inputs
+        rays_t = RayBundle(points=rays_pts, ds=rays_ds)
+        k_adv, k_obs = jax.random.split(k_t)
+
+        def predict(m, kq):
+            m_adv = advect_periodic(m, grid, shift)
+            pert = (process_sigma
+                    * cov.apply_sqrt(jax.random.normal(kq, grid.shape)))
+            return jnp.where(is_first, m,
+                             fade * m_adv + (1 - fade) * m0 + pert)
+
+        ens_pred = jax.vmap(predict)(
+            ens, jax.random.split(k_adv, n_members))
+        eps = (jax.random.normal(k_obs, (n_members, d_t.size))
+               * jnp.sqrt(cd_t)[None, :])
+        ens_new, pres = jax.vmap(
+            lambda m, e: member_update(m, rays_t, d_t, cd_t, e))(
+                ens_pred, eps)
+        out = (ens_new.mean(0), ens_new.std(0), pres.mean())
+        return (ens_new, t_key), out
+
+    is_first = jnp.zeros((nt,), bool).at[0].set(True)
+    _, (mean_seq, std_seq, pre) = jax.lax.scan(
+        step, (ens0, keys[-1]),
+        (rays_seq.points, rays_seq.ds, d_seq, cd_seq, is_first,
+         keys[1:nt + 1]))
+    return EnsembleKalmanResult(mean_seq=mean_seq, std_seq=std_seq,
+                                residuals=pre)

@@ -1,6 +1,7 @@
 """Frozen-flow Kalman filter tests (config 5 miniature): tracking a moving
 blob beats both the static prior and a no-advection filter."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ionotomo_tpu.forward import tec as tec_mod
@@ -74,6 +75,65 @@ def test_kalman_tracks_moving_structure():
     # update reduces the whitened residual at every step
     assert (np.asarray(res.post_residuals)
             < np.asarray(res.residuals)).all()
+
+
+def test_ensemble_kalman_tracks_and_contracts_uncertainty():
+    """EnKF-RTO: ensemble mean tracks like the point filter; the ensemble
+    spread contracts inside the ray bundle relative to the prior σ."""
+    import jax
+    from ionotomo_tpu.inversion.kalman import ensemble_kalman_filter
+    from ionotomo_tpu.forward.tec import ray_coverage
+    from ionotomo_tpu.geometry.rays import RayBundle
+
+    w = moving_world()
+    cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+    res = ensemble_kalman_filter(
+        w["grid"], w["rays_seq"], w["d_seq"], w["noise"], w["m_bg"], cov,
+        w["wind"], w["dt_s"], num_directions=w["n_dirs"],
+        key=jax.random.key(0), n_members=8, cg_iters=20, fade=1.0)
+    mean = np.asarray(res.mean_seq)
+    std = np.asarray(res.std_seq)
+    assert mean.shape == w["m_true"].shape
+    assert np.isfinite(mean).all() and np.isfinite(std).all()
+    # NOTE: whole-grid RMSE of the ensemble *mean* is dominated by the
+    # prior draws' Monte-Carlo noise (σ/√K) in unobserved voxels — that is
+    # correct posterior behaviour, so the contracts are local/statistical:
+    rb1 = RayBundle(points=w["rays_seq"].points[0],
+                    ds=w["rays_seq"].ds[0])
+    # sensitivity-weighted coverage: geometric path length is not enough —
+    # low-altitude voxels carry rays but ~zero Jacobian (n_e ~ 0 there)
+    from ionotomo_tpu.forward import tec as tec_mod
+    sens = np.abs(np.asarray(jax.grad(
+        lambda m: jnp.sum(tec_mod.tec(m, w["grid"], rb1)))(w["m_bg"])))
+    strong = sens > 0.3 * sens.max()
+    weak = sens <= 1e-8 * sens.max()
+    # (a) uncertainty contracts where rays constrain the model. The
+    # per-voxel effect is modest by physics: 60 *differential* rays
+    # constrain ~60 directions of a 5832-voxel space and large-scale prior
+    # modes lie in dTEC's null space — so assert the direction and the
+    # accumulation over time, not a large factor
+    s_last = std[-1]
+    assert s_last[strong].mean() < 0.97 * s_last[weak].mean()
+    # sensitive-region spread keeps shrinking as steps accumulate, faster
+    # than any global drift of the unconstrained spread
+    d_strong = std[0][strong].mean() - std[-1][strong].mean()
+    d_weak = std[0][weak].mean() - std[-1][weak].mean()
+    assert d_strong > 0
+    assert d_strong > 2.0 * max(d_weak, 0.0)
+    # (b) the ensemble mean stays within the posterior-spread envelope of
+    # the validated point filter (most strong-voxel variance lives in
+    # modes orthogonal to all data directions, so the envelope is wide —
+    # a tight mean→KF bound would need ≫8 members)
+    kf = kalman_filter(w["grid"], w["rays_seq"], w["d_seq"], w["noise"],
+                       w["m_bg"], cov, w["wind"], w["dt_s"],
+                       num_directions=w["n_dirs"], cg_iters=20, fade=1.0)
+    mk = np.asarray(kf.m_seq)
+    dev = np.sqrt(np.mean((mean[-1][strong] - mk[-1][strong]) ** 2))
+    assert dev < 1.5 * std[-1][strong].mean()
+    # (c) information accumulates: later pre-update residuals beat t=0's
+    pre = np.asarray(res.residuals)
+    assert pre[1:].mean() < pre[0]
 
 
 def test_frozen_flow_prediction_helps():
