@@ -91,11 +91,17 @@ class InversionPipeline:
             n_samples=rc.n_samples)
 
     def _shard(self, bundle: rays_mod.RayBundle):
-        if self.mesh is None:
+        """Place the ray axis across the mesh when it divides evenly.
+
+        The solvers rely on the exact row-major (antenna × direction) ray
+        layout, so padding is not an option here; when Na·Nd doesn't divide
+        the device count the bundle stays unsharded (XLA still partitions
+        internal ops where profitable)."""
+        if self.mesh is None or bundle.num_rays % self.mesh.devices.size:
             return bundle
-        (pts, ds), _ = shard_mod.shard_ray_batch(self.mesh, bundle.points,
-                                                 bundle.ds)
-        return rays_mod.RayBundle(points=pts, ds=ds)
+        sh = shard_mod.ray_sharding(self.mesh)
+        return rays_mod.RayBundle(points=jax.device_put(bundle.points, sh),
+                                  ds=jax.device_put(bundle.ds, sh))
 
     # --- solving -------------------------------------------------------------
 
@@ -103,7 +109,7 @@ class InversionPipeline:
         """Invert one timestep; returns (m, diagnostics dict)."""
         sc = self.config.solver
         nd = self.directions.shape[1]
-        rb = self.rays_for_time(t)
+        rb = self._shard(self.rays_for_time(t))
         d_t = jnp.asarray(self.d_obs[:, t, :])
         noise = jnp.asarray(self.noise_std[:, t, :])
         m_start = self.m_prior if m0 is None else m0

