@@ -109,13 +109,15 @@ def dtec_paired(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
 
     ``dtec`` subtracts two large, nearly equal TEC integrals, which in f32
     loses ~eps·|TEC| ≈ 2e-3 working units to catastrophic cancellation.
-    For straight rays all antennas share the same quadrature grid in s per
-    direction, so the subtraction commutes into the integrand:
-    dTEC[i,k] = Σ_n w_n · (n_e(x_{i,k,n}) − n_e(x_{i0,k,n})) · ds.
-    The differences are formed sample-wise *before* the large reduction,
-    recovering f32 accuracy at the dTEC scale. This is the default forward
-    path for configs 1 and 3–5; ``dtec`` remains for bent rays whose
-    quadrature grids differ per antenna.
+    All rays built by this engine share one arc-length grid s_n = n·ds per
+    direction (straight sampler and fixed-step Fermat tracer alike), so
+    the subtraction commutes into the integrand exactly:
+    dTEC[i,k] = Σ_n w_n · (n_e(x_{i,k,n}(s)) − n_e(x_{i0,k,n}(s))) · ds —
+    valid for bent paths too, since both TECs are integrals over the same
+    s ∈ [0, L]. The differences are formed sample-wise *before* the large
+    reduction, recovering f32 accuracy at the dTEC scale. This is the
+    default forward path everywhere; ``dtec`` remains for externally
+    supplied bundles with per-antenna ds.
     """
     r, n = rays.points.shape[:2]
     na = r // num_directions
