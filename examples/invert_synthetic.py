@@ -66,12 +66,17 @@ def main():
     plot_tools.plot_model_slices(
         sol, truth=truth_ne,
         filename=os.path.join(args.outdir, "slices.png"))
-    # evaluate where the rays actually constrain the model: voxels outside
-    # the ray bundle are unobservable and only reflect the prior
-    from ionotomo_tpu.forward.tec import ray_coverage
+    # evaluate where the data actually constrain the model: use the
+    # Jacobian sensitivity |∂Σg/∂m| (ne-weighted), not raw path length —
+    # path-length maxima sit at near-antenna ray convergence points and
+    # low-altitude voxels carry rays but ~zero sensitivity (n_e ≈ 0)
+    import jax
+    import jax.numpy as jnp
+    from ionotomo_tpu.forward import tec as tec_mod
     rb = pipe.rays_for_time(0)
-    cov_w = np.asarray(ray_coverage(pipe.grid, rb))
-    mask = cov_w > 0.05 * cov_w.max()
+    sens = np.abs(np.asarray(jax.grad(
+        lambda mm: jnp.sum(tec_mod.tec(mm, pipe.grid, rb)))(pipe.m_prior)))
+    mask = sens > np.quantile(sens[sens > 1e-12 * sens.max()], 0.75)
 
     def rmse(m):
         d = (np.asarray(m) - truth["m"][0])
