@@ -37,13 +37,19 @@ def save_checkpoint(directory, step: int, state: dict, config_json: str = ""):
         raise
 
 
-def latest_checkpoint(directory):
-    """Path of the highest-step checkpoint, or None."""
+def checkpoint_paths(directory):
+    """All checkpoint paths, oldest → newest."""
     if not os.path.isdir(directory):
-        return None
+        return []
     names = sorted(n for n in os.listdir(directory)
                    if n.startswith("ckpt_") and n.endswith(".npz"))
-    return os.path.join(directory, names[-1]) if names else None
+    return [os.path.join(directory, n) for n in names]
+
+
+def latest_checkpoint(directory):
+    """Path of the highest-step checkpoint, or None."""
+    paths = checkpoint_paths(directory)
+    return paths[-1] if paths else None
 
 
 def load_checkpoint(path):
@@ -57,9 +63,17 @@ def load_checkpoint(path):
 
 
 def resume(directory):
-    """(step, state, config_json) from the latest checkpoint, or
-    (0, None, "") when starting fresh."""
-    path = latest_checkpoint(directory)
-    if path is None:
-        return 0, None, ""
-    return load_checkpoint(path)
+    """(step, state, config_json) from the newest *readable* checkpoint,
+    or (0, None, "") when starting fresh.
+
+    Atomic writes make corruption unlikely, but a hard kill during a
+    filesystem flush can still leave the newest file unreadable; rather
+    than crashing the restart, fall back to the previous checkpoint
+    (the reference's restart-from-last-save semantics, SURVEY.md §5.3).
+    """
+    for path in reversed(checkpoint_paths(directory)):
+        try:
+            return load_checkpoint(path)
+        except Exception:
+            continue
+    return 0, None, ""

@@ -146,6 +146,19 @@ def test_checkpoint_atomicity_and_latest(tmp_path):
     assert all(not f.endswith(".tmp") for f in os.listdir(d))
 
 
+def test_resume_skips_corrupt_newest_checkpoint(tmp_path):
+    d = str(tmp_path / "c")
+    ckpt.save_checkpoint(d, 1, {"x": np.arange(3)}, "{}")
+    ckpt.save_checkpoint(d, 2, {"x": np.arange(3) * 2}, "{}")
+    # corrupt the newest file in place (simulating a hard-kill mid-flush)
+    newest = ckpt.latest_checkpoint(d)
+    with open(newest, "wb") as f:
+        f.write(b"garbage")
+    step, state, cfg = ckpt.resume(d)
+    assert step == 1
+    np.testing.assert_array_equal(state["x"], np.arange(3))
+
+
 def test_config_json_roundtrip():
     cfg = EngineConfig(grid=GridConfig(shape=(32, 16, 8)))
     cfg2 = EngineConfig.from_json(cfg.to_json())
