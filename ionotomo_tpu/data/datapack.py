@@ -86,21 +86,39 @@ class DataPack:
     # --- subsetting (reference: antenna/facet selection) -------------------
 
     def select(self, antennas=None, times=None, directions=None):
+        """Subset along any axis.
+
+        If the antenna subset drops the current reference antenna, the
+        subset is **re-referenced** to its first antenna: dtec row j0 is
+        subtracted from every row (dTEC is differential, so re-referencing
+        is exact: T_i − T_j0 = (T_i − T_i0) − (T_j0 − T_i0)). Noise adds in
+        quadrature with the new reference's noise (the resulting errors are
+        correlated across antennas through the shared j0 term — same caveat
+        as any dTEC dataset) and flags OR with the new reference's flags.
+        """
         ai = np.arange(self.shape[0]) if antennas is None \
             else np.atleast_1d(antennas)
         ti = np.arange(self.shape[1]) if times is None \
             else np.atleast_1d(times)
         di = np.arange(self.shape[2]) if directions is None \
             else np.atleast_1d(directions)
+        dtec = self.dtec[np.ix_(ai, ti, di)]
+        flags = self.flags[np.ix_(ai, ti, di)]
+        noise = self.noise_std[np.ix_(ai, ti, di)]
         ref = self.ref_antenna
         if antennas is not None:
             where = np.nonzero(ai == ref)[0]
-            ref = int(where[0]) if len(where) else 0
+            if len(where):
+                ref = int(where[0])
+            else:
+                ref = 0                      # re-reference to the new row 0
+                ref_noise = noise[ref:ref + 1].copy()
+                dtec = dtec - dtec[ref:ref + 1]
+                noise = np.sqrt(noise**2 + ref_noise**2)
+                noise[ref] = ref_noise[0]
+                flags = flags | flags[ref:ref + 1]
         return DataPack(self.array.subset(ai), self.directions[di],
-                        self.times[ti],
-                        self.dtec[np.ix_(ai, ti, di)],
-                        self.flags[np.ix_(ai, ti, di)],
-                        self.noise_std[np.ix_(ai, ti, di)],
+                        self.times[ti], dtec, flags, noise,
                         ref_antenna=ref, frequency_hz=self.frequency_hz)
 
     # --- persistence --------------------------------------------------------

@@ -28,9 +28,26 @@ def select_antennas_by_distance(datapack: DataPack, n: int,
     the reference antenna when ``include_ref``."""
     r = np.linalg.norm(datapack.array.enu[:, :2], axis=1)
     order = np.argsort(r)
-    picks = order[np.unique(np.linspace(0, len(order) - 1, n).astype(int))]
+    n = min(n, len(order))
+    # log-spread slots, deduplicated by advancing to the next unused slot so
+    # exactly n distinct antennas come back even when n ~ Na
+    slots = np.round(np.linspace(0, len(order) - 1, n)).astype(int)
+    used = np.zeros(len(order), bool)
+    pos = []
+    for s in slots:
+        while s < len(order) and used[s]:
+            s += 1
+        if s >= len(order):                     # wrapped: take any free slot
+            s = int(np.nonzero(~used)[0][0])
+        used[s] = True
+        pos.append(s)
+    pos = np.asarray(pos)
+    picks = order[pos]
     if include_ref and datapack.ref_antenna not in picks:
-        picks = np.concatenate([[datapack.ref_antenna], picks[:-1]])
+        # replace the pick nearest (in baseline-length rank) to the ref, so
+        # the spread — including the longest baseline — is preserved
+        ref_rank = int(np.nonzero(order == datapack.ref_antenna)[0][0])
+        picks[np.argmin(np.abs(pos - ref_rank))] = datapack.ref_antenna
     return datapack.select(antennas=np.sort(picks))
 
 

@@ -55,9 +55,14 @@ def _rhs(field2d: jax.Array, grid: Grid3D, x: jax.Array, p: jax.Array,
     m, gm = tricubic.interp_rows_with_grad(field2d, grid, x)
     ne = constants.K_NE * jnp.exp(m)                      # (R,)
     w = constants.KAPPA * inv_f2
+    clipped = 1.0 - w * ne <= 1e-6                        # over-dense plasma
     n = jnp.sqrt(jnp.maximum(1.0 - w * ne, 1e-6))         # (R,)
-    # ∇n = -KAPPA/(2 n f²) · ∇n_e,  ∇n_e = n_e · ∇m  [1/km]
-    grad_n = (-0.5 * w * ne / n)[:, None] * gm            # (R, 3)
+    # ∇n = -KAPPA/(2 n f²) · ∇n_e,  ∇n_e = n_e · ∇m  [1/km].  Where the
+    # over-dense clip is active n is held constant, so its gradient must be
+    # zeroed too — otherwise the 1/n≈1e-3 division manufactures huge
+    # unphysical forces at low frequency (ADVICE r1).
+    grad_n = jnp.where(clipped[:, None], 0.0,
+                       (-0.5 * w * ne / n)[:, None] * gm)  # (R, 3)
     tangent = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
     return tangent, grad_n, ne
 

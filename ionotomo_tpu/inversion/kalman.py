@@ -40,18 +40,28 @@ class KalmanResult(NamedTuple):
     post_residuals: jax.Array   # (Nt,) post-update whitened residual norms
 
 
-@partial(jax.jit, static_argnames=("num_directions", "i0", "cg_iters"))
+@partial(jax.jit, static_argnames=("num_directions", "i0", "cg_iters",
+                                   "advect_first"))
 def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
                   m0, cov: GPCovariance, wind_kmps, dt_s,
                   num_directions: int, i0: int = 0, cg_iters: int = 30,
-                  cg_tol: float = 1e-4, fade: float = 1.0):
+                  cg_tol: float = 1e-4, fade: float = 1.0,
+                  advect_first: bool = False, m_clim=None):
     """Run the filter over Nt timesteps.
 
     rays_seq: RayBundle with leading time axis — points (Nt, R, N, 3),
     ds (Nt, R). d_obs_seq: (Nt, Na, Nd). fade ∈ (0, 1]: per-step pull of
     the prediction toward the climatological prior mean m0 (process-noise
-    proxy; 1.0 = pure frozen flow).
+    proxy; 1.0 = pure frozen flow). ``advect_first``: advect before the
+    first update too — used when this call continues a filter from a
+    checkpointed state (m0 is then the filtered state at the previous
+    timestep, not the t=0 initial condition), so the pipeline can chunk a
+    long sequence into several scans without changing the result.
+    ``m_clim``: the climatological field the fade pull targets (defaults to
+    m0 — but a chunked continuation must pass the original prior, since its
+    m0 is the carried filter state).
     """
+    m_clim = m0 if m_clim is None else m_clim
     d_seq = jnp.asarray(d_obs_seq)
     nt = d_seq.shape[0]
     # noise may be scalar, per-(antenna,direction), or fully per-timestep
@@ -92,11 +102,12 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
         rays_t = RayBundle(points=rays_pts, ds=rays_ds)
         # predict: advect except at t=0 (state already at t=0)
         m_adv = advect_periodic(m_t, grid, shift)
-        m_pred = jnp.where(is_first, m_t, fade * m_adv + (1 - fade) * m0)
+        m_pred = jnp.where(is_first, m_t,
+                           fade * m_adv + (1 - fade) * m_clim)
         m_new, pre, post = update(m_pred, rays_t, d_t, cd_t)
         return m_new, (m_new, pre, post)
 
-    is_first = jnp.zeros((nt,), bool).at[0].set(True)
+    is_first = jnp.zeros((nt,), bool).at[0].set(not advect_first)
     _, (m_seq, pre, post) = jax.lax.scan(
         step, m0, (rays_seq.points, rays_seq.ds, d_seq, cd_seq, is_first))
     return KalmanResult(m_seq=m_seq, residuals=pre, post_residuals=post)
@@ -109,13 +120,14 @@ class EnsembleKalmanResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "cg_iters",
-                                   "n_members"))
+                                   "n_members", "advect_first"))
 def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                            noise_std, m0, cov: GPCovariance, wind_kmps,
                            dt_s, num_directions: int, key,
                            n_members: int = 8, i0: int = 0,
                            cg_iters: int = 20, cg_tol: float = 1e-4,
-                           fade: float = 1.0, process_sigma: float = 0.0):
+                           fade: float = 1.0, process_sigma: float = 0.0,
+                           advect_first: bool = False, m_clim=None):
     """Ensemble variant: time-propagated posterior uncertainty.
 
     Goes beyond the reference's point-estimate filter: an ensemble of
@@ -134,6 +146,7 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     prior σ even where the posterior mean is well determined — both
     behaviours are exercised in tests/test_kalman.py.
     """
+    m_clim = m0 if m_clim is None else m_clim
     d_seq = jnp.asarray(d_obs_seq)
     nt = d_seq.shape[0]
     cd_seq = (jnp.broadcast_to(jnp.asarray(noise_std), d_seq.shape)
@@ -180,7 +193,7 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
             pert = (process_sigma
                     * cov.apply_sqrt(jax.random.normal(kq, grid.shape)))
             return jnp.where(is_first, m,
-                             fade * m_adv + (1 - fade) * m0 + pert)
+                             fade * m_adv + (1 - fade) * m_clim + pert)
 
         ens_pred = jax.vmap(predict)(
             ens, jax.random.split(k_adv, n_members))
@@ -192,7 +205,7 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
         out = (ens_new.mean(0), ens_new.std(0), pres.mean())
         return (ens_new, t_key), out
 
-    is_first = jnp.zeros((nt,), bool).at[0].set(True)
+    is_first = jnp.zeros((nt,), bool).at[0].set(not advect_first)
     _, (mean_seq, std_seq, pre) = jax.lax.scan(
         step, (ens0, keys[-1]),
         (rays_seq.points, rays_seq.ds, d_seq, cd_seq, is_first,

@@ -15,6 +15,7 @@ when more than one device is present.
 """
 from __future__ import annotations
 
+import json
 import time
 
 import jax
@@ -73,11 +74,12 @@ class InversionPipeline:
 
     # --- ray building -------------------------------------------------------
 
-    def rays_for_time(self, t: int, m_field=None):
+    def rays_for_time(self, t: int, m_field=None, antennas=None):
         """RayBundle for timestep t; bent rays trace through ``m_field``
-        (defaults to the prior model) when config.rays.bent."""
-        origins, dvecs = rays_mod.make_ray_batch(self.antennas,
-                                                 self.directions[t])
+        (defaults to the prior model) when config.rays.bent. ``antennas``
+        overrides the antenna set (used by the sharding pad)."""
+        ants = self.antennas if antennas is None else antennas
+        origins, dvecs = rays_mod.make_ray_batch(ants, self.directions[t])
         rc, p = self.config.rays, self.config.physics
         if rc.bent:
             field = self.m_prior if m_field is None else m_field
@@ -90,55 +92,142 @@ class InversionPipeline:
             origins, dvecs, max_length_km=p.max_length_km,
             n_samples=rc.n_samples)
 
-    def _shard(self, bundle: rays_mod.RayBundle):
-        """Place the ray axis across the mesh when it divides evenly.
+    # --- sharding ------------------------------------------------------------
 
-        The solvers rely on the exact row-major (antenna × direction) ray
-        layout, so padding is not an option here; when Na·Nd doesn't divide
-        the device count the bundle stays unsharded (XLA still partitions
-        internal ops where profitable)."""
-        if self.mesh is None or bundle.num_rays % self.mesh.devices.size:
+    def _padded_na(self, na: int, nd: int) -> int:
+        """Smallest Na' ≥ Na with Na'·Nd divisible by the mesh size.
+
+        The solvers rely on the row-major (antenna × direction) ray layout,
+        so rays are padded in whole-antenna blocks: duplicated last antenna,
+        observations zero with noise 1e6 (weight ~1e-12 in every C_d⁻¹
+        misfit) — results match the unsharded solve (tests/test_multichip).
+        """
+        if self.mesh is None:
+            return na
+        k = self.mesh.devices.size
+        na_p = na
+        while (na_p * nd) % k:
+            na_p += 1
+        return na_p
+
+    def _shard(self, bundle: rays_mod.RayBundle):
+        """Place the ray axis across the mesh (callers pre-pad so the ray
+        count always divides the device count)."""
+        if self.mesh is None:
             return bundle
+        assert bundle.num_rays % self.mesh.devices.size == 0
         sh = shard_mod.ray_sharding(self.mesh)
         return rays_mod.RayBundle(points=jax.device_put(bundle.points, sh),
                                   ds=jax.device_put(bundle.ds, sh))
 
+    def _padded_data(self, t: int):
+        """(antennas, d_t, noise_t, na_real) with whole-antenna padding so
+        Na'·Nd divides the mesh; logs a metrics event when padding kicks in."""
+        na, nd = self.d_obs.shape[0], self.directions.shape[1]
+        na_p = self._padded_na(na, nd)
+        d_t = np.asarray(self.d_obs[:, t, :])
+        noise = np.asarray(self.noise_std[:, t, :])
+        ants = self.antennas
+        if na_p != na:
+            pad = na_p - na
+            ants = np.concatenate([ants, np.repeat(ants[-1:], pad, 0)])
+            d_t = np.concatenate([d_t, np.zeros((pad, nd), d_t.dtype)])
+            noise = np.concatenate(
+                [noise, np.full((pad, nd), 1e6, noise.dtype)])
+            self.metrics.write(dict(event="ray_sharding_padded", timestep=t,
+                                    na=na, na_padded=na_p,
+                                    devices=self.mesh.devices.size))
+        return ants, jnp.asarray(d_t), jnp.asarray(noise), na
+
     # --- solving -------------------------------------------------------------
 
-    def solve_snapshot(self, t: int, m0=None):
-        """Invert one timestep; returns (m, diagnostics dict)."""
+    def _solve_once(self, rb, d_t, noise, m_start, nd, m0=None):
         sc = self.config.solver
-        nd = self.directions.shape[1]
-        rb = self._shard(self.rays_for_time(t))
-        d_t = jnp.asarray(self.d_obs[:, t, :])
-        noise = jnp.asarray(self.noise_std[:, t, :])
-        m_start = self.m_prior if m0 is None else m0
-        t0 = time.perf_counter()
         if sc.solver == "lsqr_smoothness":
-            res = solvers.lsqr_smoothness(
-                self.grid, rb, d_t, noise, m_start, num_directions=nd,
+            return solvers.lsqr_smoothness(
+                self.grid, rb, d_t, noise,
+                m_start if m0 is None else m0, num_directions=nd,
                 i0=self.i0, damp=self.config.prior.damp,
                 smooth=self.config.prior.smooth, max_iters=sc.lsqr_iters)
-        elif sc.solver == "steepest":
-            res = solvers.steepest_descent_map(
+        if sc.solver == "steepest":
+            return solvers.steepest_descent_map(
                 self.grid, rb, d_t, noise, m_start, self.cov,
                 num_directions=nd, i0=self.i0, n_iters=sc.gn_iters * 8)
+        return solvers.map_gauss_newton(
+            self.grid, rb, d_t, noise, m_start, self.cov,
+            num_directions=nd, i0=self.i0, gn_iters=sc.gn_iters,
+            cg_iters=sc.cg_iters, cg_tol=sc.cg_tol, m0=m0)
+
+    def solve_snapshot(self, t: int, m0=None):
+        """Invert one timestep; returns (m, diagnostics dict).
+
+        With bent rays and ``rays.retrace_every > 0`` this runs the
+        reference's actual hot loop (SURVEY §3.1): rays are re-traced
+        through the current iterate every ``retrace_every`` Gauss-Newton
+        iterations and the solve continues from it — the nonlinear
+        alternation calc_rays ↔ solve, stopping early when the whitened
+        residual stalls (<1% improvement).
+        """
+        sc, rc = self.config.solver, self.config.rays
+        nd = self.directions.shape[1]
+        ants, d_t, noise, na_real = self._padded_data(t)
+        m_start = self.m_prior if m0 is None else m0
+        retrace = (rc.bent and rc.retrace_every > 0
+                   and sc.solver == "map_gauss_newton")
+        t0 = time.perf_counter()
+        if not retrace:
+            rb = self._shard(self.rays_for_time(t, antennas=ants))
+            res = self._solve_once(rb, d_t, noise, m_start, nd, m0=m0)
+            n_rays = rb.num_rays
+            retraces = 0
         else:
-            res = solvers.map_gauss_newton(
-                self.grid, rb, d_t, noise, m_start, self.cov,
-                num_directions=nd, i0=self.i0, gn_iters=sc.gn_iters,
-                cg_iters=sc.cg_iters, cg_tol=sc.cg_tol)
+            m_k, prev_res, res = m_start, float("inf"), None
+            done_iters, retraces = 0, 0
+            while done_iters < sc.gn_iters:
+                rb = self._shard(self.rays_for_time(t, m_field=m_k,
+                                                    antennas=ants))
+                if done_iters > 0:
+                    retraces += 1
+                n_iters = min(rc.retrace_every, sc.gn_iters - done_iters)
+                res = solvers.map_gauss_newton(
+                    self.grid, rb, d_t, noise, m_start, self.cov,
+                    num_directions=nd, i0=self.i0, gn_iters=n_iters,
+                    cg_iters=sc.cg_iters, cg_tol=sc.cg_tol, m0=m_k)
+                m_k = res.m
+                done_iters += n_iters
+                cur = float(res.residual_norm)   # outer-loop stall check
+                if prev_res - cur < 0.01 * prev_res:
+                    break
+                prev_res = cur
+            n_rays = rb.num_rays
         jax.block_until_ready(res.m)
         dt = time.perf_counter() - t0
         diag = dict(timestep=t, seconds=dt,
                     residual=float(res.residual_norm),
                     solver=sc.solver,
-                    rays=int(rb.num_rays),
-                    rays_per_sec=rb.num_rays / dt,
+                    rays=int(min(n_rays, na_real * nd)),
+                    retraces=retraces,
+                    rays_per_sec=n_rays / dt,
                     iters_per_sec=(sc.gn_iters / dt
                                    if sc.solver == "map_gauss_newton"
                                    else None))
         return res.m, diag
+
+    def _config_compatible(self, cfg_json: str) -> bool:
+        """A checkpoint is resumable only if its engine config matches ours
+        on every physics/grid/ray/prior/solver field (runtime fields —
+        paths, logging cadence — may differ). Silently warm-starting from a
+        different run corrupts results (ADVICE r1)."""
+        if not cfg_json:
+            return True
+        try:
+            theirs = json.loads(cfg_json)
+            mine = json.loads(self.config.to_json())
+        except ValueError:
+            return False
+        theirs.pop("runtime", None)
+        mine.pop("runtime", None)
+        return theirs == mine
 
     def run(self, resume: bool = True) -> Solution:
         """Full run: all timesteps, checkpointed, metrics-logged."""
@@ -146,12 +235,17 @@ class InversionPipeline:
         nt = self.d_obs.shape[1]
         start_t, state = 0, None
         if resume:
-            step, state, _ = ckpt_mod.resume(rt.checkpoint_dir)
+            step, state, cfg_json = ckpt_mod.resume(rt.checkpoint_dir)
+            if state is not None and not self._config_compatible(cfg_json):
+                self.metrics.write(dict(
+                    event="checkpoint_config_mismatch", action="ignored",
+                    checkpoint_dir=rt.checkpoint_dir, step=step))
+                step, state = 0, None
             start_t = step
         m_list = list(state["m_seq"][:start_t]) if state is not None else []
 
         if self.config.solver.solver == "kalman":
-            return self._run_kalman()
+            return self._run_kalman(start_t=start_t, state=state)
 
         # warm start from the last checkpointed state, exactly as the
         # uninterrupted run would have chained timesteps
@@ -168,47 +262,83 @@ class InversionPipeline:
         return Solution(self.grid, np.stack(m_list),
                         config_json=self.config.to_json())
 
-    def _run_kalman(self) -> Solution:
+    def _estimate_wind(self, nt: int, dt_s: float):
+        """Bulk wind: datapack metadata when present (synthetic worlds),
+        otherwise estimated from quick single-snapshot solves of the first
+        two timesteps via the differentiable frozen-flow match."""
+        wind = getattr(self.datapack, "wind_kmps", None)
+        if wind is not None:
+            return np.asarray(wind, np.float64)
+        if nt >= 2 and dt_s > 0:
+            m0_est, _ = self.solve_snapshot(0)
+            m1_est, _ = self.solve_snapshot(1)
+            from ..models.frozen_flow import estimate_wind
+            v, _ = estimate_wind(m0_est - self.m_prior,
+                                 m1_est - self.m_prior,
+                                 self.grid, dt_s, n_iters=200)
+            wind = np.asarray(v, np.float64)
+            self.metrics.write(dict(event="wind_estimated",
+                                    wind_kmps=list(map(float, wind))))
+            return wind
+        return np.zeros(3)
+
+    def _run_kalman(self, start_t: int = 0, state=None) -> Solution:
+        """Config-5 solver, chunked for fault tolerance and the device
+        watchdog: the Nt-step filter runs as ceil(Nt/kalman_chunk) scans,
+        checkpointing the filtered sequence (+ wind) after each chunk.
+        ``advect_first``/``m_clim`` make the chunked filter bit-identical
+        to the single-scan filter (tests/test_kalman.py), and resume
+        continues mid-sequence from the newest checkpoint (VERDICT r1 #5).
+        """
+        sc, rt = self.config.solver, self.config.runtime
         nd = self.directions.shape[1]
         nt = self.d_obs.shape[1]
-        bundles = [self.rays_for_time(t) for t in range(nt)]
-        rays_seq = rays_mod.RayBundle(
-            points=jnp.stack([b.points for b in bundles]),
-            ds=jnp.stack([b.ds for b in bundles]))
-        d_seq = jnp.moveaxis(jnp.asarray(self.d_obs), 1, 0)  # (Nt, Na, Nd)
-        # per-timestep noise (time-varying flags inflate per step)
-        noise = jnp.moveaxis(jnp.asarray(self.noise_std), 1, 0)
+        chunk = max(1, sc.kalman_chunk)
+        d_all = np.moveaxis(np.asarray(self.d_obs), 1, 0)   # (Nt, Na, Nd)
+        noise_all = np.moveaxis(np.asarray(self.noise_std), 1, 0)
         dt_s = (float(np.diff(self.datapack.times).mean() * 86400.0)
                 if nt > 1 else 0.0)
-        # bulk wind: taken from datapack metadata when present (synthetic
-        # worlds), otherwise estimated from quick single-snapshot solves of
-        # the first two timesteps via the differentiable frozen-flow match
-        wind = getattr(self.datapack, "wind_kmps", None)
-        if wind is None:
-            if nt >= 2 and dt_s > 0:
-                m0_est, _ = self.solve_snapshot(0)
-                m1_est, _ = self.solve_snapshot(1)
-                from ..models.frozen_flow import estimate_wind
-                v, _ = estimate_wind(m0_est - self.m_prior,
-                                     m1_est - self.m_prior,
-                                     self.grid, dt_s, n_iters=200)
-                wind = np.asarray(v)
-                self.metrics.write(dict(event="wind_estimated",
-                                        wind_kmps=list(map(float, wind))))
-            else:
-                wind = (0.0, 0.0, 0.0)
+        if state is not None and "wind_kmps" in state:
+            wind = np.asarray(state["wind_kmps"])
+        else:
+            wind = self._estimate_wind(nt, dt_s)
+        m_list = list(state["m_seq"][:start_t]) if state is not None else []
+        pre = (list(state["kalman_pre"][:start_t])
+               if state is not None and "kalman_pre" in state else [])
+        post = (list(state["kalman_post"][:start_t])
+                if state is not None and "kalman_post" in state else [])
+        m_cur = jnp.asarray(m_list[-1]) if m_list else self.m_prior
         t0 = time.perf_counter()
-        res = kalman_filter(self.grid, rays_seq, d_seq, noise,
-                            self.m_prior, self.cov, wind, dt_s,
-                            num_directions=nd, i0=self.i0,
-                            cg_iters=self.config.solver.cg_iters,
-                            fade=self.config.solver.kalman_fade)
-        jax.block_until_ready(res.m_seq)
+        for c0 in range(start_t, nt, chunk):
+            c1 = min(c0 + chunk, nt)
+            bundles = [self.rays_for_time(t) for t in range(c0, c1)]
+            rays_seq = rays_mod.RayBundle(
+                points=jnp.stack([b.points for b in bundles]),
+                ds=jnp.stack([b.ds for b in bundles]))
+            res = kalman_filter(
+                self.grid, rays_seq, jnp.asarray(d_all[c0:c1]),
+                jnp.asarray(noise_all[c0:c1]), m_cur, self.cov, wind, dt_s,
+                num_directions=nd, i0=self.i0, cg_iters=sc.cg_iters,
+                fade=sc.kalman_fade, advect_first=(c0 > 0),
+                m_clim=self.m_prior)
+            jax.block_until_ready(res.m_seq)
+            m_list.extend(np.asarray(res.m_seq))
+            pre.extend(np.asarray(res.residuals))
+            post.extend(np.asarray(res.post_residuals))
+            m_cur = res.m_seq[-1]
+            ckpt_mod.save_checkpoint(
+                rt.checkpoint_dir, c1,
+                {"m_seq": np.stack(m_list), "kalman_pre": np.asarray(pre),
+                 "kalman_post": np.asarray(post), "wind_kmps": wind},
+                self.config.to_json())
+            self.metrics.write(dict(solver="kalman", event="chunk",
+                                    t_from=c0, t_to=c1,
+                                    seconds=time.perf_counter() - t0))
         dt = time.perf_counter() - t0
         self.metrics.write(dict(solver="kalman", seconds=dt, timesteps=nt,
-                                steps_per_sec=nt / dt))
-        return Solution(self.grid, np.asarray(res.m_seq),
+                                steps_per_sec=(nt - start_t) / max(dt, 1e-9)))
+        return Solution(self.grid, np.stack(m_list),
                         diagnostics=dict(
-                            pre_residuals=np.asarray(res.residuals),
-                            post_residuals=np.asarray(res.post_residuals)),
+                            pre_residuals=np.asarray(pre),
+                            post_residuals=np.asarray(post)),
                         config_json=self.config.to_json())

@@ -109,7 +109,7 @@ def lsqr_smoothness(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
 def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                      m_prior, cov: GPCovariance, num_directions: int,
                      i0: int = 0, gn_iters: int = 3, cg_iters: int = 40,
-                     cg_tol: float = 1e-4):
+                     cg_tol: float = 1e-4, m0=None):
     """Config 4: Bayesian MAP with GP covariance prior.
 
     Minimises S(m) = ½‖g(m)−d‖²_{C_d⁻¹} + ½‖m−m_prior‖²_{C_m⁻¹}
@@ -122,6 +122,11 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
     (J C Jᵀ + C_d) is catastrophically ill-conditioned at high SNR and
     diverges under truncated CG; this is the standard B^{1/2} trick from
     variational data assimilation.
+
+    ``m0``: warm-start iterate (defaults to m_prior). The prior pull stays
+    anchored at m_prior either way — used by the nonlinear bent-ray outer
+    loop, which re-traces rays through the current iterate and continues
+    the solve from it (pipeline.solve_snapshot).
     """
     d = jnp.asarray(d_obs).ravel()
     cd_diag = jnp.broadcast_to(jnp.asarray(noise_std),
@@ -147,7 +152,8 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
         res = jnp.linalg.norm((g0 + apply_j(dm) - d) / jnp.sqrt(cd_diag))
         return m_next, (res, info.iterations, info.residual_norm)
 
-    m_final, diags = jax.lax.scan(gn_step, m_prior, None, length=gn_iters)
+    m_init = m_prior if m0 is None else m0
+    m_final, diags = jax.lax.scan(gn_step, m_init, None, length=gn_iters)
     return InversionResult(m=m_final, residual_norm=diags[0][-1],
                            info=diags)
 

@@ -68,3 +68,33 @@ def test_noise_is_reproducible_and_scaled():
                                        noise_tecu=0.01, seed=7, n_samples=17)
     np.testing.assert_allclose(dp1.dtec, dp2.dtec)
     assert np.all(dp1.noise_std > 0)
+
+
+def test_datapack_select_rereferences_when_ref_dropped():
+    """Dropping the reference antenna re-references the subset (exactly:
+    T_i − T_j0 = d_i − d_j0), rather than silently pointing ref at row 0
+    while the data stay referenced to the old antenna (ADVICE r1)."""
+    dp, _ = generate_example_datapack(
+        n_antennas=6, n_directions=3, n_times=2, grid_shape=(16, 16, 16),
+        noise_tecu=0.0, n_samples=17)
+    assert dp.ref_antenna == 0
+    sub = dp.select(antennas=[3, 1, 4])          # drops antenna 0
+    assert sub.ref_antenna == 0                  # new ref = first kept row
+    # new reference row is identically zero
+    np.testing.assert_allclose(sub.dtec[0], 0.0, atol=1e-12)
+    # and the data equal dTEC referenced to antenna 3 directly
+    want = dp.dtec[[3, 1, 4]] - dp.dtec[3:4]
+    np.testing.assert_allclose(sub.dtec, want, atol=1e-12)
+    # noise grew in quadrature for non-ref rows, stayed put for the ref row
+    assert np.all(sub.noise_std[1:] >= dp.noise_std[[1, 4]])
+    np.testing.assert_allclose(sub.noise_std[0], dp.noise_std[3])
+
+
+def test_datapack_select_flags_propagate_from_new_ref():
+    dp, _ = generate_example_datapack(
+        n_antennas=5, n_directions=2, n_times=1, grid_shape=(16, 16, 16),
+        n_samples=17)
+    dp.flags[2, 0, 1] = True                     # will become the new ref
+    sub = dp.select(antennas=[2, 3, 4])
+    assert sub.flags[:, 0, 1].all()              # ref flag poisons the column
+    assert not sub.flags[1:, 0, 0].any()

@@ -132,3 +132,25 @@ def test_keep_path_false_matches_endpoint():
     np.testing.assert_allclose(np.asarray(b1.points[:, -1]),
                                np.asarray(b2.points[:, -1]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-5)
+
+
+def test_overdense_clip_zeroes_bending_force():
+    """Below the plasma frequency (over-dense: 1 − κ n_e/f² clipped) the
+    refractive index is held constant, so the bending force must vanish
+    there instead of blowing up through the 1/n division (ADVICE r1).
+    At 5 MHz a 1e12 m^-3 Chapman peak is strongly over-dense."""
+    grid, m = world()
+    origins, dirs = slanted_rays(4, seed=13)
+    bundle, tec = fermat.trace_rays(m, grid, origins, dirs, 5e6, 1000.0,
+                                    n_steps=64, method="leapfrog")
+    pts = np.asarray(bundle.points)
+    assert np.isfinite(pts).all()
+    assert np.isfinite(np.asarray(tec)).all()
+    # the ray must stay within physical bounds (no runaway kick): endpoint
+    # within max_length of the origin
+    d_end = np.linalg.norm(pts[:, -1] - pts[:, 0], axis=-1)
+    assert (d_end <= 1000.0 + 1.0).all()
+    # rk4 path through the same over-dense medium is also finite
+    b2, t2 = fermat.trace_rays(m, grid, origins, dirs, 5e6, 1000.0,
+                               n_steps=64, method="rk4")
+    assert np.isfinite(np.asarray(b2.points)).all()

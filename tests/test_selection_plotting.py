@@ -76,3 +76,22 @@ def test_plots_render(tmp_path):
             dict(timestep=1, residual=3.0, seconds=0.8)]
     plot_tools.plot_convergence(recs, filename=str(tmp_path / "cv.png"))
     assert (tmp_path / "cv.png").exists()
+
+
+def test_select_antennas_by_distance_returns_exactly_n():
+    """n close to Na used to collapse duplicates (np.unique over linspace)
+    and silently return fewer antennas (ADVICE r1)."""
+    from ionotomo_tpu.data import selection
+    dp, _ = generate_example_datapack(
+        n_antennas=10, n_directions=2, n_times=1, grid_shape=(12, 12, 12),
+        n_samples=9)
+    for n in (2, 7, 9, 10, 15):
+        sub = selection.select_antennas_by_distance(dp, n)
+        assert sub.shape[0] == min(n, 10), (n, sub.shape)
+        assert dp.ref_antenna in [0]  # original ref still index 0
+    # include_ref keeps the longest baseline in the picked set (the subset
+    # ENU frame re-centres, so check membership by label)
+    r = np.linalg.norm(dp.array.enu[:, :2], axis=1)
+    sub = selection.select_antennas_by_distance(dp, 4)
+    assert dp.array.labels[int(np.argmax(r))] in sub.array.labels
+    assert dp.array.labels[dp.ref_antenna] in sub.array.labels
