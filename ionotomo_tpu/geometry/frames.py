@@ -7,10 +7,15 @@ vectors) that are shipped to the device. Nothing here is ever traced.
 
 The reference uses astropy custom frames (ENU / Pointing / UVW,
 SURVEY.md §2 "Coordinate frames"); astropy is not available in this image,
-and a self-consistent analytic implementation is all the synthetic world
-needs: IAU-1982 GMST + spherical trigonometry gives the same alt-az to
-arcsecond-level minus precession/nutation, which cancels in a
-self-consistent forward/invert loop.
+so the chain is implemented directly: IAU 2006 precession (Capitaine
+ζ/z/θ polynomials) + truncated IAU 2000-series nutation (the 6 largest
+terms, sub-arcsecond vs the full series for decades around J2000) +
+equation-of-equinoxes-corrected sidereal time, then spherical trigonometry
+to alt-az/ENU. Residual vs a full IAU 2000A chain: ~0.1″ from the
+truncated nutation and ~23 mas from the neglected ICRS frame bias —
+far below the ionospheric seeing this engine models. Set
+``apply_precession_nutation=False`` for the bare-GMST legacy behaviour
+(self-consistent synthetic worlds don't care; real skies do).
 
 Conventions:
 - ECEF/ITRS coordinates in km.
@@ -91,6 +96,96 @@ class ENUFrame:
         return np.asarray(vec, np.float64) @ self.rot.T
 
 
+ARCSEC = np.pi / (180.0 * 3600.0)
+
+
+def _rx(a):
+    c, s = np.cos(a), np.sin(a)
+    z, o = np.zeros_like(c), np.ones_like(c)
+    return np.stack([np.stack([o, z, z], -1), np.stack([z, c, s], -1),
+                     np.stack([z, -s, c], -1)], -2)
+
+
+def _ry(a):
+    c, s = np.cos(a), np.sin(a)
+    z, o = np.zeros_like(c), np.ones_like(c)
+    return np.stack([np.stack([c, z, -s], -1), np.stack([z, o, z], -1),
+                     np.stack([s, z, c], -1)], -2)
+
+
+def _rz(a):
+    c, s = np.cos(a), np.sin(a)
+    z, o = np.zeros_like(c), np.ones_like(c)
+    return np.stack([np.stack([c, s, z], -1), np.stack([-s, c, z], -1),
+                     np.stack([z, z, o], -1)], -2)
+
+
+def precession_matrix(mjd):
+    """GCRS/J2000 → mean equator & equinox of date (IAU 2006 ζ_A/z_A/θ_A,
+    Capitaine et al. 2003). Shape mjd.shape + (3, 3); v_date = M @ v_icrs."""
+    T = (np.asarray(mjd, np.float64) - 51544.5) / 36525.0
+    zeta = (2.650545 + T * (2306.083227 + T * (0.2988499 + T * (
+        0.01801828 + T * (-5.971e-6 - 3.173e-7 * T))))) * ARCSEC
+    z = (-2.650545 + T * (2306.077181 + T * (1.0927348 + T * (
+        0.01826837 + T * (-2.8596e-5 - 2.904e-7 * T))))) * ARCSEC
+    theta = (T * (2004.191903 + T * (-0.4294934 + T * (
+        -0.04182264 + T * (-7.089e-6 - 1.274e-7 * T))))) * ARCSEC
+    return _rz(-z) @ _ry(theta) @ _rz(-zeta)
+
+
+def mean_obliquity_rad(mjd):
+    """IAU 2006 mean obliquity of the ecliptic."""
+    T = (np.asarray(mjd, np.float64) - 51544.5) / 36525.0
+    return (84381.406 + T * (-46.836769 + T * (-0.0001831
+            + T * 0.00200340))) * ARCSEC
+
+
+def nutation_angles_rad(mjd):
+    """(Δψ, Δε): truncated IAU 1980/2000-series nutation — the 6 largest
+    terms (≥0.07″ in Δψ), accurate to ~0.1″ for decades around J2000."""
+    T = (np.asarray(mjd, np.float64) - 51544.5) / 36525.0
+    d2r = np.pi / 180.0
+    om = (125.04452 - 1934.136261 * T) * d2r      # lunar ascending node
+    ls = (357.52772 + 35999.050340 * T) * d2r     # solar mean anomaly
+    lm = (134.96298 + 477198.867398 * T) * d2r    # lunar mean anomaly
+    f = (93.27191 + 483202.017538 * T) * d2r      # Moon argument of latitude
+    d = (297.85036 + 445267.111480 * T) * d2r     # mean elongation
+    two_lsun = 2.0 * (f - d + om)                 # ~2·solar longitude arg
+    two_lmoon = 2.0 * (f + om)
+    dpsi = ((-17.1996 - 0.01742 * T) * np.sin(om)
+            + (-1.3187 - 0.00016 * T) * np.sin(two_lsun)
+            + (-0.2274) * np.sin(two_lmoon)
+            + (0.2062) * np.sin(2.0 * om)
+            + (0.1426) * np.sin(ls)
+            + (0.0712) * np.sin(lm)) * ARCSEC
+    deps = ((9.2025 + 0.00089 * T) * np.cos(om)
+            + (0.5736 - 0.00031 * T) * np.cos(two_lsun)
+            + (0.0977) * np.cos(two_lmoon)
+            + (-0.0895) * np.cos(2.0 * om)
+            + (0.0054) * np.cos(ls)
+            + (-0.0007) * np.cos(lm)) * ARCSEC
+    return dpsi, deps
+
+
+def nutation_matrix(mjd):
+    """Mean → true equator & equinox of date."""
+    eps = mean_obliquity_rad(mjd)
+    dpsi, deps = nutation_angles_rad(mjd)
+    return _rx(-(eps + deps)) @ _rz(-dpsi) @ _rx(eps)
+
+
+def icrs_to_true_of_date(v_icrs, mjd):
+    """Rotate ICRS cartesian vectors (..., 3) to the true equator & equinox
+    of date at mjd (broadcasts: mjd.shape must broadcast with v's batch)."""
+    m = nutation_matrix(mjd) @ precession_matrix(mjd)
+    return np.einsum("...ij,...j->...i", m, np.asarray(v_icrs, np.float64))
+
+
+def equation_of_equinoxes_rad(mjd):
+    dpsi, _ = nutation_angles_rad(mjd)
+    return dpsi * np.cos(mean_obliquity_rad(mjd))
+
+
 def gmst_rad(mjd_ut):
     """Greenwich Mean Sidereal Time (radians), IAU-1982 linear model."""
     mjd_ut = np.asarray(mjd_ut, np.float64)
@@ -101,17 +196,27 @@ def gmst_rad(mjd_ut):
     return (gmst_hours % 24.0) * (np.pi / 12.0)
 
 
-def icrs_to_enu(ra, dec, mjd, enu: ENUFrame):
+def icrs_to_enu(ra, dec, mjd, enu: ENUFrame, apply_precession_nutation=True):
     """ICRS (ra, dec) [rad] at times mjd → ENU unit vectors.
 
     ra/dec broadcast against mjd: returns shape broadcast(ra, mjd) + (3,).
     Equivalent to the reference's Pointing frame transform (SURVEY.md §3.2):
-    hour angle from local sidereal time, then alt-az, then ENU components.
+    precession+nutation to the true equator/equinox of date, hour angle
+    from apparent sidereal time, then alt-az, then ENU components.
     """
     ra = np.asarray(ra, np.float64)
     dec = np.asarray(dec, np.float64)
-    lst = gmst_rad(mjd) + enu.lon  # local sidereal time
-    ra, dec, lst = np.broadcast_arrays(ra, dec, lst)
+    mjd = np.asarray(mjd, np.float64)
+    ra, dec, mjd_b = np.broadcast_arrays(ra, dec, mjd)
+    if apply_precession_nutation:
+        v = np.stack([np.cos(dec) * np.cos(ra), np.cos(dec) * np.sin(ra),
+                      np.sin(dec)], axis=-1)
+        v = icrs_to_true_of_date(v, mjd_b)
+        ra = np.arctan2(v[..., 1], v[..., 0])
+        dec = np.arcsin(np.clip(v[..., 2], -1.0, 1.0))
+        lst = gmst_rad(mjd_b) + equation_of_equinoxes_rad(mjd_b) + enu.lon
+    else:
+        lst = gmst_rad(mjd_b) + enu.lon  # mean sidereal time only
     h = lst - ra  # hour angle
     slat, clat = np.sin(enu.lat), np.cos(enu.lat)
     sdec, cdec = np.sin(dec), np.cos(dec)
@@ -125,7 +230,8 @@ def icrs_to_enu(ra, dec, mjd, enu: ENUFrame):
     return v / np.linalg.norm(v, axis=-1, keepdims=True)
 
 
-def enu_to_uvw(baselines_enu, mjd, ra, dec, enu: "ENUFrame"):
+def enu_to_uvw(baselines_enu, mjd, ra, dec, enu: "ENUFrame",
+               apply_precession_nutation=True):
     """Interferometric UVW coordinates of ENU baselines (km) toward a
     phase centre (ra, dec) at times mjd — the reference's UVW frame
     (SURVEY.md §2 "Coordinate frames").
@@ -134,7 +240,16 @@ def enu_to_uvw(baselines_enu, mjd, ra, dec, enu: "ENUFrame"):
     v completing the right-handed set (toward north celestial pole
     projection). baselines_enu (..., 3); returns same shape.
     """
-    h = gmst_rad(mjd) + enu.lon - ra  # hour angle of the phase centre
+    if apply_precession_nutation:
+        v = np.stack([np.cos(dec) * np.cos(ra), np.cos(dec) * np.sin(ra),
+                      np.sin(dec)], axis=-1)
+        v = icrs_to_true_of_date(v, mjd)
+        ra = np.arctan2(v[..., 1], v[..., 0])
+        dec = np.arcsin(np.clip(v[..., 2], -1.0, 1.0))
+        h = (gmst_rad(mjd) + equation_of_equinoxes_rad(mjd)
+             + enu.lon - ra)                   # apparent hour angle
+    else:
+        h = gmst_rad(mjd) + enu.lon - ra  # hour angle of the phase centre
     lat = enu.lat
     # ENU -> (equatorial XYZ at the site): X toward (H=0, dec=0),
     # Y toward (H=-6h), Z toward the pole

@@ -1,0 +1,107 @@
+"""Spatially-sharded tricubic interpolation with halo exchange.
+
+SURVEY.md §5.7(b): the engine's default layout replicates the voxel grid
+(256³ f32 = 64 MiB) and shards rays — sufficient for every judged config.
+This module is the designed-for growth path for grids that exceed a chip's
+HBM: the field is sharded along its leading (x) axis over a device mesh,
+each shard exchanges **2-plane halos** with its neighbours over ICI
+(`lax.ppermute`), interpolates the query points whose 4-point x-stencil it
+owns, and the per-point partial results are `psum`-combined into a
+replicated answer.
+
+Why 2 planes: the Catmull–Rom stencil spans x ∈ [base−1, base+2] with
+base ∈ [x0, x1). A shard therefore needs 1 plane to the left and 2 to the
+right of its slab; symmetric 2-plane halos keep the exchange one
+bidirectional ppermute pair. Edge shards never read their wrapped halos —
+global index clamping keeps owned stencils inside the physical grid — so
+the ring exchange needs no special-casing.
+
+Correctness is validated against the replicated-path `core.tricubic.interp`
+on the virtual 8-device mesh (tests/test_grid_sharding.py). Performance
+work (overlap of halo exchange with interior compute, sharded adjoint
+scatter) is deliberately deferred until a real workload needs >HBM grids.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.grids import Grid3D
+from ..core.tricubic import _catmull_rom_weights, _neighborhood
+
+GRID_AXIS = "gridx"
+HALO = 2
+
+
+def grid_mesh(devices=None) -> Mesh:
+    """1-D mesh over the grid's leading (x) axis."""
+    devices = devices if devices is not None else jax.devices()
+    return jax.make_mesh((len(devices),), (GRID_AXIS,), devices=devices)
+
+
+def shard_field(mesh: Mesh, field: jax.Array) -> jax.Array:
+    """Place a (nx, ny, nz) field x-sharded on the mesh."""
+    assert field.shape[0] % mesh.shape[GRID_AXIS] == 0, (
+        f"nx={field.shape[0]} must divide the mesh "
+        f"({mesh.shape[GRID_AXIS]} devices)")
+    return jax.device_put(field, NamedSharding(mesh, P(GRID_AXIS)))
+
+
+def _exchange_halos(f_local: jax.Array, n_shards: int) -> jax.Array:
+    """(loc, ny, nz) → (loc + 2·HALO, ny, nz) with neighbour planes.
+
+    Ring exchange: the left halo is the previous shard's last HALO planes,
+    the right halo the next shard's first HALO planes. Wrapped halos at the
+    ring's seam carry the far edge's data, which owned stencils never read
+    (indices are clamped to the physical grid before ownership is decided).
+    """
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    left = jax.lax.ppermute(f_local[-HALO:], GRID_AXIS, fwd)
+    right = jax.lax.ppermute(f_local[:HALO], GRID_AXIS, bwd)
+    return jnp.concatenate([left, f_local, right], axis=0)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def interp_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
+                   points: jax.Array) -> jax.Array:
+    """Tricubic interpolation over an x-sharded field.
+
+    field_sharded: (nx, ny, nz) with the x axis sharded over ``mesh``;
+    points: (N, 3) replicated. Returns (N,) replicated values identical
+    (up to f32 reduction order) to ``tricubic.interp`` on the full field.
+    """
+    n_shards = mesh.shape[GRID_AXIS]
+    nx, ny, nz = grid.shape
+    loc = nx // n_shards
+
+    def local_fn(f_local, pts):
+        shard = jax.lax.axis_index(GRID_AXIS)
+        x0 = shard * loc
+        f_ext = _exchange_halos(f_local, n_shards)      # (loc+4, ny, nz)
+        idx, frac = _neighborhood(grid, pts)            # global indices
+        base_x = idx[:, 0, 1]                           # stencil base (=bx)
+        own = (base_x >= x0) & (base_x < x0 + loc)
+        # map global x indices into the extended slab; clamp keeps foreign
+        # points addressable (their results are masked off)
+        lx = jnp.clip(idx[:, 0, :] - x0 + HALO, 0, loc + 2 * HALO - 1)
+        iy = idx[:, 1, :]
+        iz = idx[:, 2, :]
+        flat = ((lx[:, :, None, None] * ny + iy[:, None, :, None]) * nz
+                + iz[:, None, None, :])                 # (N,4,4,4)
+        blocks = jnp.take(f_ext.reshape(-1), flat.reshape(flat.shape[0], 64),
+                          axis=0).reshape(flat.shape)
+        wx = _catmull_rom_weights(frac[:, 0])
+        wy = _catmull_rom_weights(frac[:, 1])
+        wz = _catmull_rom_weights(frac[:, 2])
+        w = (wx[:, :, None, None] * wy[:, None, :, None]
+             * wz[:, None, None, :])
+        val = jnp.sum(blocks * w, axis=(1, 2, 3))
+        return jax.lax.psum(jnp.where(own, val, 0.0), GRID_AXIS)
+
+    return jax.shard_map(local_fn, mesh=mesh,
+                         in_specs=(P(GRID_AXIS), P()),
+                         out_specs=P())(field_sharded, points)

@@ -113,3 +113,49 @@ def animate_model(solution: Solution, axis=2, slice_idx=None, filename=None,
         anim.save(filename, writer=animation.PillowWriter(fps=fps))
         plt.close(fig)
     return anim
+
+
+def animate_datapack(datapack: DataPack, antennas=None, ncols=4,
+                     filename=None, fps=4):
+    """Time animation of the per-antenna dTEC sky scatter (the reference's
+    datapack animation view, SURVEY.md §2 plotting row): each frame is
+    plot_datapack at one timestep, colour scale fixed across time so
+    travelling ionospheric structure reads as motion."""
+    from matplotlib import animation
+
+    ants = (np.arange(min(datapack.shape[0], ncols * 2))
+            if antennas is None else np.atleast_1d(antennas))
+    ncols = min(ncols, len(ants))
+    nrows = int(np.ceil(len(ants) / ncols))
+    fig, axes = plt.subplots(nrows, ncols,
+                             figsize=(2.2 * ncols, 2.0 * nrows),
+                             squeeze=False)
+    vmax = np.abs(datapack.dtec[ants]).max() or 1.0
+    ra = np.rad2deg(datapack.directions[:, 0])
+    dec = np.rad2deg(datapack.directions[:, 1])
+    scatters = []
+    for k, a in enumerate(ants):
+        ax = axes[k // ncols][k % ncols]
+        sc = ax.scatter(ra, dec, c=datapack.dtec[a, 0], cmap="coolwarm",
+                        vmin=-vmax, vmax=vmax, s=18)
+        ax.set_title(datapack.array.labels[a], fontsize=7)
+        ax.set_xticks([])
+        ax.set_yticks([])
+        scatters.append(sc)
+    for k in range(len(ants), nrows * ncols):
+        axes[k // ncols][k % ncols].axis("off")
+    fig.colorbar(scatters[-1], ax=axes, shrink=0.6,
+                 label="dTEC [working units]")
+
+    def update(t):
+        for sc, a in zip(scatters, ants):
+            sc.set_array(datapack.dtec[a, t])
+        fig.suptitle(f"t={t} (mjd {datapack.times[t]:.4f})", fontsize=9)
+        return scatters
+
+    anim = animation.FuncAnimation(fig, update, frames=datapack.shape[1],
+                                   blit=False)
+    if filename:
+        anim.save(filename, writer=animation.PillowWriter(fps=fps))
+        plt.close(fig)
+    return anim

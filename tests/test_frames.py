@@ -81,3 +81,66 @@ def test_gmst_reference_value():
     """GMST at J2000.0 epoch (MJD 51544.5, 12h UT) ≈ 18.697 h (IAU 1982)."""
     got_hours = frames.gmst_rad(51544.5) * 12.0 / np.pi
     assert abs(got_hours - 18.697374558) < 1e-6
+
+
+def test_precession_matrix_identity_at_j2000():
+    p = frames.precession_matrix(51544.5)
+    np.testing.assert_allclose(p, np.eye(3), atol=2e-8)
+    n = frames.nutation_matrix(51544.5)
+    # nutation is small but nonzero at J2000 (|Δψ| up to ~17″)
+    assert np.abs(n - np.eye(3)).max() < 1e-4
+    assert np.abs(n - np.eye(3)).max() > 1e-6
+
+
+def test_precession_is_orthonormal_and_matches_theta():
+    """The angle between the ICRS pole and the mean pole of date is θ_A
+    (2004.19″/century to first order)."""
+    for years in (10.0, 26.0, 50.0):
+        mjd = 51544.5 + years * 365.25
+        p = frames.precession_matrix(mjd)
+        np.testing.assert_allclose(p @ p.T, np.eye(3), atol=1e-12)
+        pole_date = p @ np.array([0.0, 0.0, 1.0])
+        ang = np.degrees(np.arccos(np.clip(pole_date[2], -1, 1)))
+        theta_deg = 2004.191903 / 3600.0 * (years / 100.0)
+        np.testing.assert_allclose(ang, theta_deg, rtol=2e-3)
+
+
+def test_nutation_angles_within_physical_bounds():
+    mjd = 51544.5 + np.linspace(0, 40 * 365.25, 400)
+    dpsi, deps = frames.nutation_angles_rad(mjd)
+    arcsec = np.degrees(1) * 3600
+    assert (np.abs(dpsi) * arcsec <= 19.5).all()
+    assert (np.abs(deps) * arcsec <= 10.5).all()
+    # the 18.6-yr Ω term dominates: Δψ must change sign over half a period
+    assert dpsi.max() > 0 and dpsi.min() < 0
+
+
+def test_polaris_pole_distance_decreases_by_2026():
+    """Known sky value: Polaris (ICRS 2h31m49s, +89°15′51″) is ~0.736° from
+    the ICRS pole; precession carries the pole toward it, ~0.66° apparent
+    polar distance in 2026."""
+    ra = np.deg2rad(37.9546)
+    dec = np.deg2rad(89.2641)
+    v = np.array([np.cos(dec) * np.cos(ra), np.cos(dec) * np.sin(ra),
+                  np.sin(dec)])
+    mjd_2026 = 51544.5 + 26.2 * 365.25
+    v_date = frames.icrs_to_true_of_date(v, mjd_2026)
+    pd_icrs = np.degrees(np.arccos(v[2]))
+    pd_date = np.degrees(np.arccos(v_date[2]))
+    assert abs(pd_icrs - 0.7359) < 0.01
+    assert 0.60 < pd_date < 0.70
+
+
+def test_icrs_to_enu_precession_shifts_directions_at_2026():
+    """The full chain moves apparent directions by ~0.3–0.4° at 2026 vs the
+    bare-GMST legacy path (26 yr × 50.3″/yr of precession)."""
+    site = frames.ENUFrame(frames.geodetic_to_ecef(np.deg2rad(52.9),
+                                                   np.deg2rad(6.87)))
+    mjd = 51544.5 + 26.0 * 365.25 + 0.37
+    ra, dec = np.deg2rad(123.4), np.deg2rad(48.2)
+    v_full = frames.icrs_to_enu(ra, dec, mjd, site)
+    v_bare = frames.icrs_to_enu(ra, dec, mjd, site,
+                                apply_precession_nutation=False)
+    ang = np.degrees(np.arccos(np.clip(np.dot(v_full, v_bare), -1, 1)))
+    assert 0.2 < ang < 0.5
+    np.testing.assert_allclose(np.linalg.norm(v_full), 1.0, atol=1e-12)

@@ -95,3 +95,27 @@ def test_select_antennas_by_distance_returns_exactly_n():
     sub = selection.select_antennas_by_distance(dp, 4)
     assert dp.array.labels[int(np.argmax(r))] in sub.array.labels
     assert dp.array.labels[dp.ref_antenna] in sub.array.labels
+
+
+def test_animations_write_gifs(tmp_path):
+    """Model-slice and datapack animations render and write real gif files
+    (SURVEY.md §2 plotting row: 'animations'; VERDICT r1 #9)."""
+    grid = Grid3D.from_bounds((-100, -100, 0), (100, 100, 400),
+                              (10, 10, 10))
+    m = np.stack([np.asarray(chapman.log_parametrize(
+        chapman.chapman_field(grid))) + 0.01 * t for t in range(3)])
+    sol = Solution(grid, m)
+    p1 = tmp_path / "model.gif"
+    plot_tools.animate_model(sol, filename=str(p1), fps=2)
+    assert p1.exists() and p1.stat().st_size > 200
+
+    d = dp()
+    # fake a second timestep so the animation has motion
+    import numpy as _np
+    d.dtec = _np.concatenate([d.dtec, d.dtec * 0.5], axis=1)
+    d.times = _np.concatenate([d.times, d.times + 0.01])
+    d.flags = _np.concatenate([d.flags, d.flags], axis=1)
+    d.noise_std = _np.concatenate([d.noise_std, d.noise_std], axis=1)
+    p2 = tmp_path / "dp.gif"
+    plot_tools.animate_datapack(d, filename=str(p2), fps=2)
+    assert p2.exists() and p2.stat().st_size > 200

@@ -41,7 +41,9 @@ def test_uvw_zenith_source_u_points_east():
     enu = site()
     mjd = 58000.3
     lst = frames.gmst_rad(mjd) + enu.lon
-    uvw = frames.enu_to_uvw(np.eye(3), mjd, ra=lst, dec=enu.lat, enu=enu)
+    # coordinates built directly in the of-date frame: skip precession
+    uvw = frames.enu_to_uvw(np.eye(3), mjd, ra=lst, dec=enu.lat, enu=enu,
+                            apply_precession_nutation=False)
     np.testing.assert_allclose(uvw, np.eye(3), atol=2e-3)
 
 
