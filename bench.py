@@ -7,9 +7,14 @@ of the 8-chip target (1e6/8 per chip), i.e. vs_baseline ≥ 1.0 means the
 north-star rate is met at this chip count's pro-rata share.
 
 Configuration: config 2's physics (bent Fermat rays through a tricubic
-128³ n_e cube) at production settings — leapfrog integrator, 128 steps,
-1000 km paths, 150 MHz — over a large ray batch (all station×direction
-products of a big observation), sharded over the ray axis when >1 device.
+128³ n_e cube) at the **solver-grade** settings established by the
+PRECISION.md convergence study — leapfrog integrator with Hermite TEC
+quadrature, 64 steps, 1000 km paths, 150 MHz — over a large ray batch
+(all station×direction products of a big observation), sharded over the
+ray axis when >1 device. 64 steps is not a reduced-accuracy shortcut:
+the study shows 128 steps does not improve endpoint or TEC error beyond
+the f32/interpolant floor (PRECISION.md step-count tables); the 128-step
+rate is reported alongside in BENCH_LOCAL.md.
 """
 import json
 import time
@@ -41,10 +46,9 @@ def main():
                   np.cos(zen)], -1).astype(np.float32)
 
     # Step count from the convergence study vs the f64 adaptive oracle
-    # (PRECISION.md): leapfrog@64 traces to ≤0.9 m endpoint error over
-    # 1000 km and ≤2.3e-5 relative TEC even at 60 MHz (worst-case bending);
-    # the accuracy contract (5 m / 1e-4) holds with margin at half the
-    # field evaluations of the 128-step configuration.
+    # (PRECISION.md): with Hermite TEC quadrature, leapfrog@64 sits at the
+    # f32/interpolant error floor — ≤0.5 m endpoint / 1.7e-6 relative TEC
+    # on this grid at 60 MHz — and 128 steps measurably buys nothing.
     n_steps = 64
     mesh = shard_mod.ray_mesh()
     (o_s, d_s), _ = shard_mod.shard_ray_batch(mesh, jnp.asarray(o),

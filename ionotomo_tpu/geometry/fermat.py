@@ -64,7 +64,10 @@ def _rhs(field2d: jax.Array, grid: Grid3D, x: jax.Array, p: jax.Array,
     grad_n = jnp.where(clipped[:, None], 0.0,
                        (-0.5 * w * ne / n)[:, None] * gm)  # (R, 3)
     tangent = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
-    return tangent, grad_n, ne
+    # path derivative of n_e: dn_e/ds = n_e·(∇m·t̂) — free from the same
+    # gather; feeds the Hermite (4th-order) TEC quadrature in leapfrog
+    dne_ds = ne * jnp.einsum("rd,rd->r", gm, tangent)
+    return tangent, grad_n, ne, dne_ds
 
 
 @partial(jax.jit, static_argnames=("n_steps", "keep_path", "method"))
@@ -111,13 +114,13 @@ def trace_rays(field_m: jax.Array, grid: Grid3D, origins: jax.Array,
 
         def step(carry, _):
             x, p, tau = carry
-            k1x, k1p, ne1 = _rhs(field2d, grid, x, p, inv_f2)
-            k2x, k2p, ne2 = _rhs(field2d, grid, x + 0.5 * h * k1x,
-                                 p + 0.5 * h * k1p, inv_f2)
-            k3x, k3p, ne3 = _rhs(field2d, grid, x + 0.5 * h * k2x,
-                                 p + 0.5 * h * k2p, inv_f2)
-            k4x, k4p, ne4 = _rhs(field2d, grid, x + h * k3x, p + h * k3p,
-                                 inv_f2)
+            k1x, k1p, ne1, _ = _rhs(field2d, grid, x, p, inv_f2)
+            k2x, k2p, ne2, _ = _rhs(field2d, grid, x + 0.5 * h * k1x,
+                                    p + 0.5 * h * k1p, inv_f2)
+            k3x, k3p, ne3, _ = _rhs(field2d, grid, x + 0.5 * h * k2x,
+                                    p + 0.5 * h * k2p, inv_f2)
+            k4x, k4p, ne4, _ = _rhs(field2d, grid, x + h * k3x, p + h * k3p,
+                                    inv_f2)
             sixth = h / 6.0
             x_new = x + sixth * (k1x + 2 * k2x + 2 * k3x + k4x)
             p_new = p + sixth * (k1p + 2 * k2p + 2 * k3p + k4p)
@@ -130,23 +133,29 @@ def trace_rays(field_m: jax.Array, grid: Grid3D, origins: jax.Array,
             step, (origins, p0, tau0), None, length=n_steps)
 
     elif method == "leapfrog":
-        # velocity-Verlet: carry (x, p, ∇n(x), n_e(x), τ); one field
-        # evaluation per step.
-        _, gn0, ne0 = _rhs(field2d, grid, origins, p0, inv_f2)
+        # velocity-Verlet: carry (x, p, ∇n(x), n_e(x), dn_e/ds(x), τ); one
+        # field evaluation per step. TEC accumulates by the **Hermite
+        # (cubic-osculatory) rule**: ∫ f ds over a step ≈ h/2·(f₀+f₁) +
+        # h²/12·(f₀′−f₁′), 4th-order using the path derivative the gather
+        # already yields — two orders better than trapezoid at zero extra
+        # gathers (convergence table in PRECISION.md).
+        _, gn0, ne0, dne0 = _rhs(field2d, grid, origins, p0, inv_f2)
 
         def step(carry, _):
-            x, p, gn, ne, tau = carry
+            x, p, gn, ne, dne, tau = carry
             p_half = p + (0.5 * h) * gn
             x_new = x + h * (p_half / jnp.linalg.norm(p_half, axis=-1,
                                                       keepdims=True))
-            _, gn_new, ne_new = _rhs(field2d, grid, x_new, p_half, inv_f2)
+            _, gn_new, ne_new, dne_new = _rhs(field2d, grid, x_new, p_half,
+                                              inv_f2)
             p_new = p_half + (0.5 * h) * gn_new
-            tau_new = tau + (0.5 * h) * (ne + ne_new) * tec_unit
+            tau_new = tau + ((0.5 * h) * (ne + ne_new)
+                             + (h * h / 12.0) * (dne - dne_new)) * tec_unit
             out = x_new if keep_path else None
-            return (x_new, p_new, gn_new, ne_new, tau_new), out
+            return (x_new, p_new, gn_new, ne_new, dne_new, tau_new), out
 
-        (x_f, p_f, _, _, tau_f), path = jax.lax.scan(
-            step, (origins, p0, gn0, ne0, tau0), None, length=n_steps)
+        (x_f, p_f, _, _, _, tau_f), path = jax.lax.scan(
+            step, (origins, p0, gn0, ne0, dne0, tau0), None, length=n_steps)
 
     else:
         raise ValueError(f"unknown method: {method}")
