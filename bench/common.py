@@ -38,3 +38,65 @@ def emit(config: str, metric: str, value: float, unit: str, **extra):
     rec.update(extra)
     print(json.dumps(rec))
     return rec
+
+
+def honest_truth(grid, m_prior, amplitude=0.3, outer_scale_km=120.0,
+                 seed=7):
+    """Truth field for inversion benches: prior + **von Kármán turbulence**
+    — deliberately NOT a draw from any solver's assumed GP prior, so
+    reconstruction error includes real prior misspecification
+    (VERDICT r1 #4: no inverse crime)."""
+    from ionotomo_tpu.models.turbulence import turbulent_log_perturbation
+    return m_prior + turbulent_log_perturbation(
+        grid, amplitude=amplitude, outer_scale_km=outer_scale_km, seed=seed)
+
+
+def bent_dtec_data(m_true, grid, ants, dirs, frequency_hz=150e6,
+                   n_steps=256, noise_frac=0.01, seed=0,
+                   max_length_km=1000.0):
+    """Observations via the **bent Fermat tracer** at 2× the production
+    quadrature (n_steps=256 vs the solvers' ~129 samples), plus Gaussian
+    noise — the forward model generating the data is NOT the operator the
+    solvers invert (different physics: bending; different quadrature).
+    Returns (d_obs (Na,Nd), noise_std scalar)."""
+    import jax
+    import jax.numpy as jnp
+    from ionotomo_tpu.geometry import fermat, rays as rays_mod
+
+    origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
+    _, tau = fermat.trace_rays(m_true, grid, origins, dvecs, frequency_hz,
+                               max_length_km, n_steps=n_steps,
+                               keep_path=False, method="leapfrog")
+    nd = np.asarray(dirs).shape[0]
+    tau = tau.reshape(-1, nd)
+    d = tau - tau[0:1]
+    noise = float(noise_frac * jnp.std(d))
+    d = d + noise * jax.random.normal(jax.random.key(seed), d.shape)
+    return d, np.float32(noise)
+
+
+def covered_rmse(m, m_true, grid, rb, frac=0.05):
+    """RMSE of (m − m_true) restricted to ray-covered voxels — unobserved
+    voxels carry no information and would dilute the metric."""
+    import jax.numpy as jnp
+    from ionotomo_tpu.forward import tec as tec_mod
+    cover = tec_mod.ray_coverage(grid, rb)
+    mask = cover > frac * cover.max()
+    e = jnp.where(mask, m - m_true, 0.0)
+    return float(jnp.sqrt(jnp.sum(e * e) / jnp.maximum(mask.sum(), 1)))
+
+
+def heldout_dtec_rms(m, grid, ants_h, dirs_h, d_heldout, n_samples=129):
+    """Generalisation on the observable: rms dTEC prediction error on rays
+    never used in the solve (new antennas AND directions). dTEC tomography
+    has a large null space (common-mode vertical profile) that model-space
+    RMSE charges to the solver; held-out dTEC measures the skill that
+    physically exists."""
+    import jax.numpy as jnp
+    from ionotomo_tpu.forward import tec as tec_mod
+    from ionotomo_tpu.geometry import rays as rays_mod
+    o, dv = rays_mod.make_ray_batch(ants_h, dirs_h)
+    rb = rays_mod.sample_straight_rays(o, dv, n_samples=n_samples)
+    nd = np.asarray(dirs_h).shape[0]
+    g = tec_mod.dtec_paired(m, grid, rb, nd, 0)
+    return float(jnp.sqrt(jnp.mean((g - d_heldout) ** 2)))

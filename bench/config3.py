@@ -2,15 +2,22 @@
 smoothness prior, 128³ grid, 5k rays (BASELINE.json configs[2]).
 
 Metric: wall seconds to converge + inversion iterations/sec on the 128³
-grid (the BASELINE.json metric definition)."""
-import numpy as np
+grid (the BASELINE.json metric definition).
+
+Honest setup (VERDICT r1 #4 — no inverse crime): truth = Chapman prior +
+von Kármán turbulence (not a draw from the solver's smoothness prior);
+data synthesized by the bent Fermat tracer at 2× quadrature + noise; the
+solve uses the production straight-ray Simpson operator, so reported RMSE
+includes bending and quadrature model error.
+"""
 import jax
 import jax.numpy as jnp
 
-from bench.common import make_rays, timed, emit
+from bench.common import (make_rays, timed, emit, honest_truth,
+                          bent_dtec_data, covered_rmse,
+                          heldout_dtec_rms)
 from ionotomo_tpu.models import chapman
 from ionotomo_tpu.geometry import rays as rays_mod
-from ionotomo_tpu.forward import tec as tec_mod
 from ionotomo_tpu.inversion import solvers
 
 
@@ -19,27 +26,32 @@ def main():
     grid = chapman.grid_enclosing_rays(ants, dirs, shape=(128, 128, 128),
                                        h_min_km=0.0)
     m_prior = chapman.log_parametrize(chapman.chapman_field(grid))
-    pts = grid.meshgrid()
-    blob = 0.4 * np.exp(-0.5 * np.sum(
-        (pts - np.array([50.0, -30.0, 330.0])) ** 2, -1) / 90.0**2)
-    m_true = m_prior + jnp.asarray(blob, jnp.float32)
+    m_true = honest_truth(grid, m_prior, amplitude=0.3, seed=7)
+    d_obs, noise = bent_dtec_data(m_true, grid, ants, dirs,
+                                  frequency_hz=150e6, n_steps=256,
+                                  noise_frac=0.01)
     origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
     rb = rays_mod.sample_straight_rays(origins, dvecs, n_samples=129)
-    d_obs = tec_mod.dtec_paired(m_true, grid, rb, 100, 0)
-    noise = jnp.float32(1e-3 * float(jnp.abs(d_obs).max()))
-    d_obs = d_obs + noise * jax.random.normal(jax.random.key(0),
-                                              d_obs.shape)
+    ants_h, dirs_h = make_rays(20, 50, seed=99)   # held-out rays
+    d_h, _ = bent_dtec_data(m_true, grid, ants_h, dirs_h,
+                            frequency_hz=150e6, n_steps=256,
+                            noise_frac=0.0)
 
     iters = 48
     f = jax.jit(lambda d: solvers.lsqr_smoothness(
         grid, rb, d, noise, m_prior, num_directions=100, damp=3e-3,
         smooth=0.2, max_iters=iters))
-    res, secs = timed(f, d_obs, reps=1)
-    err_pr = float(jnp.sqrt(jnp.mean((m_prior - m_true) ** 2)))
-    err_po = float(jnp.sqrt(jnp.mean((res.m - m_true) ** 2)))
+    res, secs = timed(f, jnp.asarray(d_obs), reps=1)
+    err_pr = covered_rmse(m_prior, m_true, grid, rb)
+    err_po = covered_rmse(res.m, m_true, grid, rb)
+    ho_pr = heldout_dtec_rms(m_prior, grid, ants_h, dirs_h, d_h)
+    ho_po = heldout_dtec_rms(res.m, grid, ants_h, dirs_h, d_h)
     emit("config3", "lsqr_seconds_to_solve", secs, "s",
-         iters_per_sec=iters / secs, model_rmse_prior=err_pr,
-         model_rmse_post=err_po, under_10s=bool(secs < 10.0))
+         iters_per_sec=iters / secs, covered_rmse_prior=err_pr,
+         covered_rmse_post=err_po,
+         heldout_dtec_rms_prior=ho_pr, heldout_dtec_rms_post=ho_po,
+         under_10s=bool(secs < 10.0),
+         data="bent-tracer 2x quadrature + 1% noise, von Karman truth")
 
 
 if __name__ == "__main__":

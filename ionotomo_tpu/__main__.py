@@ -39,12 +39,15 @@ def cmd_invert(args):
     dp = DataPack.load(args.datapack)
     cfg = EngineConfig(
         grid=GridConfig(shape=(args.grid,) * 3),
-        rays=RayConfig(bent=args.bent, n_samples=args.samples),
+        rays=RayConfig(bent=args.bent, n_samples=args.samples,
+                       n_steps=args.n_steps,
+                       retrace_every=args.retrace_every),
         prior=PriorConfig(sigma=args.prior_sigma,
                           length_scale_km=args.prior_length,
                           kind=args.prior_kind),
         solver=SolverConfig(solver=args.solver, gn_iters=args.gn_iters,
-                            cg_iters=args.cg_iters),
+                            cg_iters=args.cg_iters,
+                            kalman_chunk=args.kalman_chunk),
         runtime=RuntimeConfig(checkpoint_dir=args.checkpoint_dir,
                               metrics_path=args.metrics),
     )
@@ -106,6 +109,13 @@ def main(argv=None):
     i.add_argument("--grid", type=int, default=64)
     i.add_argument("--samples", type=int, default=129)
     i.add_argument("--bent", action="store_true")
+    i.add_argument("--n-steps", type=int, default=64,
+                   help="bent-ray integrator steps (solver-grade: 64)")
+    i.add_argument("--retrace-every", type=int, default=0,
+                   help="bent only: re-trace rays through the iterate "
+                        "every N GN iterations (0 = frozen at prior)")
+    i.add_argument("--kalman-chunk", type=int, default=8,
+                   help="kalman: timesteps per scan / checkpoint")
     i.add_argument("--solver", default="map_gauss_newton",
                    choices=["map_gauss_newton", "lsqr_smoothness",
                             "steepest", "kalman"])

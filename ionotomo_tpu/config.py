@@ -35,7 +35,8 @@ class GridConfig:
 @dataclasses.dataclass(frozen=True)
 class RayConfig:
     n_samples: int = constants.DEFAULT_N_SAMPLES   # straight-ray quadrature
-    n_steps: int = 128                             # bent-ray integrator
+    n_steps: int = 64     # bent-ray integrator; solver-grade per the
+                          # PRECISION.md convergence study (128 buys nothing)
     method: str = "leapfrog"                       # "leapfrog" | "rk4"
     bent: bool = False
     retrace_every: int = 0    # bent only: re-trace rays through the updated

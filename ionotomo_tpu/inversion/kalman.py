@@ -9,7 +9,13 @@ never formed. Instead the filter runs in the **stationary-covariance
 approximation** — the reference's own operating regime, where the prior
 covariance C_m (GP kernel, applied spectrally) is advected-invariant
 (stationary kernels commute with translation) and process noise re-inflates
-toward C_m via the fade factor γ:
+toward C_m via the fade factor γ. The approximation's known limitation:
+C never narrows with accumulated information, so per-step updates stay
+prior-weighted (conservative gain, never over-confident). When calibrated
+time-propagated uncertainty matters, use ``ensemble_kalman_filter`` below
+— its ensemble carries the information the stationary filter discards,
+with multiplicative ``inflation`` and additive ``process_sigma`` noise as
+the standard EnKF calibration controls:
 
     predict:  m_pred = advect(m_t, vΔt);  C ≡ C_m (γ-blended prior pull)
     update:   data-space representer solve, exactly config 4's CG:
@@ -127,7 +133,8 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                            n_members: int = 8, i0: int = 0,
                            cg_iters: int = 20, cg_tol: float = 1e-4,
                            fade: float = 1.0, process_sigma: float = 0.0,
-                           advect_first: bool = False, m_clim=None):
+                           advect_first: bool = False, m_clim=None,
+                           inflation: float = 1.0):
     """Ensemble variant: time-propagated posterior uncertainty.
 
     Goes beyond the reference's point-estimate filter: an ensemble of
@@ -139,12 +146,16 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     spread is a consistent (linearised-Gaussian) estimate of the filtered
     posterior std, including information accumulated across timesteps.
 
-    Calibration notes: with truncated inner CG the member updates
-    under-fit their perturbed residuals, which *inflates* the spread
-    slightly (conservative uncertainty); and because dTEC data constrain
-    only ~R directions of the voxel space, per-voxel spread stays near the
-    prior σ even where the posterior mean is well determined — both
-    behaviours are exercised in tests/test_kalman.py.
+    Calibration controls (standard EnKF practice): ``inflation`` scales
+    the predicted ensemble spread about its mean each step (>1 counters
+    sampling-noise collapse of small ensembles); ``process_sigma`` adds
+    C^{1/2}-correlated process noise per step (model error beyond pure
+    frozen flow). Remaining behaviours to know: with truncated inner CG
+    the member updates under-fit their perturbed residuals, which
+    *inflates* the spread slightly (conservative uncertainty); and because
+    dTEC data constrain only ~R directions of the voxel space, per-voxel
+    spread stays near the prior σ even where the posterior mean is well
+    determined — exercised in tests/test_kalman.py.
     """
     m_clim = m0 if m_clim is None else m_clim
     d_seq = jnp.asarray(d_obs_seq)
@@ -197,6 +208,9 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
 
         ens_pred = jax.vmap(predict)(
             ens, jax.random.split(k_adv, n_members))
+        # multiplicative covariance inflation about the ensemble mean
+        ens_mean = ens_pred.mean(0)
+        ens_pred = ens_mean[None] + inflation * (ens_pred - ens_mean[None])
         eps = (jax.random.normal(k_obs, (n_members, d_t.size))
                * jnp.sqrt(cd_t)[None, :])
         ens_new, pres = jax.vmap(

@@ -244,6 +244,13 @@ def steepest_descent_map(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
     grid line search (SURVEY.md §8: m ← m − ε(C_m Jᵀ C_d⁻¹ r + (m−m_prior)),
     line-searched ε) — kept for behavioural parity with the reference
     pipeline; Gauss-Newton above is the faster default.
+
+    Cost warning: the vmapped line search evaluates the FULL objective
+    (forward model + C_m⁻¹ contraction) ``n_linesearch`` times per
+    iteration — 8 forward models per step by default. Intended for parity
+    testing at ≤128³; at 256³/10k-ray scale use ``map_gauss_newton``,
+    which reaches the same stationary point in far fewer forward
+    evaluations (VERDICT r1 weak #8).
     """
     d = jnp.asarray(d_obs)
     inv_var = 1.0 / jnp.broadcast_to(jnp.asarray(noise_std), d.shape) ** 2

@@ -153,3 +153,21 @@ def test_frozen_flow_prediction_helps():
     pre_wind = np.asarray(res_wind.residuals)[1:].mean()
     pre_still = np.asarray(res_still.residuals)[1:].mean()
     assert pre_wind < pre_still
+
+
+def test_enkf_inflation_widens_spread():
+    """Multiplicative inflation (standard EnKF calibration control) must
+    monotonically widen the filtered ensemble spread."""
+    from ionotomo_tpu.inversion.kalman import ensemble_kalman_filter
+    w = moving_world(nx=12, n_ants=6, n_dirs=4, nt=3)
+    cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+    outs = {}
+    for infl in (1.0, 1.6):
+        res = ensemble_kalman_filter(
+            w["grid"], w["rays_seq"], w["d_seq"], w["noise"], w["m_bg"],
+            cov, w["wind"], w["dt_s"], num_directions=w["n_dirs"],
+            key=jax.random.key(0), n_members=6, cg_iters=8,
+            inflation=infl)
+        outs[infl] = float(jnp.mean(res.std_seq[-1]))
+    assert outs[1.6] > outs[1.0]
