@@ -58,6 +58,7 @@ class PriorConfig:
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     solver: str = "map_gauss_newton"  # | "lsqr_smoothness" | "steepest"
+                                      # | "batched_gn" | "kalman"
     gn_iters: int = 3
     cg_iters: int = 40
     cg_tol: float = 1e-4

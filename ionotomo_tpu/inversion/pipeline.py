@@ -246,6 +246,11 @@ class InversionPipeline:
 
         if self.config.solver.solver == "kalman":
             return self._run_kalman(start_t=start_t, state=state)
+        if self.config.solver.solver == "batched_gn":
+            if start_t >= nt:
+                return Solution(self.grid, np.stack(m_list),
+                                config_json=self.config.to_json())
+            return self._run_batched()
 
         # warm start from the last checkpointed state, exactly as the
         # uninterrupted run would have chained timesteps
@@ -260,6 +265,44 @@ class InversionPipeline:
                     rt.checkpoint_dir, t + 1,
                     {"m_seq": np.stack(m_list)}, self.config.to_json())
         return Solution(self.grid, np.stack(m_list),
+                        config_json=self.config.to_json())
+
+    def _run_batched(self) -> Solution:
+        """SURVEY §2.1 P2 as one program: the reference ran independent
+        time-chunks on separate dask workers; here every timestep is a
+        batch row of ONE vmapped Gauss-Newton program (sharing the grid,
+        prior and covariance), saturating the chip with a single compile.
+        Timesteps are solved independently from the prior (no warm
+        chaining) — use the sequential mode when the random-walk warm
+        start matters, or Kalman when time coupling is physical. All-or-
+        nothing (one checkpoint at the end): the program IS one step.
+        """
+        sc, rt = self.config.solver, self.config.runtime
+        nd = self.directions.shape[1]
+        nt = self.d_obs.shape[1]
+        per_t = [self._padded_data(t) for t in range(nt)]
+        bundles = [self._shard(self.rays_for_time(t, antennas=per_t[t][0]))
+                   for t in range(nt)]
+        rays_seq = rays_mod.RayBundle(
+            points=jnp.stack([b.points for b in bundles]),
+            ds=jnp.stack([b.ds for b in bundles]))
+        d_seq = jnp.stack([p[1] for p in per_t])
+        noise_seq = jnp.stack([p[2] for p in per_t])
+        t0 = time.perf_counter()
+        res = solvers.map_gauss_newton_batched(
+            self.grid, rays_seq, d_seq, noise_seq, self.m_prior, self.cov,
+            num_directions=nd, i0=self.i0, gn_iters=sc.gn_iters,
+            cg_iters=sc.cg_iters, cg_tol=sc.cg_tol)
+        jax.block_until_ready(res.m)
+        dt = time.perf_counter() - t0
+        self.metrics.write(dict(solver="batched_gn", seconds=dt,
+                                timesteps=nt, timesteps_per_sec=nt / dt))
+        ckpt_mod.save_checkpoint(rt.checkpoint_dir, nt,
+                                 {"m_seq": np.asarray(res.m)},
+                                 self.config.to_json())
+        return Solution(self.grid, np.asarray(res.m),
+                        diagnostics=dict(
+                            residuals=np.asarray(res.residual_norm)),
                         config_json=self.config.to_json())
 
     def _estimate_wind(self, nt: int, dt_s: float):

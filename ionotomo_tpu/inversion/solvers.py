@@ -221,17 +221,22 @@ def map_gauss_newton_batched(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     sharing the grid/prior and saturating the chip).
 
     rays_seq: RayBundle with leading time axis (points (Nt,R,N,3),
-    ds (Nt,R)); d_obs_seq: (Nt, Na, Nd). Returns stacked InversionResult.
+    ds (Nt,R)); d_obs_seq: (Nt, Na, Nd); noise_std broadcastable to
+    d_obs_seq (per-timestep noise/flag inflation supported). Returns
+    stacked InversionResult.
     """
-    def solve_one(pts, ds, d_t):
+    d_seq = jnp.asarray(d_obs_seq)
+    noise_seq = jnp.broadcast_to(jnp.asarray(noise_std), d_seq.shape)
+
+    def solve_one(pts, ds, d_t, noise_t):
         return map_gauss_newton(grid, RayBundle(points=pts, ds=ds), d_t,
-                                noise_std, m_prior, cov,
+                                noise_t, m_prior, cov,
                                 num_directions=num_directions, i0=i0,
                                 gn_iters=gn_iters, cg_iters=cg_iters,
                                 cg_tol=cg_tol)
 
-    return jax.vmap(solve_one)(rays_seq.points, rays_seq.ds,
-                               jnp.asarray(d_obs_seq))
+    return jax.vmap(solve_one)(rays_seq.points, rays_seq.ds, d_seq,
+                               noise_seq)
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "n_iters",

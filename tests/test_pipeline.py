@@ -257,3 +257,26 @@ def test_pipeline_bent_retrace_mode_runs(tmp_path):
     m_t, diag = pipe.solve_snapshot(0)
     assert np.isfinite(np.asarray(m_t)).all()
     assert diag["retraces"] >= 1
+
+
+def test_pipeline_batched_gn_matches_per_snapshot(tmp_path):
+    """batched_gn (one vmapped program over timesteps, SURVEY §2.1 P2)
+    must reproduce the independent per-snapshot solves."""
+    dp, _ = make_dp(n_times=3)
+    cfg = small_config(tmp_path, solver="batched_gn")
+    pipe = InversionPipeline(dp, cfg)
+    sol = pipe.run(resume=False)
+    assert sol.m.shape[0] == 3
+
+    cfg2 = small_config(tmp_path)
+    pipe2 = InversionPipeline(dp, cfg2)
+    prior = np.asarray(pipe2.m_prior)
+    for t in range(3):
+        m_t, _ = pipe2.solve_snapshot(t)      # independent (no warm chain)
+        # vmap changes f32 reduction order; truncated CG amplifies it —
+        # compare against the reconstruction delta (cf. test_multichip)
+        delta = np.abs(np.asarray(m_t) - prior).max()
+        assert np.abs(sol.m[t] - np.asarray(m_t)).max() < 0.05 * delta
+    recs = [r for r in pipe.metrics.read_all()
+            if r.get("solver") == "batched_gn"]
+    assert len(recs) == 1 and recs[0]["timesteps"] == 3
