@@ -43,16 +43,17 @@ def refractive_index(ne, frequency_hz):
     return jnp.sqrt(jnp.maximum(1.0 - w * ne, 1e-6))
 
 
-def _rhs(field2d: jax.Array, grid: Grid3D, x: jax.Array, p: jax.Array,
-         inv_f2: jax.Array):
+def _rhs(interp_vg, x: jax.Array, p: jax.Array, inv_f2: jax.Array):
     """Batched ODE right-hand side.
 
-    x, p: (R, 3). Returns (dx/ds (R,3), dp/ds (R,3), n_e (R,)).
-    One tricubic value+gradient evaluation per stage serves all three.
-    ``field2d`` is the log-density field reshaped to (nx*ny, nz) once by the
-    caller — the row-gather fast path (see core.tricubic.interp_rows).
+    x, p: (R, 3). Returns (dx/ds (R,3), dp/ds (R,3), n_e (R,), dn_e/ds).
+    One tricubic value+gradient evaluation per stage serves all four.
+    ``interp_vg(x) -> (m, ∇m)`` is the field evaluator — the row-gather
+    fast path over a replicated grid by default (trace_rays), or the
+    shard_map halo-exchange path for x-sharded grids
+    (parallel.grid_sharding.trace_rays_sharded).
     """
-    m, gm = tricubic.interp_rows_with_grad(field2d, grid, x)
+    m, gm = interp_vg(x)
     ne = constants.K_NE * jnp.exp(m)                      # (R,)
     w = constants.KAPPA * inv_f2
     clipped = 1.0 - w * ne <= 1e-6                        # over-dense plasma
@@ -96,14 +97,25 @@ def trace_rays(field_m: jax.Array, grid: Grid3D, origins: jax.Array,
       2× the step count beats rk4 in accuracy-per-second by ~2×; this is
       the benchmark/production configuration (see bench.py).
     """
+    nx, ny, nz = grid.shape
+    field2d = field_m.reshape(nx * ny, nz)  # row-gather layout, paid once
+
+    def interp_vg(x):
+        return tricubic.interp_rows_with_grad(field2d, grid, x)
+
+    return _trace_impl(interp_vg, origins, directions, frequency_hz,
+                       max_length_km, n_steps, keep_path, method)
+
+
+def _trace_impl(interp_vg, origins, directions, frequency_hz,
+                max_length_km, n_steps, keep_path, method):
+    """Integrator core over an arbitrary field evaluator (see _rhs)."""
     origins = jnp.asarray(origins, jnp.float32)
     directions = jnp.asarray(directions, jnp.float32)
     h = jnp.float32(max_length_km / n_steps)
     inv_f2 = jnp.float32(1.0 / (frequency_hz * frequency_hz))
-    nx, ny, nz = grid.shape
-    field2d = field_m.reshape(nx * ny, nz)  # row-gather layout, paid once
     # initial momentum p0 = n(x0)·t̂0
-    m0 = tricubic.interp_rows(field2d, grid, origins)
+    m0, _ = interp_vg(origins)
     n0 = refractive_index(constants.K_NE * jnp.exp(m0), frequency_hz)
     p0 = n0[:, None] * directions
 
@@ -114,13 +126,13 @@ def trace_rays(field_m: jax.Array, grid: Grid3D, origins: jax.Array,
 
         def step(carry, _):
             x, p, tau = carry
-            k1x, k1p, ne1, _ = _rhs(field2d, grid, x, p, inv_f2)
-            k2x, k2p, ne2, _ = _rhs(field2d, grid, x + 0.5 * h * k1x,
+            k1x, k1p, ne1, _ = _rhs(interp_vg, x, p, inv_f2)
+            k2x, k2p, ne2, _ = _rhs(interp_vg, x + 0.5 * h * k1x,
                                     p + 0.5 * h * k1p, inv_f2)
-            k3x, k3p, ne3, _ = _rhs(field2d, grid, x + 0.5 * h * k2x,
+            k3x, k3p, ne3, _ = _rhs(interp_vg, x + 0.5 * h * k2x,
                                     p + 0.5 * h * k2p, inv_f2)
-            k4x, k4p, ne4, _ = _rhs(field2d, grid, x + h * k3x, p + h * k3p,
-                                    inv_f2)
+            k4x, k4p, ne4, _ = _rhs(interp_vg, x + h * k3x,
+                                    p + h * k3p, inv_f2)
             sixth = h / 6.0
             x_new = x + sixth * (k1x + 2 * k2x + 2 * k3x + k4x)
             p_new = p + sixth * (k1p + 2 * k2p + 2 * k3p + k4p)
@@ -139,14 +151,14 @@ def trace_rays(field_m: jax.Array, grid: Grid3D, origins: jax.Array,
         # h²/12·(f₀′−f₁′), 4th-order using the path derivative the gather
         # already yields — two orders better than trapezoid at zero extra
         # gathers (convergence table in PRECISION.md).
-        _, gn0, ne0, dne0 = _rhs(field2d, grid, origins, p0, inv_f2)
+        _, gn0, ne0, dne0 = _rhs(interp_vg, origins, p0, inv_f2)
 
         def step(carry, _):
             x, p, gn, ne, dne, tau = carry
             p_half = p + (0.5 * h) * gn
             x_new = x + h * (p_half / jnp.linalg.norm(p_half, axis=-1,
                                                       keepdims=True))
-            _, gn_new, ne_new, dne_new = _rhs(field2d, grid, x_new, p_half,
+            _, gn_new, ne_new, dne_new = _rhs(interp_vg, x_new, p_half,
                                               inv_f2)
             p_new = p_half + (0.5 * h) * gn_new
             tau_new = tau + ((0.5 * h) * (ne + ne_new)

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.grids import Grid3D
-from ..core.tricubic import _catmull_rom_weights, _neighborhood
+from ..core.tricubic import (_catmull_rom_dweights, _catmull_rom_weights,
+                             _neighborhood)
 
 GRID_AXIS = "gridx"
 HALO = 2
@@ -105,3 +106,79 @@ def interp_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
     return jax.shard_map(local_fn, mesh=mesh,
                          in_specs=(P(GRID_AXIS), P()),
                          out_specs=P())(field_sharded, points)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def interp_sharded_with_grad(mesh: Mesh, field_sharded: jax.Array,
+                             grid: Grid3D, points: jax.Array):
+    """Value + physical gradient over an x-sharded field — the quantity
+    pair the Fermat tracer consumes, so bent rays can trace through grids
+    too large to replicate. Same ownership/halo scheme as
+    ``interp_sharded``; returns (values (N,), grads (N, 3)) replicated.
+    """
+    n_shards = mesh.shape[GRID_AXIS]
+    nx, ny, nz = grid.shape
+    loc = nx // n_shards
+
+    def local_fn(f_local, pts):
+        shard = jax.lax.axis_index(GRID_AXIS)
+        x0 = shard * loc
+        f_ext = _exchange_halos(f_local, n_shards)
+        idx, frac = _neighborhood(grid, pts)
+        base_x = idx[:, 0, 1]
+        own = (base_x >= x0) & (base_x < x0 + loc)
+        lx = jnp.clip(idx[:, 0, :] - x0 + HALO, 0, loc + 2 * HALO - 1)
+        iy = idx[:, 1, :]
+        iz = idx[:, 2, :]
+        flat = ((lx[:, :, None, None] * ny + iy[:, None, :, None]) * nz
+                + iz[:, None, None, :])
+        blocks = jnp.take(f_ext.reshape(-1),
+                          flat.reshape(flat.shape[0], 64),
+                          axis=0).reshape(flat.shape)
+        wx = _catmull_rom_weights(frac[:, 0])
+        wy = _catmull_rom_weights(frac[:, 1])
+        wz = _catmull_rom_weights(frac[:, 2])
+        dwx = _catmull_rom_dweights(frac[:, 0])
+        dwy = _catmull_rom_dweights(frac[:, 1])
+        dwz = _catmull_rom_dweights(frac[:, 2])
+        cz = jnp.einsum("nxyz,nz->nxy", blocks, wz)
+        cz_d = jnp.einsum("nxyz,nz->nxy", blocks, dwz)
+        czy = jnp.einsum("nxy,ny->nx", cz, wy)
+        czy_dy = jnp.einsum("nxy,ny->nx", cz, dwy)
+        czy_dz = jnp.einsum("nxy,ny->nx", cz_d, wy)
+        value = jnp.einsum("nx,nx->n", czy, wx)
+        du = jnp.stack([jnp.einsum("nx,nx->n", czy, dwx),
+                        jnp.einsum("nx,nx->n", czy_dy, wx),
+                        jnp.einsum("nx,nx->n", czy_dz, wx)], axis=-1)
+        ownf = own.astype(value.dtype)
+        out = jnp.concatenate([(value * ownf)[:, None],
+                               du * ownf[:, None]], axis=1)
+        return jax.lax.psum(out, GRID_AXIS)
+
+    out = jax.shard_map(local_fn, mesh=mesh,
+                        in_specs=(P(GRID_AXIS), P()),
+                        out_specs=P())(field_sharded, points)
+    return out[:, 0], out[:, 1:] / grid.spacing[None, :]
+
+
+@partial(jax.jit, static_argnames=("mesh", "n_steps", "keep_path",
+                                   "method"))
+def trace_rays_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
+                       origins: jax.Array, directions: jax.Array,
+                       frequency_hz, max_length_km=1000.0,
+                       n_steps: int = 64, keep_path: bool = True,
+                       method: str = "leapfrog"):
+    """Bent-ray Fermat trace through an x-sharded field: the full
+    integrator (geometry.fermat physics, Hermite TEC) with every field
+    evaluation served by the halo-exchange interpolator — bent tomography
+    on grids too large to replicate. Rays are replicated here (each eval
+    costs one psum over the grid mesh); at production scale combine with
+    ray-axis sharding on an orthogonal mesh dimension.
+    """
+    from ..geometry import fermat
+
+    def interp_vg(x):
+        return interp_sharded_with_grad(mesh, field_sharded, grid, x)
+
+    return fermat._trace_impl(interp_vg, origins, directions, frequency_hz,
+                              max_length_km, n_steps, keep_path, method)

@@ -62,3 +62,50 @@ def test_shard_field_rejects_indivisible_axis():
     if mesh.shape[gs.GRID_AXIS] > 1:
         with pytest.raises(AssertionError):
             gs.shard_field(mesh, jnp.zeros((17, 8, 8)))
+
+
+def test_sharded_interp_with_grad_matches_replicated():
+    grid, f = world()
+    rng = np.random.default_rng(3)
+    pts = rng.uniform((-200, -200, 0), (200, 200, 800),
+                      (300, 3)).astype(np.float32)
+    want_v, want_g = tricubic.interp_with_grad(f, grid, jnp.asarray(pts))
+    mesh = gs.grid_mesh()
+    f_sh = gs.shard_field(mesh, f)
+    got_v, got_g = gs.interp_sharded_with_grad(mesh, f_sh, grid,
+                                               jnp.asarray(pts))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_grid_bent_trace_matches_replicated():
+    """End-to-end: Fermat trace through an x-sharded field (halo-exchange
+    interp per integrator step) equals the replicated-grid trace."""
+    from ionotomo_tpu.geometry import fermat
+    from ionotomo_tpu.models import chapman
+
+    grid = Grid3D.from_bounds((-300, -300, 0.0), (300, 300, 1000.0),
+                              (16, 16, 16))
+    m = chapman.log_parametrize(chapman.chapman_field(grid))
+    rng = np.random.default_rng(5)
+    n = 24
+    o = np.concatenate([rng.uniform(-30, 30, (n, 2)), np.zeros((n, 1))],
+                       -1).astype(np.float32)
+    zen = rng.uniform(0.1, 0.5, n)
+    az = rng.uniform(0, 2 * np.pi, n)
+    d = np.stack([np.sin(zen) * np.sin(az), np.sin(zen) * np.cos(az),
+                  np.cos(zen)], -1).astype(np.float32)
+    b_rep, t_rep = fermat.trace_rays(m, grid, jnp.asarray(o),
+                                     jnp.asarray(d), 60e6, 900.0,
+                                     n_steps=24, method="leapfrog")
+    mesh = gs.grid_mesh()
+    f_sh = gs.shard_field(mesh, m)
+    b_sh, t_sh = gs.trace_rays_sharded(mesh, f_sh, grid, jnp.asarray(o),
+                                       jnp.asarray(d), 60e6, 900.0,
+                                       n_steps=24, method="leapfrog")
+    np.testing.assert_allclose(np.asarray(b_sh.points),
+                               np.asarray(b_rep.points), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(t_sh), np.asarray(t_rep),
+                               rtol=3e-5)
