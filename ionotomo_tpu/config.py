@@ -58,7 +58,10 @@ class PriorConfig:
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     solver: str = "map_gauss_newton"  # | "lsqr_smoothness" | "steepest"
-                                      # | "batched_gn" | "kalman"
+                                      # | "batched_gn" | "kalman" | "enkf"
+    enkf_members: int = 8
+    enkf_inflation: float = 1.0
+    enkf_process_sigma: float = 0.0
     gn_iters: int = 3
     cg_iters: int = 40
     cg_tol: float = 1e-4

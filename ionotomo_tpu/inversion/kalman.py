@@ -123,6 +123,8 @@ class EnsembleKalmanResult(NamedTuple):
     mean_seq: jax.Array     # (Nt, *grid.shape) ensemble means
     std_seq: jax.Array      # (Nt, *grid.shape) ensemble spreads
     residuals: jax.Array    # (Nt,) pre-update whitened residuals (mean)
+    ensemble: jax.Array     # (n_members, *grid.shape) final ensemble —
+                            # the carry for chunked continuation (ens0)
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "cg_iters",
@@ -134,7 +136,8 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                            cg_iters: int = 20, cg_tol: float = 1e-4,
                            fade: float = 1.0, process_sigma: float = 0.0,
                            advect_first: bool = False, m_clim=None,
-                           inflation: float = 1.0):
+                           inflation: float = 1.0, ens0=None,
+                           step_offset: int = 0):
     """Ensemble variant: time-propagated posterior uncertainty.
 
     Goes beyond the reference's point-estimate filter: an ensemble of
@@ -156,6 +159,12 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     dTEC data constrain only ~R directions of the voxel space, per-voxel
     spread stays near the prior σ even where the posterior mean is well
     determined — exercised in tests/test_kalman.py.
+
+    Chunked continuation: pass the previous chunk's ``result.ensemble`` as
+    ``ens0`` with ``advect_first=True``, ``m_clim`` = the original prior,
+    and ``step_offset`` = the global index of this chunk's first timestep.
+    Per-step randomness is derived by ``fold_in(key, global_step)``, so
+    chunked and single-scan runs are bit-identical (tests/test_kalman.py).
     """
     m_clim = m0 if m_clim is None else m_clim
     d_seq = jnp.asarray(d_obs_seq)
@@ -163,13 +172,14 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     cd_seq = (jnp.broadcast_to(jnp.asarray(noise_std), d_seq.shape)
               .reshape(nt, -1) ** 2)
     shift = jnp.asarray(wind_kmps, jnp.float32) * dt_s
-    keys = jax.random.split(key, nt + 1)
 
-    # initial ensemble: prior mean + prior draws
-    init_noise = jax.vmap(
-        lambda k: cov.apply_sqrt(jax.random.normal(k, grid.shape)))(
-            jax.random.split(keys[0], n_members))
-    ens0 = m0[None] + init_noise
+    if ens0 is None:
+        # initial ensemble: prior mean + prior draws (reserved key slot)
+        init_key = jax.random.fold_in(key, 0x7FFFFFFF)
+        init_noise = jax.vmap(
+            lambda k: cov.apply_sqrt(jax.random.normal(k, grid.shape)))(
+                jax.random.split(init_key, n_members))
+        ens0 = m0[None] + init_noise
 
     def member_update(m_pred, rays_t, d_t, cd_diag, eps):
         inv_cd = 1.0 / cd_diag
@@ -193,10 +203,10 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
         pre = jnp.linalg.norm((d_t.ravel() - g0) / jnp.sqrt(cd_diag))
         return m_pred + cov.apply_sqrt(u.reshape(grid.shape)), pre
 
-    def step(carry, inputs):
-        ens, t_key = carry
-        rays_pts, rays_ds, d_t, cd_t, is_first, k_t = inputs
+    def step(ens, inputs):
+        rays_pts, rays_ds, d_t, cd_t, is_first, t_global = inputs
         rays_t = RayBundle(points=rays_pts, ds=rays_ds)
+        k_t = jax.random.fold_in(key, t_global)
         k_adv, k_obs = jax.random.split(k_t)
 
         def predict(m, kq):
@@ -217,12 +227,12 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
             lambda m, e: member_update(m, rays_t, d_t, cd_t, e))(
                 ens_pred, eps)
         out = (ens_new.mean(0), ens_new.std(0), pres.mean())
-        return (ens_new, t_key), out
+        return ens_new, out
 
     is_first = jnp.zeros((nt,), bool).at[0].set(not advect_first)
-    _, (mean_seq, std_seq, pre) = jax.lax.scan(
-        step, (ens0, keys[-1]),
-        (rays_seq.points, rays_seq.ds, d_seq, cd_seq, is_first,
-         keys[1:nt + 1]))
+    t_global = step_offset + jnp.arange(nt, dtype=jnp.int32)
+    ens_f, (mean_seq, std_seq, pre) = jax.lax.scan(
+        step, ens0,
+        (rays_seq.points, rays_seq.ds, d_seq, cd_seq, is_first, t_global))
     return EnsembleKalmanResult(mean_seq=mean_seq, std_seq=std_seq,
-                                residuals=pre)
+                                residuals=pre, ensemble=ens_f)

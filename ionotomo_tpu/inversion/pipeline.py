@@ -29,7 +29,7 @@ from ..models import chapman
 from ..parallel import sharding as shard_mod
 from ..utils import checkpoint as ckpt_mod
 from ..utils.metrics import MetricsWriter
-from .kalman import kalman_filter
+from .kalman import ensemble_kalman_filter, kalman_filter
 from .priors import GPCovariance
 from .solution import Solution
 from . import solvers
@@ -246,6 +246,8 @@ class InversionPipeline:
 
         if self.config.solver.solver == "kalman":
             return self._run_kalman(start_t=start_t, state=state)
+        if self.config.solver.solver == "enkf":
+            return self._run_enkf(start_t=start_t, state=state)
         if self.config.solver.solver == "batched_gn":
             if start_t >= nt:
                 return Solution(self.grid, np.stack(m_list),
@@ -265,6 +267,76 @@ class InversionPipeline:
                     rt.checkpoint_dir, t + 1,
                     {"m_seq": np.stack(m_list)}, self.config.to_json())
         return Solution(self.grid, np.stack(m_list),
+                        config_json=self.config.to_json())
+
+    def _run_enkf(self, start_t: int = 0, state=None) -> Solution:
+        """Ensemble Kalman mode: time-propagated posterior uncertainty
+        (mean + spread per timestep). Chunked and resumable exactly like
+        the point filter — the full ensemble is checkpointed and per-step
+        randomness is keyed by the global timestep (fold_in), so chunked,
+        resumed and single-scan runs are identical.
+        """
+        sc, rt = self.config.solver, self.config.runtime
+        nd = self.directions.shape[1]
+        nt = self.d_obs.shape[1]
+        chunk = max(1, sc.kalman_chunk)
+        d_all = np.moveaxis(np.asarray(self.d_obs), 1, 0)
+        noise_all = np.moveaxis(np.asarray(self.noise_std), 1, 0)
+        dt_s = (float(np.diff(self.datapack.times).mean() * 86400.0)
+                if nt > 1 else 0.0)
+        if state is not None and "wind_kmps" in state:
+            wind = np.asarray(state["wind_kmps"])
+        else:
+            wind = self._estimate_wind(nt, dt_s)
+        key = jax.random.key(rt.seed)
+        mean_list = (list(state["m_seq"][:start_t])
+                     if state is not None else [])
+        std_list = (list(state["enkf_std"][:start_t])
+                    if state is not None and "enkf_std" in state else [])
+        pre = (list(state["kalman_pre"][:start_t])
+               if state is not None and "kalman_pre" in state else [])
+        ens = (jnp.asarray(state["enkf_ensemble"])
+               if state is not None and start_t > 0
+               and "enkf_ensemble" in state else None)
+        t0 = time.perf_counter()
+        for c0 in range(start_t, nt, chunk):
+            c1 = min(c0 + chunk, nt)
+            bundles = [self.rays_for_time(t) for t in range(c0, c1)]
+            rays_seq = rays_mod.RayBundle(
+                points=jnp.stack([b.points for b in bundles]),
+                ds=jnp.stack([b.ds for b in bundles]))
+            res = ensemble_kalman_filter(
+                self.grid, rays_seq, jnp.asarray(d_all[c0:c1]),
+                jnp.asarray(noise_all[c0:c1]), self.m_prior, self.cov,
+                wind, dt_s, num_directions=nd, key=key,
+                n_members=sc.enkf_members, i0=self.i0,
+                cg_iters=sc.cg_iters, fade=sc.kalman_fade,
+                process_sigma=sc.enkf_process_sigma,
+                inflation=sc.enkf_inflation, advect_first=(c0 > 0),
+                m_clim=self.m_prior, ens0=ens, step_offset=c0)
+            jax.block_until_ready(res.mean_seq)
+            mean_list.extend(np.asarray(res.mean_seq))
+            std_list.extend(np.asarray(res.std_seq))
+            pre.extend(np.asarray(res.residuals))
+            ens = res.ensemble
+            ckpt_mod.save_checkpoint(
+                rt.checkpoint_dir, c1,
+                {"m_seq": np.stack(mean_list),
+                 "enkf_std": np.stack(std_list),
+                 "kalman_pre": np.asarray(pre),
+                 "enkf_ensemble": np.asarray(ens), "wind_kmps": wind},
+                self.config.to_json())
+            self.metrics.write(dict(solver="enkf", event="chunk",
+                                    t_from=c0, t_to=c1,
+                                    seconds=time.perf_counter() - t0))
+        dt = time.perf_counter() - t0
+        self.metrics.write(dict(solver="enkf", seconds=dt, timesteps=nt,
+                                members=sc.enkf_members,
+                                steps_per_sec=(nt - start_t) / max(dt, 1e-9)))
+        return Solution(self.grid, np.stack(mean_list),
+                        diagnostics=dict(
+                            std_seq=np.stack(std_list),
+                            pre_residuals=np.asarray(pre)),
                         config_json=self.config.to_json())
 
     def _run_batched(self) -> Solution:

@@ -91,7 +91,7 @@ def test_ensemble_kalman_tracks_and_contracts_uncertainty():
     res = ensemble_kalman_filter(
         w["grid"], w["rays_seq"], w["d_seq"], w["noise"], w["m_bg"], cov,
         w["wind"], w["dt_s"], num_directions=w["n_dirs"],
-        key=jax.random.key(0), n_members=8, cg_iters=20, fade=1.0)
+        key=jax.random.key(0), n_members=16, cg_iters=20, fade=1.0)
     mean = np.asarray(res.mean_seq)
     std = np.asarray(res.std_seq)
     assert mean.shape == w["m_true"].shape

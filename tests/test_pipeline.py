@@ -280,3 +280,33 @@ def test_pipeline_batched_gn_matches_per_snapshot(tmp_path):
     recs = [r for r in pipe.metrics.read_all()
             if r.get("solver") == "batched_gn"]
     assert len(recs) == 1 and recs[0]["timesteps"] == 3
+
+
+def test_pipeline_enkf_chunked_and_resumable(tmp_path):
+    """EnKF pipeline mode: chunked scans equal one scan (global-step keyed
+    randomness + ensemble carry), and a kill-resume continues identically."""
+    import shutil, os
+    dp, truth = make_dp(n_times=4)
+    dp.wind_kmps = truth["wind_kmps"]
+    cfg1 = small_config(tmp_path, solver="enkf", kalman_chunk=100,
+                        enkf_members=4)
+    sol_one = InversionPipeline(dp, cfg1).run(resume=False)
+    assert sol_one.m.shape[0] == 4
+    assert sol_one.diagnostics["std_seq"].shape == sol_one.m.shape
+    assert np.isfinite(sol_one.diagnostics["std_seq"]).all()
+
+    shutil.rmtree(cfg1.runtime.checkpoint_dir)
+    cfg2 = small_config(tmp_path, solver="enkf", kalman_chunk=2,
+                        enkf_members=4)
+    sol_chunk = InversionPipeline(dp, cfg2).run(resume=False)
+    np.testing.assert_allclose(sol_chunk.m, sol_one.m, atol=1e-6)
+    np.testing.assert_allclose(sol_chunk.diagnostics["std_seq"],
+                               sol_one.diagnostics["std_seq"], atol=1e-6)
+
+    # kill after the first chunk: keep only ckpt at step 2, resume
+    d = cfg2.runtime.checkpoint_dir
+    for name in os.listdir(d):
+        if name != "ckpt_00000002.npz":
+            os.unlink(os.path.join(d, name))
+    sol_res = InversionPipeline(dp, cfg2).run(resume=True)
+    np.testing.assert_allclose(sol_res.m, sol_one.m, atol=1e-5)
