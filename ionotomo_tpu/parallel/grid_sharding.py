@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.grids import Grid3D
 from ..core.tricubic import (_catmull_rom_dweights, _catmull_rom_weights,
                              _neighborhood)
+from .sharding import RAY_AXIS
 
 GRID_AXIS = "gridx"
 HALO = 2
@@ -41,6 +42,17 @@ def grid_mesh(devices=None) -> Mesh:
     """1-D mesh over the grid's leading (x) axis."""
     devices = devices if devices is not None else jax.devices()
     return jax.make_mesh((len(devices),), (GRID_AXIS,), devices=devices)
+
+
+def grid_ray_mesh(n_grid: int, n_rays: int, devices=None) -> Mesh:
+    """2-D mesh: ``n_grid`` field shards × ``n_rays`` ray shards — the
+    production layout when BOTH the grid exceeds one chip's HBM and the
+    ray batch wants data parallelism. Field ops psum over GRID_AXIS; the
+    ray axis stays embarrassingly parallel (SURVEY §2.1 P1 ⊗ §5.7b)."""
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_grid * n_rays
+    return jax.make_mesh((n_grid, n_rays), (GRID_AXIS, RAY_AXIS),
+                         devices=devices[: n_grid * n_rays])
 
 
 def shard_field(mesh: Mesh, field: jax.Array) -> jax.Array:
@@ -66,9 +78,10 @@ def _exchange_halos(f_local: jax.Array, n_shards: int) -> jax.Array:
     return jnp.concatenate([left, f_local, right], axis=0)
 
 
-@partial(jax.jit, static_argnames=("mesh",))
+@partial(jax.jit, static_argnames=("mesh", "points_sharded"))
 def interp_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
-                   points: jax.Array) -> jax.Array:
+                   points: jax.Array, points_sharded: bool = False
+                   ) -> jax.Array:
     """Tricubic interpolation over an x-sharded field.
 
     field_sharded: (nx, ny, nz) with the x axis sharded over ``mesh``;
@@ -103,14 +116,16 @@ def interp_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
         val = jnp.sum(blocks * w, axis=(1, 2, 3))
         return jax.lax.psum(jnp.where(own, val, 0.0), GRID_AXIS)
 
+    pspec = P(RAY_AXIS) if points_sharded else P()
     return jax.shard_map(local_fn, mesh=mesh,
-                         in_specs=(P(GRID_AXIS), P()),
-                         out_specs=P())(field_sharded, points)
+                         in_specs=(P(GRID_AXIS), pspec),
+                         out_specs=pspec)(field_sharded, points)
 
 
-@partial(jax.jit, static_argnames=("mesh",))
+@partial(jax.jit, static_argnames=("mesh", "points_sharded"))
 def interp_sharded_with_grad(mesh: Mesh, field_sharded: jax.Array,
-                             grid: Grid3D, points: jax.Array):
+                             grid: Grid3D, points: jax.Array,
+                             points_sharded: bool = False):
     """Value + physical gradient over an x-sharded field — the quantity
     pair the Fermat tracer consumes, so bent rays can trace through grids
     too large to replicate. Same ownership/halo scheme as
@@ -155,30 +170,33 @@ def interp_sharded_with_grad(mesh: Mesh, field_sharded: jax.Array,
                                du * ownf[:, None]], axis=1)
         return jax.lax.psum(out, GRID_AXIS)
 
+    pspec = P(RAY_AXIS) if points_sharded else P()
     out = jax.shard_map(local_fn, mesh=mesh,
-                        in_specs=(P(GRID_AXIS), P()),
-                        out_specs=P())(field_sharded, points)
+                        in_specs=(P(GRID_AXIS), pspec),
+                        out_specs=pspec)(field_sharded, points)
     return out[:, 0], out[:, 1:] / grid.spacing[None, :]
 
 
 @partial(jax.jit, static_argnames=("mesh", "n_steps", "keep_path",
-                                   "method"))
+                                   "method", "rays_sharded"))
 def trace_rays_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
                        origins: jax.Array, directions: jax.Array,
                        frequency_hz, max_length_km=1000.0,
                        n_steps: int = 64, keep_path: bool = True,
-                       method: str = "leapfrog"):
+                       method: str = "leapfrog", rays_sharded: bool = False):
     """Bent-ray Fermat trace through an x-sharded field: the full
     integrator (geometry.fermat physics, Hermite TEC) with every field
     evaluation served by the halo-exchange interpolator — bent tomography
-    on grids too large to replicate. Rays are replicated here (each eval
-    costs one psum over the grid mesh); at production scale combine with
-    ray-axis sharding on an orthogonal mesh dimension.
+    on grids too large to replicate. With a 2-D ``grid_ray_mesh`` and
+    ``rays_sharded=True``, the ray batch additionally shards over the
+    orthogonal RAY_AXIS — halo exchange and ownership psums ride the grid
+    axis, ray parallelism stays collective-free (the production layout).
     """
     from ..geometry import fermat
 
     def interp_vg(x):
-        return interp_sharded_with_grad(mesh, field_sharded, grid, x)
+        return interp_sharded_with_grad(mesh, field_sharded, grid, x,
+                                        points_sharded=rays_sharded)
 
     return fermat._trace_impl(interp_vg, origins, directions, frequency_hz,
                               max_length_km, n_steps, keep_path, method)

@@ -109,3 +109,41 @@ def test_sharded_grid_bent_trace_matches_replicated():
                                np.asarray(b_rep.points), atol=2e-3)
     np.testing.assert_allclose(np.asarray(t_sh), np.asarray(t_rep),
                                rtol=3e-5)
+
+
+def test_2d_grid_ray_mesh_trace_matches_replicated():
+    """Production layout: 2 grid shards × 4 ray shards. Field ops psum
+    over the grid axis, rays stay embarrassingly parallel."""
+    from ionotomo_tpu.geometry import fermat
+    from ionotomo_tpu.models import chapman
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ionotomo_tpu.parallel.sharding import RAY_AXIS
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    grid = Grid3D.from_bounds((-300, -300, 0.0), (300, 300, 1000.0),
+                              (16, 16, 16))
+    m = chapman.log_parametrize(chapman.chapman_field(grid))
+    rng = np.random.default_rng(9)
+    n = 32                                    # divisible by 4 ray shards
+    o = np.concatenate([rng.uniform(-30, 30, (n, 2)), np.zeros((n, 1))],
+                       -1).astype(np.float32)
+    zen = rng.uniform(0.1, 0.5, n)
+    az = rng.uniform(0, 2 * np.pi, n)
+    d = np.stack([np.sin(zen) * np.sin(az), np.sin(zen) * np.cos(az),
+                  np.cos(zen)], -1).astype(np.float32)
+    b_rep, t_rep = fermat.trace_rays(m, grid, jnp.asarray(o),
+                                     jnp.asarray(d), 60e6, 900.0,
+                                     n_steps=16, method="leapfrog")
+    mesh = gs.grid_ray_mesh(2, 4)
+    f_sh = jax.device_put(m, NamedSharding(mesh, P(gs.GRID_AXIS)))
+    o_sh = jax.device_put(jnp.asarray(o), NamedSharding(mesh, P(RAY_AXIS)))
+    d_sh = jax.device_put(jnp.asarray(d), NamedSharding(mesh, P(RAY_AXIS)))
+    b_sh, t_sh = gs.trace_rays_sharded(mesh, f_sh, grid, o_sh, d_sh,
+                                       60e6, 900.0, n_steps=16,
+                                       method="leapfrog",
+                                       rays_sharded=True)
+    np.testing.assert_allclose(np.asarray(b_sh.points),
+                               np.asarray(b_rep.points), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(t_sh), np.asarray(t_rep),
+                               rtol=3e-5)
