@@ -120,6 +120,25 @@ class InversionPipeline:
         return rays_mod.RayBundle(points=jax.device_put(bundle.points, sh),
                                   ds=jax.device_put(bundle.ds, sh))
 
+    def _chunk_arrays(self, c0: int, c1: int):
+        """Padded, ray-sharded per-timestep arrays for the time-domain
+        solvers: (rays_seq with axis-1 sharded, d (Nt',Na',Nd),
+        noise (Nt',Na',Nd)) for timesteps [c0, c1)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        per = [self._padded_data(t) for t in range(c0, c1)]
+        bundles = [self.rays_for_time(t, antennas=per[i][0])
+                   for i, t in enumerate(range(c0, c1))]
+        pts = jnp.stack([b.points for b in bundles])
+        ds = jnp.stack([b.ds for b in bundles])
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P(None, shard_mod.RAY_AXIS))
+            pts = jax.device_put(pts, sh)
+            ds = jax.device_put(ds, sh)
+        rays_seq = rays_mod.RayBundle(points=pts, ds=ds)
+        d = jnp.stack([p[1] for p in per])
+        noise = jnp.stack([p[2] for p in per])
+        return rays_seq, d, noise
+
     def _padded_data(self, t: int):
         """(antennas, d_t, noise_t, na_real) with whole-antenna padding so
         Na'·Nd divides the mesh; logs a metrics event when padding kicks in."""
@@ -280,8 +299,6 @@ class InversionPipeline:
         nd = self.directions.shape[1]
         nt = self.d_obs.shape[1]
         chunk = max(1, sc.kalman_chunk)
-        d_all = np.moveaxis(np.asarray(self.d_obs), 1, 0)
-        noise_all = np.moveaxis(np.asarray(self.noise_std), 1, 0)
         dt_s = (float(np.diff(self.datapack.times).mean() * 86400.0)
                 if nt > 1 else 0.0)
         if state is not None and "wind_kmps" in state:
@@ -301,13 +318,10 @@ class InversionPipeline:
         t0 = time.perf_counter()
         for c0 in range(start_t, nt, chunk):
             c1 = min(c0 + chunk, nt)
-            bundles = [self.rays_for_time(t) for t in range(c0, c1)]
-            rays_seq = rays_mod.RayBundle(
-                points=jnp.stack([b.points for b in bundles]),
-                ds=jnp.stack([b.ds for b in bundles]))
+            rays_seq, d_chunk, noise_chunk = self._chunk_arrays(c0, c1)
             res = ensemble_kalman_filter(
-                self.grid, rays_seq, jnp.asarray(d_all[c0:c1]),
-                jnp.asarray(noise_all[c0:c1]), self.m_prior, self.cov,
+                self.grid, rays_seq, d_chunk,
+                noise_chunk, self.m_prior, self.cov,
                 wind, dt_s, num_directions=nd, key=key,
                 n_members=sc.enkf_members, i0=self.i0,
                 cg_iters=sc.cg_iters, fade=sc.kalman_fade,
@@ -409,8 +423,6 @@ class InversionPipeline:
         nd = self.directions.shape[1]
         nt = self.d_obs.shape[1]
         chunk = max(1, sc.kalman_chunk)
-        d_all = np.moveaxis(np.asarray(self.d_obs), 1, 0)   # (Nt, Na, Nd)
-        noise_all = np.moveaxis(np.asarray(self.noise_std), 1, 0)
         dt_s = (float(np.diff(self.datapack.times).mean() * 86400.0)
                 if nt > 1 else 0.0)
         if state is not None and "wind_kmps" in state:
@@ -426,13 +438,10 @@ class InversionPipeline:
         t0 = time.perf_counter()
         for c0 in range(start_t, nt, chunk):
             c1 = min(c0 + chunk, nt)
-            bundles = [self.rays_for_time(t) for t in range(c0, c1)]
-            rays_seq = rays_mod.RayBundle(
-                points=jnp.stack([b.points for b in bundles]),
-                ds=jnp.stack([b.ds for b in bundles]))
+            rays_seq, d_chunk, noise_chunk = self._chunk_arrays(c0, c1)
             res = kalman_filter(
-                self.grid, rays_seq, jnp.asarray(d_all[c0:c1]),
-                jnp.asarray(noise_all[c0:c1]), m_cur, self.cov, wind, dt_s,
+                self.grid, rays_seq, d_chunk, noise_chunk,
+                m_cur, self.cov, wind, dt_s,
                 num_directions=nd, i0=self.i0, cg_iters=sc.cg_iters,
                 fade=sc.kalman_fade, advect_first=(c0 > 0),
                 m_clim=self.m_prior)

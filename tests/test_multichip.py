@@ -172,3 +172,35 @@ def test_pipeline_pads_indivisible_ray_batches():
         delta = np.abs(np.asarray(m_single) - np.asarray(pipe_un.m_prior))
         diff = np.abs(np.asarray(m_sharded) - np.asarray(m_single))
         assert diff.max() < 0.05 * delta.max(), (diff.max(), delta.max())
+
+
+def test_pipeline_kalman_shards_rays_with_padding():
+    """The time-domain solver also pads + shards the ray axis (axis 1 of
+    the stacked sequence); result matches the unsharded filter."""
+    from ionotomo_tpu.data.synth import generate_example_datapack
+    from ionotomo_tpu.inversion.pipeline import InversionPipeline
+    from ionotomo_tpu.config import (EngineConfig, GridConfig, RayConfig,
+                                     SolverConfig, RuntimeConfig)
+    import tempfile, os
+
+    dp, truth = generate_example_datapack(
+        n_antennas=7, n_directions=5, n_times=3, mjd0=58000.45,
+        grid_shape=(12, 12, 12), n_samples=17)   # 35 rays: 35 % 8 != 0
+    dp.wind_kmps = truth["wind_kmps"]
+    with tempfile.TemporaryDirectory() as td:
+        def cfg(sub):
+            return EngineConfig(
+                grid=GridConfig(shape=(12, 12, 12)),
+                rays=RayConfig(n_samples=17),
+                solver=SolverConfig(solver="kalman", cg_iters=10),
+                runtime=RuntimeConfig(
+                    checkpoint_dir=os.path.join(td, sub, "c"),
+                    metrics_path=os.path.join(td, sub, "m.jsonl")))
+        pipe = InversionPipeline(dp, cfg("a"))
+        assert pipe.mesh is not None
+        sol_sh = pipe.run(resume=False)
+        pipe_un = InversionPipeline(dp, cfg("b"))
+        pipe_un.mesh = None
+        sol_un = pipe_un.run(resume=False)
+        delta = np.abs(sol_un.m - np.asarray(pipe_un.m_prior)).max()
+        assert np.abs(sol_sh.m - sol_un.m).max() < 0.05 * delta
