@@ -110,16 +110,52 @@ def _gather_blocks(field: jax.Array, grid: Grid3D, idx: jax.Array):
                          flat.reshape(flat.shape[0], 64)).reshape(flat.shape)
 
 
-@partial(jax.jit, static_argnames=())
-def interp(field: jax.Array, grid: Grid3D, points: jax.Array) -> jax.Array:
-    """Tricubic interpolation of ``field`` at ``points`` (N, 3) → (N,)."""
-    idx, frac = _neighborhood(grid, points)
-    blocks = _gather_blocks(field, grid, idx)            # (N,4,4,4)
+def _contract_value(blocks: jax.Array, frac: jax.Array) -> jax.Array:
+    """(N,4,4,4) stencil blocks × separable weights → (N,) values."""
     wx = _catmull_rom_weights(frac[:, 0])                # (N,4)
     wy = _catmull_rom_weights(frac[:, 1])
     wz = _catmull_rom_weights(frac[:, 2])
     w = wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
     return jnp.sum(blocks * w, axis=(1, 2, 3))
+
+
+def _contract_value_grad(blocks: jax.Array, frac: jax.Array):
+    """(N,4,4,4) blocks → ((N,) value, (N,3) d/d(index units)).
+
+    Contract z then y then x, keeping partial sums so the three gradient
+    components reuse intermediate contractions (12 fused FMAs instead of
+    3 full 64-term sums). Shared by the replicated interpolators below and
+    the halo-exchange shards (parallel.grid_sharding).
+    """
+    wx = _catmull_rom_weights(frac[:, 0])
+    wy = _catmull_rom_weights(frac[:, 1])
+    wz = _catmull_rom_weights(frac[:, 2])
+    dwx = _catmull_rom_dweights(frac[:, 0])
+    dwy = _catmull_rom_dweights(frac[:, 1])
+    dwz = _catmull_rom_dweights(frac[:, 2])
+    cz = jnp.einsum("nxyz,nz->nxy", blocks, wz)
+    cz_d = jnp.einsum("nxyz,nz->nxy", blocks, dwz)
+    czy = jnp.einsum("nxy,ny->nx", cz, wy)
+    czy_dy = jnp.einsum("nxy,ny->nx", cz, dwy)
+    czy_dz = jnp.einsum("nxy,ny->nx", cz_d, wy)
+    value = jnp.einsum("nx,nx->n", czy, wx)
+    du = jnp.stack(
+        [
+            jnp.einsum("nx,nx->n", czy, dwx),
+            jnp.einsum("nx,nx->n", czy_dy, wx),
+            jnp.einsum("nx,nx->n", czy_dz, wx),
+        ],
+        axis=-1,
+    )
+    return value, du
+
+
+@partial(jax.jit, static_argnames=())
+def interp(field: jax.Array, grid: Grid3D, points: jax.Array) -> jax.Array:
+    """Tricubic interpolation of ``field`` at ``points`` (N, 3) → (N,)."""
+    idx, frac = _neighborhood(grid, points)
+    blocks = _gather_blocks(field, grid, idx)            # (N,4,4,4)
+    return _contract_value(blocks, frac)
 
 
 @partial(jax.jit, static_argnames=())
@@ -132,33 +168,8 @@ def interp_with_grad(field: jax.Array, grid: Grid3D, points: jax.Array):
     """
     idx, frac = _neighborhood(grid, points)
     blocks = _gather_blocks(field, grid, idx)            # (N,4,4,4)
-    wx = _catmull_rom_weights(frac[:, 0])
-    wy = _catmull_rom_weights(frac[:, 1])
-    wz = _catmull_rom_weights(frac[:, 2])
-    dwx = _catmull_rom_dweights(frac[:, 0])
-    dwy = _catmull_rom_dweights(frac[:, 1])
-    dwz = _catmull_rom_dweights(frac[:, 2])
-
-    # Contract z then y then x, keeping partial sums so the three gradient
-    # components reuse intermediate contractions (12 fused FMAs instead of
-    # 3 full 64-term sums).
-    cz = jnp.einsum("nxyz,nz->nxy", blocks, wz)
-    cz_d = jnp.einsum("nxyz,nz->nxy", blocks, dwz)
-    czy = jnp.einsum("nxy,ny->nx", cz, wy)
-    czy_dy = jnp.einsum("nxy,ny->nx", cz, dwy)
-    czy_dz = jnp.einsum("nxy,ny->nx", cz_d, wy)
-
-    value = jnp.einsum("nx,nx->n", czy, wx)
-    du = jnp.stack(
-        [
-            jnp.einsum("nx,nx->n", czy, dwx),
-            jnp.einsum("nx,nx->n", czy_dy, wx),
-            jnp.einsum("nx,nx->n", czy_dz, wx),
-        ],
-        axis=-1,
-    )
-    grad = du / grid.spacing[None, :]
-    return value, grad
+    value, du = _contract_value_grad(blocks, frac)
+    return value, du / grid.spacing[None, :]
 
 
 def _row_neighborhood(grid: Grid3D, points: jax.Array):

@@ -28,7 +28,7 @@ class DataPack:
 
     def __init__(self, array: RadioArray, directions_icrs, times_mjd,
                  dtec=None, flags=None, noise_std=None, ref_antenna=0,
-                 frequency_hz=150e6):
+                 frequency_hz=150e6, frame_model="iau2006"):
         self.array = array
         self.directions = np.atleast_2d(np.asarray(directions_icrs,
                                                    np.float64))  # (Nd, 2)
@@ -45,6 +45,13 @@ class DataPack:
                               (na, nt, nd)).copy())
         self.ref_antenna = int(ref_antenna)
         self.frequency_hz = float(frequency_hz)
+        # which ICRS→ENU chain produced/interprets these observations:
+        # "iau2006" (precession+nutation+GAST, default) or "gmst" (bare
+        # mean-sidereal legacy). Persisted so reloading a pre-upgrade file
+        # keeps its original geometry instead of silently mispointing
+        # every ray by ~0.3° (advisor r2).
+        assert frame_model in ("iau2006", "gmst"), frame_model
+        self.frame_model = frame_model
 
     @property
     def shape(self):
@@ -69,7 +76,9 @@ class DataPack:
         ra = self.directions[:, 0][None, :]
         dec = self.directions[:, 1][None, :]
         mjd = self.times[:, None]
-        return icrs_to_enu(ra, dec, mjd, self.array.enu_frame)
+        return icrs_to_enu(
+            ra, dec, mjd, self.array.enu_frame,
+            apply_precession_nutation=(self.frame_model != "gmst"))
 
     def to_device_arrays(self, dtype=np.float32):
         """Flat arrays for the device: dict of plain numpy (cast to f32)."""
@@ -119,7 +128,8 @@ class DataPack:
                 flags = flags | flags[ref:ref + 1]
         return DataPack(self.array.subset(ai), self.directions[di],
                         self.times[ti], dtec, flags, noise,
-                        ref_antenna=ref, frequency_hz=self.frequency_hz)
+                        ref_antenna=ref, frequency_hz=self.frequency_hz,
+                        frame_model=self.frame_model)
 
     # --- persistence --------------------------------------------------------
 
@@ -129,6 +139,7 @@ class DataPack:
         with h5py.File(path, "w") as f:
             f.attrs["ref_antenna"] = self.ref_antenna
             f.attrs["frequency_hz"] = self.frequency_hz
+            f.attrs["frame_model"] = self.frame_model
             f.attrs["array_name"] = self.array.name
             f.create_dataset("antennas/itrs_km", data=self.array.itrs)
             f.create_dataset(
@@ -157,4 +168,7 @@ class DataPack:
                 f["noise_std"][:],
                 ref_antenna=int(f.attrs["ref_antenna"]),
                 frequency_hz=float(f.attrs["frequency_hz"]),
+                # files written before frame_model existed were generated
+                # with the bare-GMST chain — keep their geometry
+                frame_model=str(f.attrs.get("frame_model", "gmst")),
             )

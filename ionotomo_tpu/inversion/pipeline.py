@@ -71,6 +71,7 @@ class InversionPipeline:
                                        kind=pr.kind)
         self.mesh = (shard_mod.ray_mesh()
                      if len(jax.devices()) > 1 else None)
+        self._na_padded = None        # lazy; see _padded_na
 
     # --- ray building -------------------------------------------------------
 
@@ -101,14 +102,21 @@ class InversionPipeline:
         so rays are padded in whole-antenna blocks: duplicated last antenna,
         observations zero with noise 1e6 (weight ~1e-12 in every C_d⁻¹
         misfit) — results match the unsharded solve (tests/test_multichip).
+        Depends only on (Na, Nd, mesh) — computed and logged once.
         """
         if self.mesh is None:
             return na
-        k = self.mesh.devices.size
-        na_p = na
-        while (na_p * nd) % k:
-            na_p += 1
-        return na_p
+        if self._na_padded is None:
+            k = self.mesh.devices.size
+            na_p = na
+            while (na_p * nd) % k:
+                na_p += 1
+            self._na_padded = na_p
+            if na_p != na:
+                self.metrics.write(dict(event="ray_sharding_padded",
+                                        na=na, na_padded=na_p,
+                                        devices=k))
+        return self._na_padded
 
     def _shard(self, bundle: rays_mod.RayBundle):
         """Place the ray axis across the mesh (callers pre-pad so the ray
@@ -153,9 +161,6 @@ class InversionPipeline:
             d_t = np.concatenate([d_t, np.zeros((pad, nd), d_t.dtype)])
             noise = np.concatenate(
                 [noise, np.full((pad, nd), 1e6, noise.dtype)])
-            self.metrics.write(dict(event="ray_sharding_padded", timestep=t,
-                                    na=na, na_padded=na_p,
-                                    devices=self.mesh.devices.size))
         return ants, jnp.asarray(d_t), jnp.asarray(noise), na
 
     # --- solving -------------------------------------------------------------
@@ -164,8 +169,7 @@ class InversionPipeline:
         sc = self.config.solver
         if sc.solver == "lsqr_smoothness":
             return solvers.lsqr_smoothness(
-                self.grid, rb, d_t, noise,
-                m_start if m0 is None else m0, num_directions=nd,
+                self.grid, rb, d_t, noise, m_start, num_directions=nd,
                 i0=self.i0, damp=self.config.prior.damp,
                 smooth=self.config.prior.smooth, max_iters=sc.lsqr_iters)
         if sc.solver == "steepest":
@@ -192,7 +196,8 @@ class InversionPipeline:
         ants, d_t, noise, na_real = self._padded_data(t)
         m_start = self.m_prior if m0 is None else m0
         retrace = (rc.bent and rc.retrace_every > 0
-                   and sc.solver == "map_gauss_newton")
+                   and sc.solver == "map_gauss_newton"
+                   and sc.gn_iters > 0)
         t0 = time.perf_counter()
         if not retrace:
             rb = self._shard(self.rays_for_time(t, antennas=ants))
@@ -324,7 +329,8 @@ class InversionPipeline:
                 noise_chunk, self.m_prior, self.cov,
                 wind, dt_s, num_directions=nd, key=key,
                 n_members=sc.enkf_members, i0=self.i0,
-                cg_iters=sc.cg_iters, fade=sc.kalman_fade,
+                cg_iters=sc.cg_iters, cg_tol=sc.cg_tol,
+                fade=sc.kalman_fade,
                 process_sigma=sc.enkf_process_sigma,
                 inflation=sc.enkf_inflation, advect_first=(c0 > 0),
                 m_clim=self.m_prior, ens0=ens, step_offset=c0)
@@ -443,8 +449,8 @@ class InversionPipeline:
                 self.grid, rays_seq, d_chunk, noise_chunk,
                 m_cur, self.cov, wind, dt_s,
                 num_directions=nd, i0=self.i0, cg_iters=sc.cg_iters,
-                fade=sc.kalman_fade, advect_first=(c0 > 0),
-                m_clim=self.m_prior)
+                cg_tol=sc.cg_tol, fade=sc.kalman_fade,
+                advect_first=(c0 > 0), m_clim=self.m_prior)
             jax.block_until_ready(res.m_seq)
             m_list.extend(np.asarray(res.m_seq))
             pre.extend(np.asarray(res.residuals))

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.grids import Grid3D
-from ..core.tricubic import (_catmull_rom_dweights, _catmull_rom_weights,
+from ..core.tricubic import (_contract_value, _contract_value_grad,
                              _neighborhood)
 from .sharding import RAY_AXIS
 
@@ -78,6 +78,29 @@ def _exchange_halos(f_local: jax.Array, n_shards: int) -> jax.Array:
     return jnp.concatenate([left, f_local, right], axis=0)
 
 
+
+def _owned_blocks(f_local, grid: Grid3D, pts, loc: int, n_shards: int):
+    """Shared shard-local gather: halo exchange, global→slab index
+    mapping, stencil-ownership mask. Returns (blocks (N,4,4,4),
+    frac (N,3), own (N,) bool). A single definition keeps the value and
+    gradient paths from diverging on halo/ownership changes."""
+    nx, ny, nz = grid.shape
+    shard = jax.lax.axis_index(GRID_AXIS)
+    x0 = shard * loc
+    f_ext = _exchange_halos(f_local, n_shards)          # (loc+4, ny, nz)
+    idx, frac = _neighborhood(grid, pts)                # global indices
+    base_x = idx[:, 0, 1]                               # stencil base
+    own = (base_x >= x0) & (base_x < x0 + loc)
+    # map global x indices into the extended slab; clamp keeps foreign
+    # points addressable (their results are masked off)
+    lx = jnp.clip(idx[:, 0, :] - x0 + HALO, 0, loc + 2 * HALO - 1)
+    flat = ((lx[:, :, None, None] * ny + idx[:, 1, None, :, None]) * nz
+            + idx[:, 2, None, None, :])                 # (N,4,4,4)
+    blocks = jnp.take(f_ext.reshape(-1), flat.reshape(flat.shape[0], 64),
+                      axis=0).reshape(flat.shape)
+    return blocks, frac, own
+
+
 @partial(jax.jit, static_argnames=("mesh", "points_sharded"))
 def interp_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
                    points: jax.Array, points_sharded: bool = False
@@ -93,27 +116,8 @@ def interp_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
     loc = nx // n_shards
 
     def local_fn(f_local, pts):
-        shard = jax.lax.axis_index(GRID_AXIS)
-        x0 = shard * loc
-        f_ext = _exchange_halos(f_local, n_shards)      # (loc+4, ny, nz)
-        idx, frac = _neighborhood(grid, pts)            # global indices
-        base_x = idx[:, 0, 1]                           # stencil base (=bx)
-        own = (base_x >= x0) & (base_x < x0 + loc)
-        # map global x indices into the extended slab; clamp keeps foreign
-        # points addressable (their results are masked off)
-        lx = jnp.clip(idx[:, 0, :] - x0 + HALO, 0, loc + 2 * HALO - 1)
-        iy = idx[:, 1, :]
-        iz = idx[:, 2, :]
-        flat = ((lx[:, :, None, None] * ny + iy[:, None, :, None]) * nz
-                + iz[:, None, None, :])                 # (N,4,4,4)
-        blocks = jnp.take(f_ext.reshape(-1), flat.reshape(flat.shape[0], 64),
-                          axis=0).reshape(flat.shape)
-        wx = _catmull_rom_weights(frac[:, 0])
-        wy = _catmull_rom_weights(frac[:, 1])
-        wz = _catmull_rom_weights(frac[:, 2])
-        w = (wx[:, :, None, None] * wy[:, None, :, None]
-             * wz[:, None, None, :])
-        val = jnp.sum(blocks * w, axis=(1, 2, 3))
+        blocks, frac, own = _owned_blocks(f_local, grid, pts, loc, n_shards)
+        val = _contract_value(blocks, frac)
         return jax.lax.psum(jnp.where(own, val, 0.0), GRID_AXIS)
 
     pspec = P(RAY_AXIS) if points_sharded else P()
@@ -136,35 +140,8 @@ def interp_sharded_with_grad(mesh: Mesh, field_sharded: jax.Array,
     loc = nx // n_shards
 
     def local_fn(f_local, pts):
-        shard = jax.lax.axis_index(GRID_AXIS)
-        x0 = shard * loc
-        f_ext = _exchange_halos(f_local, n_shards)
-        idx, frac = _neighborhood(grid, pts)
-        base_x = idx[:, 0, 1]
-        own = (base_x >= x0) & (base_x < x0 + loc)
-        lx = jnp.clip(idx[:, 0, :] - x0 + HALO, 0, loc + 2 * HALO - 1)
-        iy = idx[:, 1, :]
-        iz = idx[:, 2, :]
-        flat = ((lx[:, :, None, None] * ny + iy[:, None, :, None]) * nz
-                + iz[:, None, None, :])
-        blocks = jnp.take(f_ext.reshape(-1),
-                          flat.reshape(flat.shape[0], 64),
-                          axis=0).reshape(flat.shape)
-        wx = _catmull_rom_weights(frac[:, 0])
-        wy = _catmull_rom_weights(frac[:, 1])
-        wz = _catmull_rom_weights(frac[:, 2])
-        dwx = _catmull_rom_dweights(frac[:, 0])
-        dwy = _catmull_rom_dweights(frac[:, 1])
-        dwz = _catmull_rom_dweights(frac[:, 2])
-        cz = jnp.einsum("nxyz,nz->nxy", blocks, wz)
-        cz_d = jnp.einsum("nxyz,nz->nxy", blocks, dwz)
-        czy = jnp.einsum("nxy,ny->nx", cz, wy)
-        czy_dy = jnp.einsum("nxy,ny->nx", cz, dwy)
-        czy_dz = jnp.einsum("nxy,ny->nx", cz_d, wy)
-        value = jnp.einsum("nx,nx->n", czy, wx)
-        du = jnp.stack([jnp.einsum("nx,nx->n", czy, dwx),
-                        jnp.einsum("nx,nx->n", czy_dy, wx),
-                        jnp.einsum("nx,nx->n", czy_dz, wx)], axis=-1)
+        blocks, frac, own = _owned_blocks(f_local, grid, pts, loc, n_shards)
+        value, du = _contract_value_grad(blocks, frac)
         ownf = own.astype(value.dtype)
         out = jnp.concatenate([(value * ownf)[:, None],
                                du * ownf[:, None]], axis=1)

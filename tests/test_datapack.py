@@ -98,3 +98,31 @@ def test_datapack_select_flags_propagate_from_new_ref():
     sub = dp.select(antennas=[2, 3, 4])
     assert sub.flags[:, 0, 1].all()              # ref flag poisons the column
     assert not sub.flags[1:, 0, 0].any()
+
+
+def test_datapack_frame_model_provenance(tmp_path):
+    """The ICRS→ENU chain used to generate the data is persisted; files
+    without the attribute (pre-upgrade) load as bare-GMST so their rays
+    keep the geometry they were synthesized with (advisor r2)."""
+    import h5py
+    dp, _ = generate_example_datapack(
+        n_antennas=4, n_directions=3, n_times=1, grid_shape=(12, 12, 12),
+        n_samples=9)
+    assert dp.frame_model == "iau2006"
+    p = tmp_path / "dp.h5"
+    dp.save(p)
+    dp2 = DataPack.load(p)
+    assert dp2.frame_model == "iau2006"
+    np.testing.assert_allclose(dp2.directions_enu(), dp.directions_enu())
+
+    # simulate a pre-upgrade file: drop the attribute
+    with h5py.File(p, "a") as f:
+        del f.attrs["frame_model"]
+    dp3 = DataPack.load(p)
+    assert dp3.frame_model == "gmst"
+    # geometry differs measurably between the two chains at 2026 epochs
+    a = dp2.directions_enu()
+    b = dp3.directions_enu()
+    assert np.abs(a - b).max() > 1e-4
+    # select() propagates the provenance
+    assert dp3.select(antennas=[0, 1]).frame_model == "gmst"
