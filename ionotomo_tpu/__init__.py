@@ -25,7 +25,10 @@ from .forward.tec import (tec, dtec, dtec_paired,             # noqa: F401
 from .geometry.fermat import trace_rays                       # noqa: F401
 from .geometry.rays import (RayBundle, calc_rays,             # noqa: F401
                             sample_straight_rays, make_ray_batch)
-from .inversion.kalman import kalman_filter                   # noqa: F401
+from .inversion.kalman import (kalman_filter,                 # noqa: F401
+                               ensemble_kalman_filter)
+from .inversion.online import (OnlineKalman,                  # noqa: F401
+                               OnlineEnsembleKalman)
 from .inversion.pipeline import InversionPipeline             # noqa: F401
 from .inversion.priors import GPCovariance, laplacian         # noqa: F401
 from .inversion.solution import Solution                      # noqa: F401

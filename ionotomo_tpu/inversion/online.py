@@ -1,0 +1,130 @@
+"""Online (streaming) tomography — the production serving surface.
+
+The batch pipeline replays a stored DataPack; a live calibration system
+instead receives one observation epoch at a time and must emit the current
+ionosphere estimate with bounded latency and constant memory. This wraps
+the frozen-flow filters (inversion.kalman) as a push API:
+
+    f = OnlineKalman(grid, cov, m_prior, wind_kmps=(0.3, 0.1, 0), dt_s=30)
+    for rays_t, d_t, noise_t in stream:
+        m_t, diag = f.step(rays_t, d_t, noise_t)       # one jitted call
+
+Each ``step`` is one compiled device program (the same kalman_filter scan
+with Nt=1, reused across epochs — first call compiles, the rest are
+O(solve) only). State is just the current field (plus the ensemble for
+OnlineEnsembleKalman); ``state_dict``/``load_state`` round-trip through
+utils.checkpoint for restartable services. Identical numerics to the batch
+filter (tests/test_online.py: streamed == batch).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grids import Grid3D
+from ..geometry.rays import RayBundle
+from .kalman import ensemble_kalman_filter, kalman_filter
+from .priors import GPCovariance
+
+
+class OnlineKalman:
+    """Streaming frozen-flow Kalman filter (point estimate)."""
+
+    def __init__(self, grid: Grid3D, cov: GPCovariance, m0, wind_kmps,
+                 dt_s: float, num_directions: int, i0: int = 0,
+                 cg_iters: int = 30, cg_tol: float = 1e-4,
+                 fade: float = 1.0):
+        self.grid = grid
+        self.cov = cov
+        self.m_clim = jnp.asarray(m0)
+        self.m = jnp.asarray(m0)
+        self.wind = np.asarray(wind_kmps, np.float64)
+        self.dt_s = float(dt_s)
+        self.nd = int(num_directions)
+        self.i0 = int(i0)
+        self.cg_iters = int(cg_iters)
+        self.cg_tol = float(cg_tol)
+        self.fade = float(fade)
+        self.t = 0
+
+    def step(self, rays_t: RayBundle, d_t, noise_t):
+        """Assimilate one epoch; returns (m_t, diag dict)."""
+        res = kalman_filter(
+            self.grid,
+            RayBundle(points=rays_t.points[None], ds=rays_t.ds[None]),
+            jnp.asarray(d_t)[None], jnp.asarray(noise_t),
+            self.m, self.cov, self.wind, self.dt_s,
+            num_directions=self.nd, i0=self.i0, cg_iters=self.cg_iters,
+            cg_tol=self.cg_tol, fade=self.fade,
+            advect_first=(self.t > 0), m_clim=self.m_clim)
+        self.m = res.m_seq[0]
+        self.t += 1
+        diag = dict(t=self.t - 1,
+                    pre_residual=float(res.residuals[0]),
+                    post_residual=float(res.post_residuals[0]))
+        return self.m, diag
+
+    # --- service restart ----------------------------------------------------
+
+    def state_dict(self):
+        return {"m": np.asarray(self.m), "t": np.int64(self.t),
+                "wind_kmps": self.wind}
+
+    def load_state(self, state):
+        self.m = jnp.asarray(state["m"])
+        self.t = int(state["t"])
+        self.wind = np.asarray(state["wind_kmps"])
+
+
+class OnlineEnsembleKalman:
+    """Streaming ensemble filter: current mean/spread after every epoch."""
+
+    def __init__(self, grid: Grid3D, cov: GPCovariance, m0, wind_kmps,
+                 dt_s: float, num_directions: int, key, n_members: int = 8,
+                 i0: int = 0, cg_iters: int = 20, cg_tol: float = 1e-4,
+                 fade: float = 1.0, process_sigma: float = 0.0,
+                 inflation: float = 1.0):
+        self.grid = grid
+        self.cov = cov
+        self.m_clim = jnp.asarray(m0)
+        self.wind = np.asarray(wind_kmps, np.float64)
+        self.dt_s = float(dt_s)
+        self.nd = int(num_directions)
+        self.i0 = int(i0)
+        self.cg_iters = int(cg_iters)
+        self.cg_tol = float(cg_tol)
+        self.fade = float(fade)
+        self.process_sigma = float(process_sigma)
+        self.inflation = float(inflation)
+        self.n_members = int(n_members)
+        self.key = key
+        self.ens = None      # built by the filter on the first step
+        self.t = 0
+
+    def step(self, rays_t: RayBundle, d_t, noise_t):
+        """Assimilate one epoch; returns (mean, std, diag dict)."""
+        res = ensemble_kalman_filter(
+            self.grid,
+            RayBundle(points=rays_t.points[None], ds=rays_t.ds[None]),
+            jnp.asarray(d_t)[None], jnp.asarray(noise_t),
+            self.m_clim, self.cov, self.wind, self.dt_s,
+            num_directions=self.nd, key=self.key,
+            n_members=self.n_members, i0=self.i0, cg_iters=self.cg_iters,
+            cg_tol=self.cg_tol, fade=self.fade,
+            process_sigma=self.process_sigma, inflation=self.inflation,
+            advect_first=(self.t > 0), m_clim=self.m_clim, ens0=self.ens,
+            step_offset=self.t)
+        self.ens = res.ensemble
+        self.t += 1
+        diag = dict(t=self.t - 1, pre_residual=float(res.residuals[0]))
+        return res.mean_seq[0], res.std_seq[0], diag
+
+    def state_dict(self):
+        return {"ensemble": np.asarray(self.ens), "t": np.int64(self.t),
+                "wind_kmps": self.wind}
+
+    def load_state(self, state):
+        self.ens = jnp.asarray(state["ensemble"])
+        self.t = int(state["t"])
+        self.wind = np.asarray(state["wind_kmps"])

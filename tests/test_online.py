@@ -1,0 +1,91 @@
+"""Streaming (online) filter API: epoch-by-epoch push equals the batch
+filter, and a killed service resumes identically from state_dict."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ionotomo_tpu.geometry.rays import RayBundle
+from ionotomo_tpu.inversion.kalman import (ensemble_kalman_filter,
+                                           kalman_filter)
+from ionotomo_tpu.inversion.online import OnlineEnsembleKalman, OnlineKalman
+from ionotomo_tpu.inversion.priors import GPCovariance
+
+from tests.test_kalman import moving_world
+
+
+def test_online_kalman_matches_batch_filter():
+    w = moving_world(nt=4)
+    cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+    batch = kalman_filter(w["grid"], w["rays_seq"], w["d_seq"], w["noise"],
+                          w["m_bg"], cov, w["wind"], w["dt_s"],
+                          num_directions=w["n_dirs"], cg_iters=20,
+                          fade=0.95)
+    f = OnlineKalman(w["grid"], cov, w["m_bg"], w["wind"], w["dt_s"],
+                     num_directions=w["n_dirs"], cg_iters=20, fade=0.95)
+    for t in range(4):
+        rb = RayBundle(points=w["rays_seq"].points[t],
+                       ds=w["rays_seq"].ds[t])
+        m_t, diag = f.step(rb, w["d_seq"][t], w["noise"])
+        # Nt=1 programs fuse differently than the Nt=4 scan; truncated CG
+        # amplifies f32 reduction-order noise and the deviation compounds
+        # over chained steps — compare against the update scale
+        delta = np.abs(np.asarray(batch.m_seq[t])
+                       - np.asarray(w["m_bg"])).max()
+        diff = np.abs(np.asarray(m_t) - np.asarray(batch.m_seq[t])).max()
+        assert diff < 0.03 * delta, (t, diff, delta)
+        assert diag["post_residual"] < diag["pre_residual"]
+
+
+def test_online_kalman_state_roundtrip_resumes_identically():
+    w = moving_world(nt=4)
+    cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+
+    def make():
+        return OnlineKalman(w["grid"], cov, w["m_bg"], w["wind"],
+                            w["dt_s"], num_directions=w["n_dirs"],
+                            cg_iters=15)
+
+    def rb(t):
+        return RayBundle(points=w["rays_seq"].points[t],
+                         ds=w["rays_seq"].ds[t])
+
+    f1 = make()
+    outs1 = [np.asarray(f1.step(rb(t), w["d_seq"][t], w["noise"])[0])
+             for t in range(4)]
+    # "service restart" after epoch 1
+    f2 = make()
+    f2.step(rb(0), w["d_seq"][0], w["noise"])
+    f2.step(rb(1), w["d_seq"][1], w["noise"])
+    state = f2.state_dict()
+    f3 = make()
+    f3.load_state(state)
+    for t in (2, 3):
+        m_t, _ = f3.step(rb(t), w["d_seq"][t], w["noise"])
+        np.testing.assert_allclose(np.asarray(m_t), outs1[t], atol=1e-6)
+
+
+def test_online_enkf_matches_batch_filter():
+    w = moving_world(nt=3)
+    cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+    key = jax.random.key(7)
+    batch = ensemble_kalman_filter(
+        w["grid"], w["rays_seq"], w["d_seq"], w["noise"], w["m_bg"], cov,
+        w["wind"], w["dt_s"], num_directions=w["n_dirs"], key=key,
+        n_members=5, cg_iters=12)
+    f = OnlineEnsembleKalman(w["grid"], cov, w["m_bg"], w["wind"],
+                             w["dt_s"], num_directions=w["n_dirs"],
+                             key=key, n_members=5, cg_iters=12)
+    for t in range(3):
+        rb = RayBundle(points=w["rays_seq"].points[t],
+                       ds=w["rays_seq"].ds[t])
+        mean, std, _ = f.step(rb, w["d_seq"][t], w["noise"])
+        delta = np.abs(np.asarray(batch.mean_seq[t])
+                       - np.asarray(w["m_bg"])).max() + 1e-6
+        dm = np.abs(np.asarray(mean) - np.asarray(batch.mean_seq[t])).max()
+        ds_ = np.abs(np.asarray(std) - np.asarray(batch.std_seq[t])).max()
+        assert dm < 0.05 * delta, (t, dm, delta)
+        assert ds_ < 0.05 * float(np.asarray(batch.std_seq[t]).mean()), \
+            (t, ds_)
