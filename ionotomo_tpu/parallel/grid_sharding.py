@@ -154,6 +154,50 @@ def interp_sharded_with_grad(mesh: Mesh, field_sharded: jax.Array,
     return out[:, 0], out[:, 1:] / grid.spacing[None, :]
 
 
+@partial(jax.jit, static_argnames=("mesh",))
+def tec_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
+                rays) -> jax.Array:
+    """TEC per ray over an x-sharded log-density field (working units) —
+    the forward/tec.tec quadrature with the gather served by the
+    halo-exchange interpolator. **Differentiable**: jax transposes the
+    shard_map exactly (gather→scatter into the owned slab, halo
+    concatenate→reverse ppermute-add), so LSQR/CG/GN run unchanged on
+    sharded grids; wrap solver calls in ``jax.set_mesh(mesh)`` so scalar
+    reductions pick up the mesh context (tests/test_grid_sharding.py).
+    """
+    from .. import constants
+    from ..geometry.rays import simpson_weights
+
+    r, n = rays.points.shape[:2]
+    m = interp_sharded(mesh, field_sharded, grid,
+                       rays.points.reshape(-1, 3))
+    ne = constants.K_NE * jnp.exp(m).reshape(r, n)
+    w = simpson_weights(n, ne.dtype)
+    integral = jnp.einsum("rn,n->r", ne, w) * rays.ds * constants.KM_TO_M
+    return integral / constants.TEC_SCALE
+
+
+@partial(jax.jit, static_argnames=("mesh", "num_directions", "i0"))
+def dtec_paired_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
+                        rays, num_directions: int, i0: int = 0
+                        ) -> jax.Array:
+    """Cancellation-free differential TEC over an x-sharded field —
+    forward/tec.dtec_paired with the sharded gather (see tec_sharded)."""
+    from .. import constants
+    from ..geometry.rays import simpson_weights
+
+    r, n = rays.points.shape[:2]
+    na = r // num_directions
+    m = interp_sharded(mesh, field_sharded, grid,
+                       rays.points.reshape(-1, 3))
+    ne = constants.K_NE * jnp.exp(m).reshape(na, num_directions, n)
+    dne = ne - ne[i0][None, :, :]
+    w = simpson_weights(n, ne.dtype)
+    ds = rays.ds.reshape(na, num_directions)
+    out = jnp.einsum("akn,n->ak", dne, w) * ds * constants.KM_TO_M
+    return out / constants.TEC_SCALE
+
+
 @partial(jax.jit, static_argnames=("mesh", "n_steps", "keep_path",
                                    "method", "rays_sharded"))
 def trace_rays_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
