@@ -19,10 +19,10 @@ TEC path integral rides along as extra ODE state (dτ/ds = n_e), integrated
 at the same 4th order. No Python in the loop, no host round-trips; state
 (x, p, τ) stays in HBM/VMEM across the scan.
 
-Step-count contract (SURVEY.md §7 "Bent-ray step control"): fixed-step RK4
-at n_steps=128 over 1000 km matches the adaptive f64 oracle to <1e-6 rel in
-endpoint and TEC for ionospheric contrast at 150 MHz (see
-tests/test_fermat.py convergence study).
+Step-count contract (SURVEY.md §7 "Bent-ray step control"): the
+PRECISION.md convergence study against the adaptive f64 oracle fixes
+solver-grade at leapfrog@64 — both endpoint and TEC error sit at the
+f32/interpolant floor there, and 128 steps buys nothing measurable.
 """
 from __future__ import annotations
 
@@ -92,9 +92,10 @@ def trace_rays(field_m: jax.Array, grid: Grid3D, origins: jax.Array,
       integrated at 4th order. The accuracy reference.
     - ``leapfrog``: velocity-Verlet kick-drift with the field gradient
       carried between steps — **one** field evaluation/step (4× fewer
-      gathers than rk4), 2nd order in the path, trapezoid TEC. Since the
-      gather is the arithmetic-intensity bottleneck on TPU, leapfrog at
-      2× the step count beats rk4 in accuracy-per-second by ~2×; this is
+      gathers than rk4), 2nd order in the path, **Hermite (4th-order)
+      TEC** from the same gather. Since the gather is the
+      arithmetic-intensity bottleneck on TPU, leapfrog dominates rk4 in
+      accuracy-per-second; leapfrog@64 is solver-grade (PRECISION.md) and
       the benchmark/production configuration (see bench.py).
     """
     nx, ny, nz = grid.shape

@@ -17,9 +17,13 @@ global index clamping keeps owned stencils inside the physical grid — so
 the ring exchange needs no special-casing.
 
 Correctness is validated against the replicated-path `core.tricubic.interp`
-on the virtual 8-device mesh (tests/test_grid_sharding.py). Performance
-work (overlap of halo exchange with interior compute, sharded adjoint
-scatter) is deliberately deferred until a real workload needs >HBM grids.
+on the virtual 8-device mesh (tests/test_grid_sharding.py). The full
+stack works here: value+gradient interpolation, bent-ray tracing
+(`trace_rays_sharded`), differentiable TEC operators (`tec_sharded` —
+jax transposes the shard_map exactly, so Krylov inversion runs on
+sharded fields), and 2-D grid×ray meshes. Performance work (overlap of
+halo exchange with interior compute) is deliberately deferred until a
+real workload needs >HBM grids.
 """
 from __future__ import annotations
 
