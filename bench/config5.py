@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 import time
 
-from bench.common import make_rays, emit, honest_truth, covered_rmse
+from bench.common import (make_rays, emit, honest_truth, covered_rmse,
+                          bent_dtec_data, heldout_dtec_rms)
 from ionotomo_tpu.models import chapman
 from ionotomo_tpu.geometry import fermat, rays as rays_mod
 from ionotomo_tpu.inversion.kalman import kalman_filter
@@ -76,12 +77,19 @@ def main():
     secs = time.perf_counter() - t0
 
     m_true_f = m_bg + advect_periodic(pert, grid, wind * ((nt - 1) * dt_s))
+    ants_h, dirs_h = make_rays(20, 50, seed=99)
+    d_h, _ = bent_dtec_data(m_true_f, grid, ants_h, dirs_h,
+                            frequency_hz=150e6, n_steps=128,
+                            noise_frac=0.0)
+    ho_pr = heldout_dtec_rms(m_bg, grid, ants_h, dirs_h, d_h, n_samples=65)
+    ho_po = heldout_dtec_rms(m_f, grid, ants_h, dirs_h, d_h, n_samples=65)
     emit("config5", "kalman_30steps_seconds", secs, "s",
          timesteps_per_sec=nt / secs,
          mean_residual_reduction=float(
              (pre / jnp.maximum(post, 1e-9)).mean()),
          covered_rmse_prior=covered_rmse(m_bg, m_true_f, grid, rb),
          covered_rmse_post=covered_rmse(m_f, m_true_f, grid, rb),
+         heldout_dtec_rms_prior=ho_pr, heldout_dtec_rms_post=ho_po,
          data="bent-tracer 2x quadrature + 1% noise, von Karman truth, "
               "chunked filter (5 chunks x 6 steps)")
 

@@ -65,6 +65,38 @@ class DataPack:
         f = frequency_hz or self.frequency_hz
         return constants.PHASE_COEF * (self.dtec * constants.TEC_SCALE) / f
 
+    @staticmethod
+    def phase_to_dtec(phase_rad, frequency_hz):
+        """Inverse of ``phase``: differential phase [rad] → dTEC in
+        working units. The phase must already be unwrapped (see
+        ``unwrap_phase_time``); a wrapped phase aliases TEC by
+        f/PHASE_COEF·2π per cycle."""
+        from .. import constants
+        return (np.asarray(phase_rad, np.float64) * frequency_hz
+                / (constants.PHASE_COEF * constants.TEC_SCALE))
+
+    @staticmethod
+    def unwrap_phase_time(phase_rad):
+        """Unwrap observed phases along the time axis (axis 1 of
+        [Na, Nt, Nd]) — valid when the epoch cadence keeps |Δφ| < π
+        between samples, the standard calibration regime. Absolute 2π·k
+        offsets per (antenna, direction) remain unobservable from phase
+        alone (they alias into dTEC); anchor them externally or work at
+        time-differenced level."""
+        return np.unwrap(np.asarray(phase_rad, np.float64), axis=1)
+
+    @classmethod
+    def from_phase(cls, array, directions_icrs, times_mjd, phase_rad,
+                   frequency_hz, unwrap=True, **kwargs):
+        """Build a DataPack from differential-phase observations (the
+        reference ingests phases as readily as dTEC)."""
+        phase = np.asarray(phase_rad, np.float64)
+        if unwrap:
+            phase = cls.unwrap_phase_time(phase)
+        dtec = cls.phase_to_dtec(phase, frequency_hz)
+        return cls(array, directions_icrs, times_mjd, dtec=dtec,
+                   frequency_hz=frequency_hz, **kwargs)
+
     # --- geometry ----------------------------------------------------------
 
     def antennas_enu(self):

@@ -61,9 +61,13 @@ def grid_ray_mesh(n_grid: int, n_rays: int, devices=None) -> Mesh:
 
 def shard_field(mesh: Mesh, field: jax.Array) -> jax.Array:
     """Place a (nx, ny, nz) field x-sharded on the mesh."""
-    assert field.shape[0] % mesh.shape[GRID_AXIS] == 0, (
-        f"nx={field.shape[0]} must divide the mesh "
-        f"({mesh.shape[GRID_AXIS]} devices)")
+    n = mesh.shape[GRID_AXIS]
+    assert field.shape[0] % n == 0, (
+        f"nx={field.shape[0]} must divide the mesh ({n} devices)")
+    assert field.shape[0] // n >= HALO, (
+        f"each shard must own ≥ {HALO} x-planes (the halo width): "
+        f"nx={field.shape[0]} over {n} shards gives {field.shape[0] // n}"
+        " — a single ppermute pair can only reach immediate neighbours")
     return jax.device_put(field, NamedSharding(mesh, P(GRID_AXIS)))
 
 

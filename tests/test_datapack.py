@@ -126,3 +126,27 @@ def test_datapack_frame_model_provenance(tmp_path):
     assert np.abs(a - b).max() > 1e-4
     # select() propagates the provenance
     assert dp3.select(antennas=[0, 1]).frame_model == "gmst"
+
+
+def test_phase_dtec_round_trip_and_unwrap():
+    """phase() ↔ phase_to_dtec are exact inverses; from_phase recovers the
+    dtec of a datapack from its (wrapped) phases when the time cadence
+    keeps |dphi| < pi between epochs."""
+    dp, _ = generate_example_datapack(
+        n_antennas=5, n_directions=3, n_times=4, grid_shape=(12, 12, 12),
+        noise_tecu=0.0, n_samples=17)
+    # scale dtec so phases span multiple wraps but step < pi per epoch
+    phase = dp.phase()
+    scale = 4.0 / max(np.abs(phase).max(), 1e-9)
+    dp.dtec = dp.dtec * scale
+    phi = dp.phase()
+    np.testing.assert_allclose(DataPack.phase_to_dtec(phi, dp.frequency_hz),
+                               dp.dtec, rtol=1e-12)
+    wrapped = np.angle(np.exp(1j * phi))
+    dp2 = DataPack.from_phase(dp.array, dp.directions, dp.times, wrapped,
+                              dp.frequency_hz)
+    # unwrap recovers dtec up to a constant 2pi*k offset per (ant, dir)
+    diff = dp2.dtec - dp.dtec
+    per_series_spread = np.ptp(diff, axis=1)     # variation along time
+    k_quantum = dp.frequency_hz / 1.0            # just check near-constancy
+    assert per_series_spread.max() < 1e-6 * max(np.abs(dp.dtec).max(), 1.0)

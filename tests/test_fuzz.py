@@ -94,3 +94,30 @@ def test_fuzz_tec_exponential_scaling():
         c = 0.7
         t1 = np.asarray(tec_mod.tec(m + c, grid, rb))
         np.testing.assert_allclose(t1, np.exp(c) * t0, rtol=2e-5)
+
+
+def test_fuzz_sharded_interp_matches_replicated():
+    """Property fuzz over grid shapes/extents/points: the halo-exchange
+    interpolator equals the replicated one everywhere (incl. outside)."""
+    import jax
+    from ionotomo_tpu.parallel import grid_sharding as gs
+    if len(jax.devices()) < 2:
+        return
+    n_dev = len(jax.devices())
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        nx = int(n_dev * rng.integers(2, 5))       # divisible, ≥2/shard
+        ny = int(rng.integers(5, 14))
+        nz = int(rng.integers(5, 14))
+        lo = rng.uniform(-500, 0, 3)
+        hi = lo + rng.uniform(100, 900, 3)
+        grid = Grid3D.from_bounds(lo, hi, (nx, ny, nz))
+        f = jnp.asarray(rng.normal(size=(nx, ny, nz)).astype(np.float32))
+        pts = rng.uniform(lo - 50, hi + 50, (80, 3)).astype(np.float32)
+        want = np.asarray(tricubic.interp(f, grid, jnp.asarray(pts)))
+        mesh = gs.grid_mesh()
+        got = np.asarray(gs.interp_sharded(
+            mesh, gs.shard_field(mesh, f), grid, jnp.asarray(pts)))
+        np.testing.assert_allclose(got, want, rtol=3e-5,
+                                   atol=3e-6 * max(1, np.abs(want).max()),
+                                   err_msg=str((trial, nx, ny, nz)))
