@@ -184,7 +184,11 @@ class DataPack:
             f.create_dataset("noise_std", data=self.noise_std)
 
     @staticmethod
-    def load(path):
+    def load(path, frame_model=None):
+        """Load from HDF5. ``frame_model`` overrides the stored/inferred
+        ICRS→ENU chain — use it for files from the brief window where the
+        IAU-2006 chain was already the default but the provenance
+        attribute did not exist yet (pass "iau2006")."""
         if h5py is None:
             raise RuntimeError("h5py unavailable")
         with h5py.File(path, "r") as f:
@@ -200,7 +204,11 @@ class DataPack:
                 f["noise_std"][:],
                 ref_antenna=int(f.attrs["ref_antenna"]),
                 frequency_hz=float(f.attrs["frequency_hz"]),
-                # files written before frame_model existed were generated
-                # with the bare-GMST chain — keep their geometry
-                frame_model=str(f.attrs.get("frame_model", "gmst")),
+                # attribute-less files default to the bare-GMST chain:
+                # correct for everything the long-lived round-1 code
+                # wrote; files from the short window between the IAU-2006
+                # frames upgrade and this attribute need the explicit
+                # frame_model="iau2006" override above
+                frame_model=(frame_model if frame_model is not None
+                             else str(f.attrs.get("frame_model", "gmst"))),
             )

@@ -77,17 +77,41 @@ def ne_at(field_m: jax.Array, grid: Grid3D, points: jax.Array) -> jax.Array:
     return constants.K_NE * jnp.exp(m).reshape(shape)
 
 
+def tec_from_log_values(m_values: jax.Array, rays: RayBundle) -> jax.Array:
+    """Simpson TEC quadrature from log-density samples m (R·N,) or (R, N)
+    along the bundle — the single home of the weights/unit chain, shared
+    by the replicated path below and the sharded twin
+    (parallel.grid_sharding.tec_sharded)."""
+    r, n = rays.points.shape[:2]
+    ne = constants.K_NE * jnp.exp(m_values).reshape(r, n)
+    w = simpson_weights(n, ne.dtype)
+    integral = jnp.einsum("rn,n->r", ne, w) * rays.ds * constants.KM_TO_M
+    return integral / constants.TEC_SCALE
+
+
+def dtec_paired_from_log_values(m_values: jax.Array, rays: RayBundle,
+                                num_directions: int, i0: int = 0
+                                ) -> jax.Array:
+    """Cancellation-free paired-dTEC quadrature from log-density samples —
+    shared by dtec_paired and parallel.grid_sharding.dtec_paired_sharded
+    (including the sharded-safe reference-row reduction)."""
+    r, n = rays.points.shape[:2]
+    na = r // num_directions
+    ne = constants.K_NE * jnp.exp(m_values).reshape(na, num_directions, n)
+    dne = ne - _ref_row(ne, i0)[None, :, :]
+    w = simpson_weights(n, ne.dtype)
+    ds = rays.ds.reshape(na, num_directions)
+    out = jnp.einsum("akn,n->ak", dne, w) * ds * constants.KM_TO_M
+    return out / constants.TEC_SCALE
+
+
 def tec(field_m: jax.Array, grid: Grid3D, rays: RayBundle) -> jax.Array:
     """TEC per ray, (R,), in TEC_SCALE working units.
 
     TEC = ∫ n_e ds = Σ w_n · K_ne·exp(m(x_n)) · ds, ds in km → ×1e3 m.
     """
-    r, n = rays.points.shape[:2]
     m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3))
-    ne = constants.K_NE * jnp.exp(m).reshape(r, n)
-    w = simpson_weights(n, ne.dtype)
-    integral = jnp.einsum("rn,n->r", ne, w) * rays.ds * constants.KM_TO_M
-    return integral / constants.TEC_SCALE
+    return tec_from_log_values(m, rays)
 
 
 def dtec(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
@@ -119,15 +143,8 @@ def dtec_paired(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
     default forward path everywhere; ``dtec`` remains for externally
     supplied bundles with per-antenna ds.
     """
-    r, n = rays.points.shape[:2]
-    na = r // num_directions
     m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3))
-    ne = constants.K_NE * jnp.exp(m).reshape(na, num_directions, n)
-    dne = ne - _ref_row(ne, i0)[None, :, :]
-    w = simpson_weights(n, ne.dtype)
-    ds = rays.ds.reshape(na, num_directions)
-    out = jnp.einsum("akn,n->ak", dne, w) * ds * constants.KM_TO_M
-    return out / constants.TEC_SCALE
+    return dtec_paired_from_log_values(m, rays, num_directions, i0)
 
 
 def tec_linear(ne_field: jax.Array, grid: Grid3D, rays: RayBundle

@@ -149,7 +149,8 @@ class InversionPipeline:
 
     def _padded_data(self, t: int):
         """(antennas, d_t, noise_t, na_real) with whole-antenna padding so
-        Na'·Nd divides the mesh; logs a metrics event when padding kicks in."""
+        Na'·Nd divides the mesh (the padded count is computed — and its
+        metrics event logged — once, in _padded_na)."""
         na, nd = self.d_obs.shape[0], self.directions.shape[1]
         na_p = self._padded_na(na, nd)
         d_t = np.asarray(self.d_obs[:, t, :])
@@ -245,9 +246,12 @@ class InversionPipeline:
         if not cfg_json:
             return True
         try:
-            theirs = json.loads(cfg_json)
+            # round-trip through EngineConfig so fields added in newer
+            # versions pick up their defaults instead of failing a raw
+            # dict comparison (old checkpoints stay resumable)
+            theirs = json.loads(EngineConfig.from_json(cfg_json).to_json())
             mine = json.loads(self.config.to_json())
-        except ValueError:
+        except (ValueError, KeyError, TypeError):
             return False
         theirs.pop("runtime", None)
         mine.pop("runtime", None)

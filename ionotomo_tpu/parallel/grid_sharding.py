@@ -173,16 +173,11 @@ def tec_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
     sharded grids; wrap solver calls in ``jax.set_mesh(mesh)`` so scalar
     reductions pick up the mesh context (tests/test_grid_sharding.py).
     """
-    from .. import constants
-    from ..geometry.rays import simpson_weights
+    from ..forward.tec import tec_from_log_values
 
-    r, n = rays.points.shape[:2]
     m = interp_sharded(mesh, field_sharded, grid,
                        rays.points.reshape(-1, 3))
-    ne = constants.K_NE * jnp.exp(m).reshape(r, n)
-    w = simpson_weights(n, ne.dtype)
-    integral = jnp.einsum("rn,n->r", ne, w) * rays.ds * constants.KM_TO_M
-    return integral / constants.TEC_SCALE
+    return tec_from_log_values(m, rays)
 
 
 @partial(jax.jit, static_argnames=("mesh", "num_directions", "i0"))
@@ -191,19 +186,11 @@ def dtec_paired_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
                         ) -> jax.Array:
     """Cancellation-free differential TEC over an x-sharded field —
     forward/tec.dtec_paired with the sharded gather (see tec_sharded)."""
-    from .. import constants
-    from ..geometry.rays import simpson_weights
+    from ..forward.tec import dtec_paired_from_log_values
 
-    r, n = rays.points.shape[:2]
-    na = r // num_directions
     m = interp_sharded(mesh, field_sharded, grid,
                        rays.points.reshape(-1, 3))
-    ne = constants.K_NE * jnp.exp(m).reshape(na, num_directions, n)
-    dne = ne - ne[i0][None, :, :]
-    w = simpson_weights(n, ne.dtype)
-    ds = rays.ds.reshape(na, num_directions)
-    out = jnp.einsum("akn,n->ak", dne, w) * ds * constants.KM_TO_M
-    return out / constants.TEC_SCALE
+    return dtec_paired_from_log_values(m, rays, num_directions, i0)
 
 
 @partial(jax.jit, static_argnames=("mesh", "n_steps", "keep_path",

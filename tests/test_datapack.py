@@ -148,5 +148,4 @@ def test_phase_dtec_round_trip_and_unwrap():
     # unwrap recovers dtec up to a constant 2pi*k offset per (ant, dir)
     diff = dp2.dtec - dp.dtec
     per_series_spread = np.ptp(diff, axis=1)     # variation along time
-    k_quantum = dp.frequency_hz / 1.0            # just check near-constancy
     assert per_series_spread.max() < 1e-6 * max(np.abs(dp.dtec).max(), 1.0)

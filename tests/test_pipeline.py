@@ -310,3 +310,30 @@ def test_pipeline_enkf_chunked_and_resumable(tmp_path):
             os.unlink(os.path.join(d, name))
     sol_res = InversionPipeline(dp, cfg2).run(resume=True)
     np.testing.assert_allclose(sol_res.m, sol_one.m, atol=1e-5)
+
+
+def test_resume_accepts_checkpoint_from_older_config_schema(tmp_path):
+    """Checkpoints written before new SolverConfig fields existed must
+    stay resumable: compatibility compares configs after a from_json
+    round-trip so missing keys pick up defaults (advisor r2)."""
+    import json
+    dp, _ = make_dp()
+    cfg = small_config(tmp_path)
+    pipe = InversionPipeline(dp, cfg)
+    sol_full = pipe.run(resume=False)
+
+    # rewrite the newest checkpoint with a config json LACKING the
+    # enkf_* fields (an old-schema checkpoint)
+    old_raw = json.loads(cfg.to_json())
+    for k in ("enkf_members", "enkf_inflation", "enkf_process_sigma"):
+        old_raw["solver"].pop(k)
+    import shutil
+    shutil.rmtree(cfg.runtime.checkpoint_dir)
+    ckpt.save_checkpoint(cfg.runtime.checkpoint_dir, 1,
+                         {"m_seq": sol_full.m[:1]}, json.dumps(old_raw))
+    pipe2 = InversionPipeline(dp, cfg)
+    sol = pipe2.run(resume=True)
+    np.testing.assert_allclose(sol.m[0], sol_full.m[0], atol=0)  # resumed
+    events = [r for r in pipe2.metrics.read_all()
+              if r.get("event") == "checkpoint_config_mismatch"]
+    assert not events
