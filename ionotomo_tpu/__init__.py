@@ -41,3 +41,4 @@ from .models.frozen_flow import (advect_periodic,             # noqa: F401
                                  frozen_flow_sequence)
 from .models.turbulence import (turbulent_log_perturbation,   # noqa: F401
                                 turbulent_realizations)
+from .parallel import grid_sharding, sharding                 # noqa: F401
