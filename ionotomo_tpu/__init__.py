@@ -29,6 +29,8 @@ from .inversion.kalman import (kalman_filter,                 # noqa: F401
                                ensemble_kalman_filter)
 from .inversion.online import (OnlineKalman,                  # noqa: F401
                                OnlineEnsembleKalman)
+from .inversion.model_selection import (gcv_score,            # noqa: F401
+                                        select_prior)
 from .inversion.pipeline import InversionPipeline             # noqa: F401
 from .inversion.priors import GPCovariance, laplacian         # noqa: F401
 from .inversion.solution import Solution                      # noqa: F401
