@@ -35,6 +35,7 @@ from .inversion.pipeline import InversionPipeline             # noqa: F401
 from .inversion.priors import GPCovariance, laplacian         # noqa: F401
 from .inversion.solution import Solution                      # noqa: F401
 from .inversion import solvers                                # noqa: F401
+from .inversion.solvers import map_gauss_newton_robust        # noqa: F401
 from .models.chapman import (chapman_field, chapman_ne,       # noqa: F401
                              log_parametrize, ne_from_log,
                              grid_enclosing_rays)

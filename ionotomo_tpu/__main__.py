@@ -118,7 +118,8 @@ def main(argv=None):
                    help="kalman: timesteps per scan / checkpoint")
     i.add_argument("--solver", default="map_gauss_newton",
                    choices=["map_gauss_newton", "lsqr_smoothness",
-                            "steepest", "batched_gn", "kalman", "enkf"])
+                            "steepest", "batched_gn", "robust_gn",
+                            "kalman", "enkf"])
     i.add_argument("--gn-iters", type=int, default=2)
     i.add_argument("--cg-iters", type=int, default=40)
     i.add_argument("--prior-sigma", type=float, default=0.3)

@@ -58,7 +58,10 @@ class PriorConfig:
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     solver: str = "map_gauss_newton"  # | "lsqr_smoothness" | "steepest"
-                                      # | "batched_gn" | "kalman" | "enkf"
+                                      # | "batched_gn" | "robust_gn"
+                                      # | "kalman" | "enkf"
+    huber_k: float = 3.0      # robust_gn: Huber threshold [sigma units]
+    irls_iters: int = 3       # robust_gn: re-weighting rounds
     enkf_members: int = 8
     enkf_inflation: float = 1.0
     enkf_process_sigma: float = 0.0

@@ -173,6 +173,12 @@ class InversionPipeline:
                 self.grid, rb, d_t, noise, m_start, num_directions=nd,
                 i0=self.i0, damp=self.config.prior.damp,
                 smooth=self.config.prior.smooth, max_iters=sc.lsqr_iters)
+        if sc.solver == "robust_gn":
+            return solvers.map_gauss_newton_robust(
+                self.grid, rb, d_t, noise, m_start, self.cov,
+                num_directions=nd, i0=self.i0, gn_iters=sc.gn_iters,
+                cg_iters=sc.cg_iters, cg_tol=sc.cg_tol,
+                huber_k=sc.huber_k, irls_iters=sc.irls_iters)
         if sc.solver == "steepest":
             return solvers.steepest_descent_map(
                 self.grid, rb, d_t, noise, m_start, self.cov,

@@ -158,6 +158,41 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                            info=diags)
 
 
+@partial(jax.jit, static_argnames=("num_directions", "i0", "gn_iters",
+                                   "cg_iters", "irls_iters"))
+def map_gauss_newton_robust(grid: Grid3D, rays: RayBundle, d_obs,
+                            noise_std, m_prior, cov: GPCovariance,
+                            num_directions: int, i0: int = 0,
+                            gn_iters: int = 1, cg_iters: int = 30,
+                            cg_tol: float = 1e-4, huber_k: float = 3.0,
+                            irls_iters: int = 3):
+    """Outlier-robust MAP: Huber loss on the whitened data residual via
+    IRLS — each round re-weights observations by w = min(1, k/|r/σ|) and
+    runs Gauss-Newton with noise inflated to σ/√w, so unflagged corrupted
+    samples (RFI, cycle slips) are automatically down-weighted instead of
+    dragging the reconstruction (the flag system handles *known* bad data;
+    this handles the unknown kind). One jit; IRLS rounds under lax.scan.
+    """
+    d = jnp.asarray(d_obs)
+    sigma = jnp.broadcast_to(jnp.asarray(noise_std), d.shape)
+
+    def irls_round(m_k, _):
+        g = tec_mod.dtec_paired(m_k, grid, rays, num_directions, i0)
+        r_w = jnp.abs(g - d) / sigma
+        w = jnp.minimum(1.0, huber_k / jnp.maximum(r_w, 1e-12))
+        noise_eff = sigma / jnp.sqrt(jnp.maximum(w, 1e-12))
+        res = map_gauss_newton(grid, rays, d, noise_eff, m_prior, cov,
+                               num_directions=num_directions, i0=i0,
+                               gn_iters=gn_iters, cg_iters=cg_iters,
+                               cg_tol=cg_tol, m0=m_k)
+        return res.m, (res.residual_norm, jnp.sum(w < 1.0))
+
+    m_final, (res_hist, n_down) = jax.lax.scan(
+        irls_round, m_prior, None, length=irls_iters)
+    return InversionResult(m=m_final, residual_norm=res_hist[-1],
+                           info=(res_hist, n_down))
+
+
 @partial(jax.jit, static_argnames=("num_directions", "i0", "n_samples",
                                    "cg_iters"))
 def posterior_samples(grid: Grid3D, rays: RayBundle, d_obs, noise_std,

@@ -2,6 +2,7 @@
 miniatures): reconstruct a known perturbation from noisy dTEC and beat the
 prior; gradient/adjoint consistency is covered in test_rays_tec."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ionotomo_tpu.inversion.priors import GPCovariance
@@ -219,3 +220,61 @@ def test_bent_retrace_beats_frozen_linearisation():
 
     assert rms(res_frozen.m) < rms(m_prior)          # inversion works
     assert rms(m_k) < 0.9 * rms(res_frozen.m)        # re-tracing wins
+
+
+def test_robust_gn_shrugs_off_unflagged_outliers():
+    """Huber-IRLS: corrupt a few UNFLAGGED observations with huge values —
+    the robust solve must stay near the clean solve while the plain GN
+    solve is dragged away (flags handle known bad data; IRLS the unknown)."""
+    import numpy as np
+    from ionotomo_tpu.forward import tec as tec_mod
+
+    rng = np.random.default_rng(4)
+    na, nd = 12, 6
+    ants = np.concatenate([rng.uniform(-80, 80, (na, 2)),
+                           np.zeros((na, 1))], -1).astype(np.float32)
+    zen = rng.uniform(0.05, 0.45, nd)
+    az = rng.uniform(0, 2 * np.pi, nd)
+    dirs = np.stack([np.sin(zen) * np.sin(az), np.sin(zen) * np.cos(az),
+                     np.cos(zen)], -1).astype(np.float32)
+    grid = chapman.grid_enclosing_rays(ants, dirs, max_length_km=900.0,
+                                       shape=(16, 16, 16), h_min_km=0.0)
+    m_prior = chapman.log_parametrize(chapman.chapman_field(grid))
+    cov = GPCovariance.create(grid, sigma=0.4, length_scale=90.0,
+                              kind="sqexp")
+    m_true = m_prior + cov.sample(jax.random.key(5))
+    o, d = rays_mod.make_ray_batch(ants, dirs)
+    rb = rays_mod.sample_straight_rays(o, d, max_length_km=900.0,
+                                       n_samples=49)
+    d_clean = tec_mod.dtec_paired(m_true, grid, rb, nd, 0)
+    noise = jnp.float32(0.01 * float(jnp.std(d_clean)))
+    d_obs = d_clean + noise * jax.random.normal(jax.random.key(2),
+                                                d_clean.shape)
+    sol_clean = solvers.map_gauss_newton(
+        grid, rb, d_obs, noise, m_prior, cov, num_directions=nd,
+        gn_iters=1, cg_iters=25)
+
+    d_bad = np.asarray(d_obs).copy()
+    d_bad[4, 2] += 500.0 * float(noise)       # RFI-scale corruption
+    d_bad[7, 5] -= 800.0 * float(noise)
+    d_bad = jnp.asarray(d_bad)
+
+    sol_naive = solvers.map_gauss_newton(
+        grid, rb, d_bad, noise, m_prior, cov, num_directions=nd,
+        gn_iters=1, cg_iters=25)
+    sol_rob = solvers.map_gauss_newton_robust(
+        grid, rb, d_bad, noise, m_prior, cov, num_directions=nd,
+        gn_iters=1, cg_iters=25, irls_iters=3)
+
+    def dev(m):
+        return float(jnp.sqrt(jnp.mean((m - sol_clean.m) ** 2)))
+
+    assert dev(sol_rob.m) < 0.25 * dev(sol_naive.m), \
+        (dev(sol_rob.m), dev(sol_naive.m))
+    # at the robust solution the corrupted points carry tiny Huber weight
+    # while the bulk of the data keeps full weight
+    g = tec_mod.dtec_paired(sol_rob.m, grid, rb, nd, 0)
+    r_w = np.abs(np.asarray(g - d_bad)) / float(noise)
+    w = np.minimum(1.0, 3.0 / np.maximum(r_w, 1e-12))
+    assert w[4, 2] < 0.2 and w[7, 5] < 0.2, (w[4, 2], w[7, 5])
+    assert np.median(w) == 1.0
