@@ -44,7 +44,8 @@ def cmd_invert(args):
                        retrace_every=args.retrace_every),
         prior=PriorConfig(sigma=args.prior_sigma,
                           length_scale_km=args.prior_length,
-                          kind=args.prior_kind),
+                          kind=args.prior_kind,
+                          auto_select=args.auto_prior),
         solver=SolverConfig(solver=args.solver, gn_iters=args.gn_iters,
                             cg_iters=args.cg_iters,
                             kalman_chunk=args.kalman_chunk),
@@ -125,6 +126,9 @@ def main(argv=None):
     i.add_argument("--prior-sigma", type=float, default=0.3)
     i.add_argument("--prior-length", type=float, default=80.0)
     i.add_argument("--prior-kind", default="von_karman")
+    i.add_argument("--auto-prior", action="store_true",
+                   help="GCV-select (sigma, L, kind) from the data at "
+                        "setup (18 candidates around the configured prior)")
     i.add_argument("--checkpoint-dir", default="checkpoints")
     i.add_argument("--metrics", default="metrics.jsonl")
     i.add_argument("--resume", action="store_true")

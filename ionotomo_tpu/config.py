@@ -53,6 +53,9 @@ class PriorConfig:
     length_scale_km: float = 60.0
     smooth: float = 1.0              # Laplacian weight (config-3 solver)
     damp: float = 1e-2
+    auto_select: bool = False        # GCV over a candidate grid around
+                                     # (sigma, L) at pipeline setup
+                                     # (inversion/model_selection.py)
 
 
 @dataclasses.dataclass(frozen=True)

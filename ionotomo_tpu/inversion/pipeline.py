@@ -72,6 +72,38 @@ class InversionPipeline:
         self.mesh = (shard_mod.ray_mesh()
                      if len(jax.devices()) > 1 else None)
         self._na_padded = None        # lazy; see _padded_na
+        if pr.auto_select:
+            self._auto_select_prior()
+
+    def _auto_select_prior(self):
+        """GCV over a candidate grid around the configured (σ, L) plus the
+        physically-motivated kernel families, scored on timestep-0 data
+        with straight rays (inversion/model_selection.py); winner becomes
+        the run's covariance, choice + scores logged to metrics."""
+        from .model_selection import select_prior
+        pr = self.config.prior
+        candidates = []
+        for kind in dict.fromkeys([pr.kind, "von_karman", "exponential"]):
+            for fs in (0.5, 1.0, 2.0):
+                for fl in (0.5, 1.0, 2.0):
+                    candidates.append(dict(
+                        sigma=pr.sigma * fs,
+                        length_scale=pr.length_scale_km * fl, kind=kind))
+        ants, d0, noise0, _ = self._padded_data(0)
+        origins, dvecs = rays_mod.make_ray_batch(ants, self.directions[0])
+        rb = self._shard(rays_mod.sample_straight_rays(
+            origins, dvecs, max_length_km=self.config.physics.max_length_km,
+            n_samples=self.config.rays.n_samples))
+        cov, params, scores = select_prior(
+            self.grid, rb, d0, noise0, self.m_prior, candidates,
+            num_directions=self.directions.shape[1], i0=self.i0,
+            key=jax.random.key(self.config.runtime.seed),
+            cg_iters=self.config.solver.cg_iters)
+        self.cov = cov
+        self.metrics.write(dict(event="prior_auto_selected",
+                                chosen=params,
+                                n_candidates=len(candidates),
+                                best_score=float(min(scores))))
 
     # --- ray building -------------------------------------------------------
 

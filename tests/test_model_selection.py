@@ -88,3 +88,36 @@ def test_gcv_score_is_deterministic_given_key():
     s2 = float(gcv_score(grid, rb, d_obs, noise, m_prior, cov,
                          num_directions=nd, key=jax.random.key(2)))
     assert s1 == s2 and np.isfinite(s1)
+
+
+def test_pipeline_auto_selects_prior(tmp_path):
+    """prior.auto_select runs GCV over the candidate grid at setup and
+    logs the choice; the run completes with the selected covariance."""
+    import dataclasses
+    from ionotomo_tpu.config import (EngineConfig, GridConfig, RayConfig,
+                                     SolverConfig, RuntimeConfig,
+                                     PriorConfig)
+    from ionotomo_tpu.data.synth import generate_example_datapack
+    from ionotomo_tpu.inversion.pipeline import InversionPipeline
+
+    dp, _ = generate_example_datapack(
+        n_antennas=8, n_directions=4, n_times=1, mjd0=58000.45,
+        grid_shape=(12, 12, 12), n_samples=17)
+    cfg = EngineConfig(
+        grid=GridConfig(shape=(12, 12, 12)),
+        rays=RayConfig(n_samples=17),
+        prior=PriorConfig(sigma=0.3, length_scale_km=90.0, kind="sqexp",
+                          auto_select=True),
+        solver=SolverConfig(gn_iters=1, cg_iters=10),
+        runtime=RuntimeConfig(checkpoint_dir=str(tmp_path / "c"),
+                              metrics_path=str(tmp_path / "m.jsonl")))
+    pipe = InversionPipeline(dp, cfg)
+    events = [r for r in pipe.metrics.read_all()
+              if r.get("event") == "prior_auto_selected"]
+    assert len(events) == 1
+    assert events[0]["n_candidates"] == 27   # 3 kinds x 3 sigma x 3 L
+    assert np.isfinite(events[0]["best_score"])
+    chosen = events[0]["chosen"]
+    assert pipe.cov.kind == chosen["kind"]
+    sol = pipe.run(resume=False)
+    assert np.isfinite(sol.m).all()
