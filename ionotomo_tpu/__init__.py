@@ -32,7 +32,8 @@ from .inversion.online import (OnlineKalman,                  # noqa: F401
 from .inversion.model_selection import (gcv_score,            # noqa: F401
                                         select_prior)
 from .inversion.pipeline import InversionPipeline             # noqa: F401
-from .inversion.priors import GPCovariance, laplacian         # noqa: F401
+from .inversion.priors import (GPCovariance, fit_shell_spectrum,  # noqa: F401
+                               laplacian)
 from .inversion.solution import Solution                      # noqa: F401
 from .inversion import solvers                                # noqa: F401
 from .inversion.solvers import map_gauss_newton_robust        # noqa: F401

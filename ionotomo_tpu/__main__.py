@@ -48,7 +48,8 @@ def cmd_invert(args):
                           auto_select=args.auto_prior),
         solver=SolverConfig(solver=args.solver, gn_iters=args.gn_iters,
                             cg_iters=args.cg_iters,
-                            kalman_chunk=args.kalman_chunk),
+                            kalman_chunk=args.kalman_chunk,
+                            enkf_spectrum_blend=args.enkf_spectrum_blend),
         runtime=RuntimeConfig(checkpoint_dir=args.checkpoint_dir,
                               metrics_path=args.metrics),
     )
@@ -115,6 +116,9 @@ def main(argv=None):
     i.add_argument("--retrace-every", type=int, default=0,
                    help="bent only: re-trace rays through the iterate "
                         "every N GN iterations (0 = frozen at prior)")
+    i.add_argument("--enkf-spectrum-blend", type=float, default=0.0,
+                   help="enkf: adaptive spectral gain weight (0=off; "
+                        "shell-fitted prediction covariance per step)")
     i.add_argument("--kalman-chunk", type=int, default=8,
                    help="kalman: timesteps per scan / checkpoint")
     i.add_argument("--solver", default="map_gauss_newton",

@@ -68,6 +68,9 @@ class SolverConfig:
     enkf_members: int = 8
     enkf_inflation: float = 1.0
     enkf_process_sigma: float = 0.0
+    enkf_spectrum_blend: float = 0.0  # >0: per-step adaptive spectral gain
+                                      # (shell-fitted prediction covariance;
+                                      # inversion/kalman.py)
     gn_iters: int = 3
     cg_iters: int = 40
     cg_tol: float = 1e-4

@@ -15,7 +15,10 @@ prior-weighted (conservative gain, never over-confident). When calibrated
 time-propagated uncertainty matters, use ``ensemble_kalman_filter`` below
 — its ensemble carries the information the stationary filter discards,
 with multiplicative ``inflation`` and additive ``process_sigma`` noise as
-the standard EnKF calibration controls:
+the standard EnKF calibration controls, and ``spectrum_blend`` to refit
+the gain covariance from the ensemble each step (so the gain genuinely
+narrows with accumulated information — the spectral, localization-free
+form of a covariance-updating EnKF):
 
     predict:  m_pred = advect(m_t, vΔt);  C ≡ C_m (γ-blended prior pull)
     update:   data-space representer solve, exactly config 4's CG:
@@ -26,6 +29,7 @@ all steps is precomputed and stacked; no host round-trips inside the loop.
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import NamedTuple
 
@@ -37,7 +41,7 @@ from ..core.grids import Grid3D
 from ..forward import tec as tec_mod
 from ..geometry.rays import RayBundle
 from ..models.frozen_flow import advect_periodic
-from .priors import GPCovariance
+from .priors import GPCovariance, fit_shell_spectrum
 
 
 class KalmanResult(NamedTuple):
@@ -128,7 +132,8 @@ class EnsembleKalmanResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "cg_iters",
-                                   "n_members", "advect_first"))
+                                   "n_members", "advect_first",
+                                   "spectrum_blend", "spectrum_bins"))
 def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                            noise_std, m0, cov: GPCovariance, wind_kmps,
                            dt_s, num_directions: int, key,
@@ -137,7 +142,9 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                            fade: float = 1.0, process_sigma: float = 0.0,
                            advect_first: bool = False, m_clim=None,
                            inflation: float = 1.0, ens0=None,
-                           step_offset: int = 0):
+                           step_offset: int = 0,
+                           spectrum_blend: float = 0.0,
+                           spectrum_bins: int = 48):
     """Ensemble variant: time-propagated posterior uncertainty.
 
     Goes beyond the reference's point-estimate filter: an ensemble of
@@ -165,6 +172,20 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     and ``step_offset`` = the global index of this chunk's first timestep.
     Per-step randomness is derived by ``fold_in(key, global_step)``, so
     chunked and single-scan runs are bit-identical (tests/test_kalman.py).
+
+    Adaptive spectral gain (``spectrum_blend`` ∈ [0, 1]): when > 0, each
+    step's update covariance is a blend of the static prior spectrum with
+    the *shell-fitted spectrum of the prediction-ensemble anomalies*
+    (priors.fit_shell_spectrum) — the gain then genuinely narrows where
+    assimilated information has contracted the ensemble, instead of
+    staying prior-weighted forever (the stationary filter's documented
+    limitation). This is the spectral counterpart of EnKF localization:
+    rather than tapering a rank-deficient sample covariance in physical
+    space, the sample covariance is projected onto the stationary-
+    isotropic class, which an 8-member ensemble already estimates with
+    low variance (thousands of modes per |k| shell). 0 (default) keeps
+    the static-gain behaviour; chunked continuation stays bit-identical
+    since the fit depends only on the carried ensemble.
     """
     m_clim = m0 if m_clim is None else m_clim
     d_seq = jnp.asarray(d_obs_seq)
@@ -181,7 +202,7 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                 jax.random.split(init_key, n_members))
         ens0 = m0[None] + init_noise
 
-    def member_update(m_pred, rays_t, d_t, cd_diag, eps):
+    def member_update(m_pred, rays_t, d_t, cd_diag, eps, cov_t):
         inv_cd = 1.0 / cd_diag
 
         def fwd(m):
@@ -193,15 +214,15 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
         r = d_t.ravel() + eps - g0
 
         def matvec(u):
-            v = cov.apply_sqrt(u.reshape(grid.shape))
+            v = cov_t.apply_sqrt(u.reshape(grid.shape))
             w = jvp(v) * inv_cd
             (z,) = vjp(w)
-            return u + cov.apply_sqrt(z).ravel()
+            return u + cov_t.apply_sqrt(z).ravel()
 
-        rhs = cov.apply_sqrt(vjp(r * inv_cd)[0]).ravel()
+        rhs = cov_t.apply_sqrt(vjp(r * inv_cd)[0]).ravel()
         u, _ = linalg.cg(matvec, rhs, max_iters=cg_iters, tol=cg_tol)
         pre = jnp.linalg.norm((d_t.ravel() - g0) / jnp.sqrt(cd_diag))
-        return m_pred + cov.apply_sqrt(u.reshape(grid.shape)), pre
+        return m_pred + cov_t.apply_sqrt(u.reshape(grid.shape)), pre
 
     def step(ens, inputs):
         rays_pts, rays_ds, d_t, cd_t, is_first, t_global = inputs
@@ -221,10 +242,21 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
         # multiplicative covariance inflation about the ensemble mean
         ens_mean = ens_pred.mean(0)
         ens_pred = ens_mean[None] + inflation * (ens_pred - ens_mean[None])
+        if spectrum_blend > 0.0:
+            # adaptive spectral gain: this step's update covariance is the
+            # stationary-isotropic fit of the (inflated) prediction
+            # anomalies, blended with the static prior spectrum
+            s_fit = fit_shell_spectrum(ens_pred - ens_mean[None], grid,
+                                       n_bins=spectrum_bins)
+            spec_t = ((1.0 - spectrum_blend) * cov.spectrum
+                      + spectrum_blend * s_fit)
+            cov_t = dataclasses.replace(cov, spectrum=spec_t)
+        else:
+            cov_t = cov
         eps = (jax.random.normal(k_obs, (n_members, d_t.size))
                * jnp.sqrt(cd_t)[None, :])
         ens_new, pres = jax.vmap(
-            lambda m, e: member_update(m, rays_t, d_t, cd_t, e))(
+            lambda m, e: member_update(m, rays_t, d_t, cd_t, e, cov_t))(
                 ens_pred, eps)
         out = (ens_new.mean(0), ens_new.std(0), pres.mean())
         return ens_new, out

@@ -84,7 +84,7 @@ class OnlineEnsembleKalman:
                  dt_s: float, num_directions: int, key, n_members: int = 8,
                  i0: int = 0, cg_iters: int = 20, cg_tol: float = 1e-4,
                  fade: float = 1.0, process_sigma: float = 0.0,
-                 inflation: float = 1.0):
+                 inflation: float = 1.0, spectrum_blend: float = 0.0):
         self.grid = grid
         self.cov = cov
         self.m_clim = jnp.asarray(m0)
@@ -97,6 +97,7 @@ class OnlineEnsembleKalman:
         self.fade = float(fade)
         self.process_sigma = float(process_sigma)
         self.inflation = float(inflation)
+        self.spectrum_blend = float(spectrum_blend)
         self.n_members = int(n_members)
         self.key = key
         self.ens = None      # built by the filter on the first step
@@ -113,6 +114,7 @@ class OnlineEnsembleKalman:
             n_members=self.n_members, i0=self.i0, cg_iters=self.cg_iters,
             cg_tol=self.cg_tol, fade=self.fade,
             process_sigma=self.process_sigma, inflation=self.inflation,
+            spectrum_blend=self.spectrum_blend,
             advect_first=(self.t > 0), m_clim=self.m_clim, ens0=self.ens,
             step_offset=self.t)
         self.ens = res.ensemble

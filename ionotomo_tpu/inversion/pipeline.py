@@ -374,7 +374,9 @@ class InversionPipeline:
                 cg_iters=sc.cg_iters, cg_tol=sc.cg_tol,
                 fade=sc.kalman_fade,
                 process_sigma=sc.enkf_process_sigma,
-                inflation=sc.enkf_inflation, advect_first=(c0 > 0),
+                inflation=sc.enkf_inflation,
+                spectrum_blend=sc.enkf_spectrum_blend,
+                advect_first=(c0 > 0),
                 m_clim=self.m_prior, ens0=ens, step_offset=c0)
             jax.block_until_ready(res.mean_seq)
             mean_list.extend(np.asarray(res.mean_seq))

@@ -158,3 +158,57 @@ jax.tree_util.register_dataclass(
     data_fields=["spectrum"],
     meta_fields=["shape", "sigma", "length_scale", "kind"],
 )
+
+
+def fit_shell_spectrum(anomalies: jax.Array, grid: Grid3D,
+                       n_bins: int = 48, ddof: int = 1) -> jax.Array:
+    """Isotropic (shell-averaged) covariance spectrum from sample fields.
+
+    ``anomalies``: (n, nx, ny, nz) zero-mean sample fields (e.g. ensemble
+    deviations from their mean). Returns an rfftn-layout spectrum ``S``
+    such that ``GPCovariance(spectrum=S, ...)`` is the best *stationary
+    isotropic* approximation of the samples' covariance: the periodogram
+    ``|F a|² / (n−ddof)·N`` is averaged over log-spaced shells of physical
+    |k| (multiplicity-weighted for the rfft half-spectrum) and broadcast
+    back per mode. Shell averaging pools thousands of modes per estimate,
+    so even an 8-member ensemble yields a low-variance spectrum — this is
+    the spectral answer to EnKF localization: instead of tapering noisy
+    sample correlations in physical space, project the sample covariance
+    onto the stationary-isotropic class where tiny ensembles are already
+    statistically sufficient. Fully traced (spacing may be a tracer);
+    only shapes and ``n_bins`` are static.
+    """
+    n = anomalies.shape[0]
+    nx, ny, nz = anomalies.shape[1:]
+    n_tot = nx * ny * nz
+    f = jnp.fft.rfftn(anomalies, axes=(-3, -2, -1))
+    p = jnp.sum(jnp.abs(f) ** 2, axis=0) / (max(n - ddof, 1) * n_tot)
+
+    sp = grid.spacing
+    def _freqs(nn, d):
+        i = jnp.arange(nn)
+        return jnp.where(i <= nn // 2, i, i - nn) / (nn * d)
+    fx = _freqs(nx, sp[0])
+    fy = _freqs(ny, sp[1])
+    fz = jnp.arange(nz // 2 + 1) / (nz * sp[2])
+    kmag = 2 * jnp.pi * jnp.sqrt(fx[:, None, None] ** 2
+                                 + fy[None, :, None] ** 2
+                                 + fz[None, None, :] ** 2)
+    dims = jnp.asarray([nx, ny, nz], jnp.float32)
+    kmin = 2 * jnp.pi * jnp.min(1.0 / (dims * sp))
+    kmax = jnp.max(kmag)
+    edges = jnp.exp(jnp.linspace(jnp.log(0.999 * kmin),
+                                 jnp.log(1.001 * kmax), n_bins))
+    bins = jnp.searchsorted(edges, kmag.ravel())  # 0 = DC only
+
+    # rfft multiplicity: interior kz planes stand for a conjugate pair
+    w = np.full((nx, ny, nz // 2 + 1), 2.0, np.float32)
+    w[:, :, 0] = 1.0
+    if nz % 2 == 0:
+        w[:, :, -1] = 1.0
+    w = jnp.asarray(w).ravel()
+    num = jax.ops.segment_sum(p.ravel() * w, bins, num_segments=n_bins + 1)
+    den = jax.ops.segment_sum(w, bins, num_segments=n_bins + 1)
+    shell = num / jnp.maximum(den, 1e-30)
+    s = shell[bins].reshape(kmag.shape)
+    return s.at[0, 0, 0].set(0.0)

@@ -171,3 +171,62 @@ def test_enkf_inflation_widens_spread():
             inflation=infl)
         outs[infl] = float(jnp.mean(res.std_seq[-1]))
     assert outs[1.6] > outs[1.0]
+
+
+def test_enkf_adaptive_spectral_gain():
+    """spectrum_blend > 0: the update gain is refit from the prediction
+    ensemble each step — accumulated information must contract the fitted
+    covariance below the prior, the filter must still track, and chunked
+    continuation must stay bit-identical (the fit depends only on the
+    carried ensemble)."""
+    from ionotomo_tpu.inversion.kalman import ensemble_kalman_filter
+    from ionotomo_tpu.inversion.priors import fit_shell_spectrum
+
+    w = moving_world(nx=12, n_ants=8, n_dirs=5, nt=4)
+    sigma = 0.3
+    cov = GPCovariance.create(w["grid"], sigma=sigma, length_scale=80.0,
+                              kind="sqexp")
+    kw = dict(num_directions=w["n_dirs"], key=jax.random.key(1),
+              n_members=8, cg_iters=10)
+    res_ad = ensemble_kalman_filter(
+        w["grid"], w["rays_seq"], w["d_seq"], w["noise"], w["m_bg"], cov,
+        w["wind"], w["dt_s"], spectrum_blend=1.0, **kw)
+    res_st = ensemble_kalman_filter(
+        w["grid"], w["rays_seq"], w["d_seq"], w["noise"], w["m_bg"], cov,
+        w["wind"], w["dt_s"], **kw)
+    assert np.isfinite(np.asarray(res_ad.mean_seq)).all()
+    # the adaptive gain changes the filter (wiring is live)
+    assert not np.allclose(np.asarray(res_ad.mean_seq[-1]),
+                           np.asarray(res_st.mean_seq[-1]))
+    # information accumulated: the stationary fit of the final ensemble
+    # sits below the prior marginal variance (updates contract anomalies)
+    ens = np.asarray(res_ad.ensemble)
+    anoms = jnp.asarray(ens - ens.mean(0, keepdims=True))
+    s_fit = np.asarray(fit_shell_spectrum(anoms, w["grid"], n_bins=32))
+    nx, ny, nzr = s_fit.shape
+    wgt = np.full(s_fit.shape, 2.0)
+    wgt[:, :, 0] = 1.0
+    wgt[:, :, -1] = 1.0
+    var_fit = (s_fit * wgt).sum() / (nx * ny * (nzr - 1) * 2)
+    assert var_fit < sigma**2
+    # the filter still tracks: updates reduce the whitened residual
+    # (compare the t>0 pre-update residuals against the prior's at t=0)
+    pre = np.asarray(res_ad.residuals)
+    assert pre[1:].mean() < pre[0]
+
+    # chunked continuation is bit-identical with the adaptive gain
+    rs, ds_ = w["rays_seq"], w["d_seq"]
+    r1 = ensemble_kalman_filter(
+        w["grid"],
+        rays_mod.RayBundle(points=rs.points[:2], ds=rs.ds[:2]),
+        ds_[:2], w["noise"], w["m_bg"], cov, w["wind"], w["dt_s"],
+        spectrum_blend=1.0, **kw)
+    r2 = ensemble_kalman_filter(
+        w["grid"],
+        rays_mod.RayBundle(points=rs.points[2:], ds=rs.ds[2:]),
+        ds_[2:], w["noise"], w["m_bg"], cov, w["wind"], w["dt_s"],
+        spectrum_blend=1.0, ens0=r1.ensemble, advect_first=True,
+        m_clim=w["m_bg"], step_offset=2, **kw)
+    np.testing.assert_allclose(
+        np.asarray(r2.mean_seq),
+        np.asarray(res_ad.mean_seq[2:]), atol=1e-6)
