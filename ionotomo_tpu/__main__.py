@@ -31,13 +31,15 @@ def cmd_simulate(args):
 
 
 def cmd_invert(args):
-    from .config import (EngineConfig, GridConfig, PriorConfig, RayConfig,
-                         RuntimeConfig, SolverConfig)
+    from .config import (EngineConfig, GridConfig, PhysicsConfig,
+                         PriorConfig, RayConfig, RuntimeConfig,
+                         SolverConfig)
     from .data.datapack import DataPack
     from .inversion.pipeline import InversionPipeline
 
     dp = DataPack.load(args.datapack)
     cfg = EngineConfig(
+        physics=PhysicsConfig(apriori_model=args.apriori_model),
         grid=GridConfig(shape=(args.grid,) * 3),
         rays=RayConfig(bent=args.bent, n_samples=args.samples,
                        n_steps=args.n_steps,
@@ -130,6 +132,10 @@ def main(argv=None):
     i.add_argument("--prior-sigma", type=float, default=0.3)
     i.add_argument("--prior-length", type=float, default=80.0)
     i.add_argument("--prior-kind", default="von_karman")
+    i.add_argument("--apriori-model", default="chapman",
+                   choices=["chapman", "multi_chapman"],
+                   help="a-priori n_e: single Chapman layer or the "
+                        "E/F1/F2 stack (models/chapman.py)")
     i.add_argument("--auto-prior", action="store_true",
                    help="GCV-select (sigma, L, kind) from the data at "
                         "setup (18 candidates around the configured prior)")

@@ -23,6 +23,9 @@ class PhysicsConfig:
     chapman_n_peak: float = 1.0e12
     chapman_h_peak_km: float = 350.0
     chapman_scale_km: float = 80.0
+    apriori_model: str = "chapman"    # | "multi_chapman" (E/F1/F2 stack +
+                                      # plasmasphere; models/chapman.py)
+    plasmasphere_n0: float = 0.0      # multi_chapman topside tail density
 
 
 @dataclasses.dataclass(frozen=True)

@@ -60,10 +60,15 @@ class InversionPipeline:
         from ..geometry.frames import solar_cos_zenith
         cos_chi = float(solar_cos_zenith(self.datapack.times.mean(),
                                          self.datapack.array.enu_frame))
-        ne0 = chapman.chapman_field(self.grid, n_peak=p.chapman_n_peak,
-                                    h_peak_km=p.chapman_h_peak_km,
-                                    scale_km=p.chapman_scale_km,
-                                    cos_chi=cos_chi)
+        if p.apriori_model == "multi_chapman":
+            ne0 = chapman.multi_chapman_field(
+                self.grid, cos_chi=cos_chi,
+                plasmasphere_n0=p.plasmasphere_n0)
+        else:
+            ne0 = chapman.chapman_field(self.grid, n_peak=p.chapman_n_peak,
+                                        h_peak_km=p.chapman_h_peak_km,
+                                        scale_km=p.chapman_scale_km,
+                                        cos_chi=cos_chi)
         self.m_prior = chapman.log_parametrize(ne0)
         pr = self.config.prior
         self.cov = GPCovariance.create(self.grid, sigma=pr.sigma,

@@ -41,6 +41,64 @@ def chapman_field(grid: Grid3D, n_peak=1.0e12, h_peak_km=350.0,
     return field
 
 
+#: Canonical daytime mid-latitude layer stack: (name, N_peak m^-3,
+#: h_peak km, scale height km, solar_sensitivity). ``solar_sensitivity``
+#: scales how strongly the layer follows the solar-zenith factor (the E
+#: and F1 layers are photochemically controlled and track the sun; the
+#: F2 layer is transport-dominated and only partially fades at night).
+DEFAULT_LAYERS = (
+    ("E",  1.2e11, 110.0, 10.0, 1.0),
+    ("F1", 2.5e11, 180.0, 40.0, 1.0),
+    ("F2", 1.0e12, 350.0, 80.0, 0.5),
+)
+
+
+def multi_chapman_ne(h_km, layers=DEFAULT_LAYERS, cos_chi=None,
+                     plasmasphere_n0=0.0, plasmasphere_scale_km=1200.0):
+    """Multi-layer ionosphere profile: sum of Chapman layers (E/F1/F2 by
+    default) plus an optional exponential plasmasphere tail above the F2
+    peak — the realistic composite the reference's ``a_priori_model``
+    family represents (single Chapman is the ``chapman_ne`` special case).
+
+    ``layers``: iterable of (name, n_peak, h_peak_km, scale_km,
+    solar_sensitivity). ``cos_chi``: solar zenith cosine (scalar or
+    broadcastable to h_km) — each layer is modulated by the Chapman
+    sqrt(cos χ) factor raised to its sensitivity. ``plasmasphere_n0``:
+    density of the exp(−(h−h_F2)/H_p) tail at the topmost peak (set ~1e10
+    for a realistic topside; 0 disables).
+    """
+    total = jnp.zeros_like(jnp.asarray(h_km, jnp.result_type(float)))
+    h_top = 0.0
+    for (_, n_peak, h_peak, scale, sens) in layers:
+        ne = chapman_ne(h_km, n_peak, h_peak, scale)
+        if cos_chi is not None:
+            ne = ne * solar_zenith_factor(cos_chi) ** sens
+        total = total + ne
+        h_top = max(h_top, h_peak)
+    if plasmasphere_n0:
+        tail = plasmasphere_n0 * jnp.exp(
+            -jnp.maximum(h_km - h_top, 0.0) / plasmasphere_scale_km)
+        total = total + jnp.where(h_km > h_top, tail, 0.0)
+    return total
+
+
+def multi_chapman_field(grid: Grid3D, layers=DEFAULT_LAYERS, cos_chi=None,
+                        plasmasphere_n0=0.0, plasmasphere_scale_km=1200.0):
+    """Sample the multi-layer profile onto a Grid3D (z axis = altitude).
+
+    Per-voxel ``cos_chi`` is supported (shape ``grid.shape``), giving a
+    horizontally varying day/night terminator across the grid.
+    """
+    z_axis = grid.origin[2] + grid.spacing[2] * jnp.arange(grid.shape[2])
+    if cos_chi is None or jnp.ndim(cos_chi) == 0:
+        prof = multi_chapman_ne(z_axis, layers, cos_chi, plasmasphere_n0,
+                                plasmasphere_scale_km)
+        return jnp.broadcast_to(prof[None, None, :], grid.shape)
+    h = jnp.broadcast_to(z_axis[None, None, :], grid.shape)
+    return multi_chapman_ne(h, layers, cos_chi, plasmasphere_n0,
+                            plasmasphere_scale_km)
+
+
 def log_parametrize(n_e):
     """m = log(n_e / K_NE), clipped away from -inf for vanishing density."""
     return jnp.log(jnp.maximum(n_e, 1e-30) / constants.K_NE)

@@ -337,3 +337,29 @@ def test_resume_accepts_checkpoint_from_older_config_schema(tmp_path):
     events = [r for r in pipe2.metrics.read_all()
               if r.get("event") == "checkpoint_config_mismatch"]
     assert not events
+
+
+def test_pipeline_multi_chapman_apriori(tmp_path):
+    """apriori_model='multi_chapman' builds the E/F1/F2 prior: the
+    pipeline runs, the prior differs from single-Chapman below the F2
+    bottomside (where E/F1 add density), and the config round-trips."""
+    import dataclasses
+    from ionotomo_tpu.config import PhysicsConfig
+
+    dp, _ = make_dp(n_times=1)
+    cfg1 = small_config(tmp_path)
+    cfg2 = dataclasses.replace(
+        cfg1, physics=PhysicsConfig(apriori_model="multi_chapman"),
+        runtime=dataclasses.replace(cfg1.runtime,
+                                    checkpoint_dir=str(tmp_path / "c2"),
+                                    metrics_path=str(tmp_path / "m2.jsonl")))
+    assert EngineConfig.from_json(cfg2.to_json()) == cfg2
+    p1 = InversionPipeline(dp, cfg1)
+    p2 = InversionPipeline(dp, cfg2)
+    zax = np.asarray(p1.grid.axes()[2])
+    low = (zax > 90) & (zax < 220)
+    pri1 = np.asarray(p1.m_prior)[..., low]
+    pri2 = np.asarray(p2.m_prior)[..., low]
+    assert (pri2 > pri1).mean() > 0.95
+    sol = p2.run(resume=False)
+    assert np.isfinite(np.asarray(sol.m)).all()

@@ -159,3 +159,57 @@ def test_tec_nonlinear_vjp_matches_finite_difference():
     fd = (float(loss(m + eps * v)) - float(loss(m - eps * v))) / (2 * eps)
     got = float(np.vdot(g, v))
     assert abs(fd - got) / max(abs(fd), 1e-8) < 5e-3
+
+
+def test_multi_chapman_layer_stack():
+    """E/F1/F2 composite profile: each layer peaks at its nominal height,
+    the composite is >= any single layer, the plasmasphere tail decays
+    exponentially above the F2 peak, and per-voxel day/night modulation
+    weights the E layer more strongly than the transport-dominated F2."""
+    import jax.numpy as jnp
+    h = jnp.linspace(60.0, 1000.0, 2000)
+    ne = chapman.multi_chapman_ne(h)
+    assert np.isfinite(np.asarray(ne)).all() and (np.asarray(ne) > 0).all()
+    # the global maximum is the F2 peak; E and F1 ride the F2 bottomside
+    # as shoulders, so test them as *enhancements*: dropping a layer must
+    # remove ~its peak density at its peak height
+    ne_np = np.asarray(ne)
+    h_np = np.asarray(h)
+    assert abs(h_np[np.argmax(ne_np)] - 350.0) < 25.0
+    for drop, h_peak, n_peak in (("E", 110.0, 1.2e11),
+                                 ("F1", 180.0, 2.5e11)):
+        rest = tuple(l for l in chapman.DEFAULT_LAYERS if l[0] != drop)
+        ne_rest = np.asarray(chapman.multi_chapman_ne(h, layers=rest))
+        i = np.searchsorted(h_np, h_peak)
+        np.testing.assert_allclose(ne_np[i] - ne_rest[i], n_peak,
+                                   rtol=0.05)
+    # composite dominates the single F2 Chapman layer everywhere
+    ne_f2 = np.asarray(chapman.chapman_ne(h, 1.0e12, 350.0, 80.0))
+    assert (ne_np >= ne_f2 - 1e-3).all()
+    # plasmasphere tail: above the F2 peak the tail-on profile exceeds the
+    # tail-off one and approaches exp decay at the right scale
+    ne_p = np.asarray(chapman.multi_chapman_ne(
+        h, plasmasphere_n0=1e10, plasmasphere_scale_km=1000.0))
+    hi = h_np > 700.0
+    assert (ne_p[hi] > ne_np[hi]).all()
+    d = ne_p - ne_np
+    i1, i2 = np.searchsorted(h_np, [700.0, 950.0])
+    ratio = d[i2] / d[i1]
+    want = np.exp(-(h_np[i2] - h_np[i1]) / 1000.0)
+    np.testing.assert_allclose(ratio, want, rtol=0.05)
+    # night (cos_chi=0): E/F1 collapse to the zenith floor faster than F2
+    day = np.asarray(chapman.multi_chapman_ne(h, cos_chi=1.0))
+    night = np.asarray(chapman.multi_chapman_ne(h, cos_chi=0.0))
+    iE = np.searchsorted(h_np, 110.0)
+    iF2 = np.searchsorted(h_np, 350.0)
+    assert night[iE] / day[iE] < night[iF2] / day[iF2]
+
+    # grid sampling with a per-voxel terminator: day half > night half at
+    # the F2 peak altitude
+    from ionotomo_tpu.core.grids import Grid3D
+    g = Grid3D.from_bounds((0, 0, 100), (200, 200, 900), (8, 8, 16))
+    cos = np.zeros((8, 8, 16), np.float32)
+    cos[:4] = 1.0
+    f = np.asarray(chapman.multi_chapman_field(g, cos_chi=jnp.asarray(cos)))
+    k350 = np.argmin(np.abs(np.asarray(g.axes()[2]) - 350.0))
+    assert f[:4, :, k350].mean() > f[4:, :, k350].mean()
