@@ -9,6 +9,8 @@ the solver assumes a squared-exponential GP — the prior is misspecified,
 as in reality; data from the bent tracer at 2× quadrature + noise; solve
 with the production straight-ray operator.
 """
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -38,7 +40,9 @@ def main():
                                   frequency_hz=150e6, n_steps=256,
                                   noise_frac=0.01)
     origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
-    rb = rays_mod.sample_straight_rays(origins, dvecs, n_samples=129)
+    n_samples = int(os.environ.get("BENCH_N_SAMPLES", "129"))
+    rb = rays_mod.sample_straight_rays(origins, dvecs,
+                                       n_samples=n_samples)
     ants_h, dirs_h = make_rays(20, 50, seed=99)   # held-out rays
     d_h, _ = bent_dtec_data(m_true, grid, ants_h, dirs_h,
                             frequency_hz=150e6, n_steps=256,
@@ -55,6 +59,7 @@ def main():
     ho_po = heldout_dtec_rms(res.m, grid, ants_h, dirs_h, d_h)
     emit("config4", "map_gn_seconds_to_solve", secs, "s",
          cg_iters_per_sec=gn_iters * cg_iters / secs,
+         n_samples=n_samples,
          covered_rmse_prior=err_pr, covered_rmse_post=err_po,
          heldout_dtec_rms_prior=ho_pr, heldout_dtec_rms_post=ho_po,
          data="bent-tracer 2x quadrature + 1% noise, von Karman truth, "

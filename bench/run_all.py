@@ -6,7 +6,7 @@ import sys
 
 def main():
     results = []
-    for c in (1, 2, 3, 4, 5):
+    for c in (1, 2, 3, "3b", 4, 5):
         proc = subprocess.run(
             [sys.executable, "-m", f"bench.config{c}"],
             capture_output=True, text=True)
