@@ -2,6 +2,7 @@
 
   python -m ionotomo_tpu simulate --out obs.h5 [--antennas 50 ...]
   python -m ionotomo_tpu invert obs.h5 --out solution.h5 [--solver ...]
+  python -m ionotomo_tpu predict solution.h5 obs.h5 --out pred.h5 [--rm]
   python -m ionotomo_tpu info obs.h5|solution.h5
 """
 from __future__ import annotations
@@ -63,6 +64,79 @@ def cmd_invert(args):
     for rec in pipe.metrics.read_all():
         rec.pop("t_wall", None)
         print("  ", json.dumps(rec))
+
+
+def cmd_predict(args):
+    """Forward-model a saved Solution onto a DataPack's geometry — the
+    serving-side workflow: predicted dTEC (and optionally Faraday dRM)
+    for every (antenna, time, direction), residual stats vs the observed
+    dtec, and an output DataPack holding the predictions."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .data.datapack import DataPack
+    from .forward import tec as tec_mod
+    from .geometry import fermat, rays as rays_mod
+    from .inversion.solution import Solution
+
+    dp = DataPack.load(args.datapack)
+    sol = Solution.load(args.solution)
+    dev = dp.to_device_arrays()
+    ants = dev["antennas_enu"]
+    dirs = dev["directions_enu"]                       # (Nt, Nd, 3)
+    i0 = dev["ref_antenna"]
+    na, nt, nd = dp.shape
+    grid = sol.grid
+    m_seq = sol.m if sol.num_times == nt else \
+        np.broadcast_to(sol.m[-1], (nt,) + sol.m.shape[1:])
+    b_fn = None
+    if args.rm:
+        from .models.geomagnetic import dipole_b_enu_fn
+        b_fn = dipole_b_enu_fn(dp.array.enu_frame)
+    pred = np.zeros((na, nt, nd), np.float32)
+    drm_out = np.zeros((na, nt, nd), np.float32) if args.rm else None
+    for t in range(nt):
+        m_t = jnp.asarray(m_seq[t])
+        origins, dvecs = rays_mod.make_ray_batch(ants, dirs[t])
+        if args.bent:
+            _, tau = fermat.trace_rays(m_t, grid, origins, dvecs,
+                                       dp.frequency_hz, args.max_length,
+                                       n_steps=args.n_steps,
+                                       keep_path=False, method="leapfrog")
+            g = tau.reshape(na, nd) - tau.reshape(na, nd)[i0:i0 + 1]
+        else:
+            rb = rays_mod.sample_straight_rays(
+                origins, dvecs, max_length_km=args.max_length,
+                n_samples=args.samples)
+            g = tec_mod.dtec_paired(m_t, grid, rb, nd, i0)
+        pred[:, t, :] = np.asarray(g)
+        if args.rm:
+            from .forward.rm import drm as drm_fn
+            rb = rays_mod.sample_straight_rays(
+                origins, dvecs, max_length_km=args.max_length,
+                n_samples=args.samples)
+            drm_out[:, t, :] = np.asarray(
+                drm_fn(m_t, grid, rb, b_fn, nd, i0))
+    ok = ~dp.flags
+    res = (pred - dp.dtec)[ok]
+    obs = dp.dtec[ok]
+    print(f"predicted {na}x{nt}x{nd} dTEC "
+          f"({'bent' if args.bent else 'straight'} rays)")
+    print(f"  observed rms {np.sqrt(np.mean(obs**2)):.2f}, residual rms "
+          f"{np.sqrt(np.mean(res**2)):.2f} (working units, unflagged)")
+    out = DataPack(dp.array, dp.directions, dp.times, dtec=pred,
+                   flags=dp.flags, noise_std=dp.noise_std,
+                   ref_antenna=dp.ref_antenna,
+                   frequency_hz=dp.frequency_hz,
+                   frame_model=dp.frame_model)
+    out.save(args.out)
+    print(f"wrote {args.out}")
+    if args.rm:
+        import h5py
+        with h5py.File(args.out, "a") as f:
+            f.create_dataset("drm", data=drm_out)
+        print(f"  + differential Faraday RM (rad/m^2) in dataset 'drm', "
+              f"range [{drm_out.min():.3f}, {drm_out.max():.3f}]")
 
 
 def cmd_info(args):
@@ -143,6 +217,19 @@ def main(argv=None):
     i.add_argument("--metrics", default="metrics.jsonl")
     i.add_argument("--resume", action="store_true")
     i.set_defaults(fn=cmd_invert)
+
+    q = sub.add_parser("predict", help="forward-model a Solution onto a "
+                                       "DataPack's geometry")
+    q.add_argument("solution")
+    q.add_argument("datapack")
+    q.add_argument("--out", required=True)
+    q.add_argument("--samples", type=int, default=129)
+    q.add_argument("--max-length", type=float, default=1000.0)
+    q.add_argument("--bent", action="store_true")
+    q.add_argument("--n-steps", type=int, default=64)
+    q.add_argument("--rm", action="store_true",
+                   help="also write differential Faraday RM (dipole B)")
+    q.set_defaults(fn=cmd_predict)
 
     n = sub.add_parser("info", help="describe a DataPack/Solution file")
     n.add_argument("path")

@@ -33,3 +33,40 @@ def test_cli_simulate_invert_info(tmp_path):
     r = run(["info", str(sol)], repo)
     assert r.returncode == 0
     assert "timesteps: 1" in r.stdout
+
+
+def test_cli_predict_roundtrip(tmp_path):
+    """simulate → invert → predict: the prediction must fit the observed
+    dtec better than a zero model, and --rm must add the drm dataset."""
+    import h5py
+    import numpy as np
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    obs = tmp_path / "obs.h5"
+    sol = tmp_path / "sol.h5"
+    pred = tmp_path / "pred.h5"
+    r = run(["simulate", "--out", str(obs), "--antennas", "8",
+             "--directions", "4", "--grid", "14"], repo)
+    assert r.returncode == 0, r.stderr[-500:]
+    r = run(["invert", str(obs), "--out", str(sol), "--grid", "14",
+             "--samples", "17", "--cg-iters", "10", "--gn-iters", "2",
+             "--checkpoint-dir", str(tmp_path / "ckpt"),
+             "--metrics", str(tmp_path / "m.jsonl")], repo)
+    assert r.returncode == 0, r.stderr[-500:]
+    r = run(["predict", str(sol), str(obs), "--out", str(pred),
+             "--samples", "17", "--rm"], repo)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "residual rms" in r.stdout
+    with h5py.File(obs) as fo, h5py.File(pred) as fp:
+        d_obs = fo["dtec"][:]
+        d_pred = fp["dtec"][:]
+        assert d_pred.shape == d_obs.shape
+        # prediction explains most of the observed signal
+        assert (np.sqrt(np.mean((d_pred - d_obs) ** 2))
+                < 0.6 * np.sqrt(np.mean(d_obs ** 2)))
+        drm = fp["drm"][:]
+        assert drm.shape == d_obs.shape
+        assert np.isfinite(drm).all()
+        # dRM vanishes at the reference antenna row
+        i0 = int(fp.attrs["ref_antenna"])
+        np.testing.assert_allclose(drm[i0], 0.0, atol=1e-7)
