@@ -87,11 +87,19 @@ def cmd_predict(args):
     i0 = dev["ref_antenna"]
     na, nt, nd = dp.shape
     grid = sol.grid
-    m_seq = sol.m if sol.num_times == nt else \
-        np.broadcast_to(sol.m[-1], (nt,) + sol.m.shape[1:])
+    if sol.num_times == nt:
+        m_seq = sol.m
+    elif sol.num_times == 1:
+        m_seq = np.broadcast_to(sol.m[0], (nt,) + sol.m.shape[1:])
+    else:
+        raise SystemExit(
+            f"solution has {sol.num_times} timesteps but the datapack has "
+            f"{nt}; select matching times or use a single-timestep "
+            f"solution (which broadcasts)")
     b_fn = None
     if args.rm:
         from .models.geomagnetic import dipole_b_enu_fn
+        from .forward.rm import drm as drm_fn
         b_fn = dipole_b_enu_fn(dp.array.enu_frame)
     pred = np.zeros((na, nt, nd), np.float32)
     drm_out = np.zeros((na, nt, nd), np.float32) if args.rm else None
@@ -99,22 +107,20 @@ def cmd_predict(args):
         m_t = jnp.asarray(m_seq[t])
         origins, dvecs = rays_mod.make_ray_batch(ants, dirs[t])
         if args.bent:
-            _, tau = fermat.trace_rays(m_t, grid, origins, dvecs,
-                                       dp.frequency_hz, args.max_length,
-                                       n_steps=args.n_steps,
-                                       keep_path=False, method="leapfrog")
-            g = tau.reshape(na, nd) - tau.reshape(na, nd)[i0:i0 + 1]
+            # bent bundle + paired quadrature (cancellation-free), the
+            # same forward the inversion pipeline uses — NOT tau-minus-tau
+            rb, _ = fermat.trace_rays(m_t, grid, origins, dvecs,
+                                      dp.frequency_hz, args.max_length,
+                                      n_steps=args.n_steps,
+                                      keep_path=True, method="leapfrog")
         else:
             rb = rays_mod.sample_straight_rays(
                 origins, dvecs, max_length_km=args.max_length,
                 n_samples=args.samples)
-            g = tec_mod.dtec_paired(m_t, grid, rb, nd, i0)
-        pred[:, t, :] = np.asarray(g)
+        pred[:, t, :] = np.asarray(
+            tec_mod.dtec_paired(m_t, grid, rb, nd, i0))
         if args.rm:
-            from .forward.rm import drm as drm_fn
-            rb = rays_mod.sample_straight_rays(
-                origins, dvecs, max_length_km=args.max_length,
-                n_samples=args.samples)
+            # same bundle as the dTEC — bent RM along bent paths
             drm_out[:, t, :] = np.asarray(
                 drm_fn(m_t, grid, rb, b_fn, nd, i0))
     ok = ~dp.flags

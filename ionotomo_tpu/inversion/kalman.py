@@ -239,9 +239,14 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
 
         ens_pred = jax.vmap(predict)(
             ens, jax.random.split(k_adv, n_members))
-        # multiplicative covariance inflation about the ensemble mean
+        # multiplicative covariance inflation about the ensemble mean —
+        # a *forecast*-ensemble control, so it does not apply at the very
+        # first step (the fresh prior draws have had no update-induced
+        # spread collapse to counter; inflating them would overweight the
+        # t=0 data against the configured prior sigma)
+        infl_t = jnp.where(is_first, 1.0, inflation)
         ens_mean = ens_pred.mean(0)
-        ens_pred = ens_mean[None] + inflation * (ens_pred - ens_mean[None])
+        ens_pred = ens_mean[None] + infl_t * (ens_pred - ens_mean[None])
         if spectrum_blend > 0.0:
             # adaptive spectral gain: this step's update covariance is the
             # stationary-isotropic fit of the (inflated) prediction

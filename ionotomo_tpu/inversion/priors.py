@@ -37,6 +37,18 @@ def laplacian(field: jax.Array, grid: Grid3D) -> jax.Array:
     return out
 
 
+def _rfft_multiplicity(nx: int, ny: int, nz: int) -> np.ndarray:
+    """Conjugate-pair multiplicity of the rfftn half-spectrum layout:
+    interior kz planes stand for two full-FFT modes, the kz=0 (and, for
+    even nz, Nyquist) planes for one. Shared by the marginal-variance
+    normalisation in GPCovariance.create and fit_shell_spectrum."""
+    w = np.full((nx, ny, nz // 2 + 1), 2.0, np.float32)
+    w[:, :, 0] = 1.0
+    if nz % 2 == 0:
+        w[:, :, -1] = 1.0
+    return w
+
+
 def _kernel_values(r, kind: str, length_scale: float):
     """Stationary kernel k(r), r in km, unit variance."""
     x = r / length_scale
@@ -94,10 +106,7 @@ class GPCovariance:
             spec[0, 0, 0] = 0.0  # zero-mean field
             # marginal variance: (1/N²)·Σ_full spec, rfft conjugate pairs
             # counted twice except the self-conjugate kz planes
-            w = np.full(spec.shape, 2.0)
-            w[:, :, 0] = 1.0
-            if nz % 2 == 0:
-                w[:, :, -1] = 1.0
+            w = _rfft_multiplicity(nx, ny, nz)
             # Spectrum entries are DFT(kernel) values: the sampling/apply
             # convention (see sample()) implies marginal variance Σ_full S/N,
             # so scale so that Σ_full S = N σ².
@@ -201,12 +210,7 @@ def fit_shell_spectrum(anomalies: jax.Array, grid: Grid3D,
                                  jnp.log(1.001 * kmax), n_bins))
     bins = jnp.searchsorted(edges, kmag.ravel())  # 0 = DC only
 
-    # rfft multiplicity: interior kz planes stand for a conjugate pair
-    w = np.full((nx, ny, nz // 2 + 1), 2.0, np.float32)
-    w[:, :, 0] = 1.0
-    if nz % 2 == 0:
-        w[:, :, -1] = 1.0
-    w = jnp.asarray(w).ravel()
+    w = jnp.asarray(_rfft_multiplicity(nx, ny, nz)).ravel()
     num = jax.ops.segment_sum(p.ravel() * w, bins, num_segments=n_bins + 1)
     den = jax.ops.segment_sum(w, bins, num_segments=n_bins + 1)
     shell = num / jnp.maximum(den, 1e-30)

@@ -8,6 +8,7 @@ model") rebuilt as pure functions over Grid3D fields.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,9 +77,13 @@ def multi_chapman_ne(h_km, layers=DEFAULT_LAYERS, cos_chi=None,
         total = total + ne
         h_top = max(h_top, h_peak)
     if plasmasphere_n0:
+        # smooth onset (logistic ramp over ~60 km about the topmost peak)
+        # so the tail adds no density step/gradient sheet at h_top that a
+        # bent-ray tracer would refract on
+        dh = h_km - h_top
         tail = plasmasphere_n0 * jnp.exp(
-            -jnp.maximum(h_km - h_top, 0.0) / plasmasphere_scale_km)
-        total = total + jnp.where(h_km > h_top, tail, 0.0)
+            -jnp.maximum(dh, 0.0) / plasmasphere_scale_km)
+        total = total + tail * jax.nn.sigmoid(dh / 60.0)
     return total
 
 

@@ -70,3 +70,16 @@ def test_cli_predict_roundtrip(tmp_path):
         # dRM vanishes at the reference antenna row
         i0 = int(fp.attrs["ref_antenna"])
         np.testing.assert_allclose(drm[i0], 0.0, atol=1e-7)
+
+    # bent prediction: same paired forward over the traced bundle — at
+    # 150 MHz it must agree closely with the straight-ray prediction
+    pred_b = tmp_path / "pred_bent.h5"
+    r = run(["predict", str(sol), str(obs), "--out", str(pred_b),
+             "--bent", "--n-steps", "16", "--rm"], repo)
+    assert r.returncode == 0, r.stderr[-500:]
+    with h5py.File(pred) as fs, h5py.File(pred_b) as fb:
+        ds, db = fs["dtec"][:], fb["dtec"][:]
+        assert np.isfinite(db).all()
+        scale = np.abs(ds).max()
+        assert np.abs(db - ds).max() < 0.05 * scale
+        assert np.isfinite(fb["drm"][:]).all()

@@ -192,6 +192,9 @@ def test_multi_chapman_layer_stack():
         h, plasmasphere_n0=1e10, plasmasphere_scale_km=1000.0))
     hi = h_np > 700.0
     assert (ne_p[hi] > ne_np[hi]).all()
+    # the tail onset is smooth: no density step anywhere (adjacent-sample
+    # jumps stay far below the n0 step the naive where() would introduce)
+    assert np.abs(np.diff(ne_p - ne_np)).max() < 0.05e10
     d = ne_p - ne_np
     i1, i2 = np.searchsorted(h_np, [700.0, 950.0])
     ratio = d[i2] / d[i1]
