@@ -23,6 +23,10 @@ from .forward.tec import (tec, dtec, dtec_paired,             # noqa: F401
                           tec_linear, tec_linear_adjoint,
                           ray_coverage)
 from .forward.rm import rotation_measure, drm                 # noqa: F401
+from .forward.tec import vtec_map                             # noqa: F401
+from .utils.diagnostics import (phase_structure_function,     # noqa: F401
+                                structure_function,
+                                fit_structure_exponent)
 from .geometry.fermat import trace_rays                       # noqa: F401
 from .geometry.rays import (RayBundle, calc_rays,             # noqa: F401
                             sample_straight_rays, make_ray_batch)

@@ -160,6 +160,17 @@ def tec_linear(ne_field: jax.Array, grid: Grid3D, rays: RayBundle
         / constants.TEC_SCALE
 
 
+def vtec_map(field_m: jax.Array, grid: Grid3D) -> jax.Array:
+    """Vertical TEC map: ∫ n_e dz per (x, y) column, (nx, ny) in
+    TEC_SCALE working units — the standard map product of a tomographic
+    reconstruction (divide by 10 for TECU at the default 1e13 scale).
+    Simpson over the grid's own z axis; exact for the voxel model."""
+    ne = constants.K_NE * jnp.exp(field_m)               # (nx, ny, nz)
+    w = simpson_weights(grid.shape[2], ne.dtype)
+    dz = grid.spacing[2] * constants.KM_TO_M
+    return jnp.einsum("xyz,z->xy", ne, w) * dz / constants.TEC_SCALE
+
+
 def ray_coverage(grid: Grid3D, rays: RayBundle) -> jax.Array:
     """Per-voxel sampling weight: adjoint of the path integral applied to
     ones — how much total ray path (in quadrature-weight units) touches
