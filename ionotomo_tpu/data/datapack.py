@@ -97,6 +97,42 @@ class DataPack:
         return cls(array, directions_icrs, times_mjd, dtec=dtec,
                    frequency_hz=frequency_hz, **kwargs)
 
+    @classmethod
+    def from_multifrequency_phase(cls, array, directions_icrs, times_mjd,
+                                  phase_rad, frequencies_hz, unwrap=True,
+                                  phase_noise_rad=None, **kwargs):
+        """Broadband TEC fitting: build a DataPack from phases observed at
+        several frequencies (Nf, Na, Nt, Nd) by weighted least squares of
+        the dispersive 1/f law per sample — the standard wide-band
+        workflow (phase = PHASE_COEF·dTEC·TEC_SCALE / f, so
+        dTEC = Σ_i w_i φ_i/f_i⁻¹... solved as a 1-parameter LS in 1/f).
+
+        With equal per-channel phase noise σ_φ the fit noise is
+        σ_dtec = σ_φ·f_eff/(PHASE_COEF·TEC_SCALE), f_eff =
+        (Σ f_i⁻²)^{-1/2} — lower than any single channel; if
+        ``phase_noise_rad`` is given, ``noise_std`` is set accordingly
+        (overriding any noise_std kwarg). The stored ``frequency_hz``
+        is the lowest channel (most dispersive; only used for phase
+        views). Per-channel unwrap runs along time first.
+        """
+        phase = np.asarray(phase_rad, np.float64)
+        freqs = np.asarray(frequencies_hz, np.float64)
+        assert phase.ndim == 4 and phase.shape[0] == freqs.size, (
+            "phase must be (Nf, Na, Nt, Nd) matching frequencies_hz")
+        if unwrap:
+            phase = np.unwrap(phase, axis=2)
+        from .. import constants
+        c = constants.PHASE_COEF * constants.TEC_SCALE
+        x = 1.0 / freqs                                  # (Nf,)
+        # LS for phi_i = c·dtec·x_i: dtec = Σ x_i φ_i / (c Σ x_i²)
+        dtec = np.einsum("f,fatd->atd", x, phase) / (c * np.sum(x * x))
+        if phase_noise_rad is not None:
+            f_eff = 1.0 / np.sqrt(np.sum(x * x))
+            kwargs["noise_std"] = np.full(
+                dtec.shape, float(phase_noise_rad) * f_eff / c)
+        return cls(array, directions_icrs, times_mjd, dtec=dtec,
+                   frequency_hz=float(freqs.min()), **kwargs)
+
     # --- geometry ----------------------------------------------------------
 
     def antennas_enu(self):

@@ -149,3 +149,45 @@ def test_phase_dtec_round_trip_and_unwrap():
     diff = dp2.dtec - dp.dtec
     per_series_spread = np.ptp(diff, axis=1)     # variation along time
     assert per_series_spread.max() < 1e-6 * max(np.abs(dp.dtec).max(), 1.0)
+
+
+def test_multifrequency_phase_tec_fit():
+    """Broadband TEC fit: exact recovery from noiseless multi-channel
+    phases; with per-channel noise the fit beats every single channel and
+    the derived noise_std matches the f_eff formula."""
+    from ionotomo_tpu import constants
+    from ionotomo_tpu.data.radio_array import generate_lofar_like_array
+    from ionotomo_tpu.data.datapack import DataPack
+
+    rng = np.random.default_rng(0)
+    arr = generate_lofar_like_array(n_core=6, n_remote=2)
+    na = len(arr)
+    nt, nd, nf = 3, 4, 8
+    dirs = np.stack([np.full(nd, 1.1), np.linspace(0.4, 0.6, nd)], -1)
+    times = 58000.45 + np.arange(nt) / 1440.0
+    dtec_true = rng.normal(scale=50.0, size=(na, nt, nd))
+    dtec_true[0] = 0.0
+    freqs = np.linspace(120e6, 180e6, nf)
+    c = constants.PHASE_COEF * constants.TEC_SCALE
+    phase = c * dtec_true[None] / freqs[:, None, None, None]
+
+    dp = DataPack.from_multifrequency_phase(arr, dirs, times, phase,
+                                            freqs, unwrap=False)
+    np.testing.assert_allclose(dp.dtec, dtec_true, rtol=1e-10)
+    assert dp.frequency_hz == freqs.min()
+
+    sig = 0.05
+    noisy = phase + rng.normal(scale=sig, size=phase.shape)
+    dpn = DataPack.from_multifrequency_phase(arr, dirs, times, noisy,
+                                             freqs, unwrap=False,
+                                             phase_noise_rad=sig)
+    err_fit = np.sqrt(np.mean((dpn.dtec - dtec_true) ** 2))
+    for i in range(nf):
+        err_one = np.sqrt(np.mean(
+            (DataPack.phase_to_dtec(noisy[i], freqs[i]) - dtec_true) ** 2))
+        assert err_fit < err_one
+    f_eff = 1.0 / np.sqrt(np.sum(1.0 / freqs ** 2))
+    want = sig * f_eff / c
+    np.testing.assert_allclose(dpn.noise_std, want, rtol=1e-10)
+    # and the fit error is statistically consistent with that noise level
+    assert 0.7 * want < err_fit < 1.3 * want
