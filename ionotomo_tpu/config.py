@@ -91,6 +91,9 @@ class RuntimeConfig:
     metrics_path: str = "metrics.jsonl"
     seed: int = 0
     nan_checks: bool = False          # jax.debug/checkify mode (SURVEY §5.2)
+    profile_dir: str = ""             # non-empty: capture a jax.profiler
+                                      # device trace of the run there
+                                      # (SURVEY §5.1; view with xprof)
 
 
 @dataclasses.dataclass(frozen=True)

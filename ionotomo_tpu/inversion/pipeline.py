@@ -301,7 +301,17 @@ class InversionPipeline:
         return theirs == mine
 
     def run(self, resume: bool = True) -> Solution:
-        """Full run: all timesteps, checkpointed, metrics-logged."""
+        """Full run: all timesteps, checkpointed, metrics-logged.
+        With ``runtime.profile_dir`` set, the whole run is captured as a
+        jax.profiler device trace (SURVEY §5.1)."""
+        rt = self.config.runtime
+        if rt.profile_dir:
+            from ..utils.metrics import profile_to
+            with profile_to(rt.profile_dir):
+                return self._run_inner(resume)
+        return self._run_inner(resume)
+
+    def _run_inner(self, resume: bool = True) -> Solution:
         rt = self.config.runtime
         nt = self.d_obs.shape[1]
         start_t, state = 0, None

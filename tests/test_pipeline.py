@@ -363,3 +363,19 @@ def test_pipeline_multi_chapman_apriori(tmp_path):
     assert (pri2 > pri1).mean() > 0.95
     sol = p2.run(resume=False)
     assert np.isfinite(np.asarray(sol.m)).all()
+
+
+def test_pipeline_profile_dir_captures_trace(tmp_path):
+    """runtime.profile_dir: the run writes a jax.profiler trace there."""
+    import dataclasses
+    import glob
+    import os
+    dp, _ = make_dp(n_times=1)
+    cfg = small_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, runtime=dataclasses.replace(
+            cfg.runtime, profile_dir=str(tmp_path / "trace")))
+    sol = InversionPipeline(dp, cfg).run(resume=False)
+    assert np.isfinite(np.asarray(sol.m)).all()
+    files = glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
+    assert any(os.path.isfile(f) for f in files), files
