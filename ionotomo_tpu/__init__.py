@@ -43,6 +43,7 @@ from .inversion.solution import Solution                      # noqa: F401
 from .inversion import solvers                                # noqa: F401
 from .inversion.solvers import map_gauss_newton_robust        # noqa: F401
 from .models.chapman import (chapman_field, chapman_ne,       # noqa: F401
+                             altitude_field, multi_chapman_field,
                              log_parametrize, ne_from_log,
                              grid_enclosing_rays)
 from .models.frozen_flow import (advect_periodic,             # noqa: F401

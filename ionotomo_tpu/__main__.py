@@ -40,7 +40,8 @@ def cmd_invert(args):
 
     dp = DataPack.load(args.datapack)
     cfg = EngineConfig(
-        physics=PhysicsConfig(apriori_model=args.apriori_model),
+        physics=PhysicsConfig(apriori_model=args.apriori_model,
+                              curved_earth=args.curved_earth),
         grid=GridConfig(shape=(args.grid,) * 3),
         rays=RayConfig(bent=args.bent, n_samples=args.samples,
                        n_steps=args.n_steps,
@@ -216,6 +217,11 @@ def main(argv=None):
                    choices=["chapman", "multi_chapman"],
                    help="a-priori n_e: single Chapman layer or the "
                         "E/F1/F2 stack (models/chapman.py)")
+    i.add_argument("--curved-earth", action="store_true",
+                   help="evaluate the a-priori profile at true altitude "
+                        "above the curved Earth with a per-column solar "
+                        "factor (astropy-exact geometry; matters beyond "
+                        "~200 km grid half-width)")
     i.add_argument("--auto-prior", action="store_true",
                    help="GCV-select (sigma, L, kind) from the data at "
                         "setup (18 candidates around the configured prior)")

@@ -26,6 +26,12 @@ class PhysicsConfig:
     apriori_model: str = "chapman"    # | "multi_chapman" (E/F1/F2 stack +
                                       # plasmasphere; models/chapman.py)
     plasmasphere_n0: float = 0.0      # multi_chapman topside tail density
+    curved_earth: bool = False        # evaluate the a-priori profile at true
+                                      # altitude above the curved Earth (and
+                                      # the solar factor per column) instead
+                                      # of the flat ENU plane height — the
+                                      # reference's astropy-exact geometry;
+                                      # matters beyond ~200 km grid half-width
 
 
 @dataclasses.dataclass(frozen=True)

@@ -43,7 +43,8 @@ def generate_example_datapack(n_antennas=62, n_directions=10, n_times=1,
                               grid_shape=(64, 64, 64), turbulence_amp=0.5,
                               wind_kmps=(0.15, 0.05, 0.0), seed=0,
                               frequency_hz=constants.DEFAULT_FREQUENCY_HZ,
-                              n_samples=constants.DEFAULT_N_SAMPLES):
+                              n_samples=constants.DEFAULT_N_SAMPLES,
+                              curved_earth=False):
     """Synthetic DataPack + the ground-truth model that generated it.
 
     Returns (datapack, truth) where truth is a dict holding the Grid3D, the
@@ -70,9 +71,21 @@ def generate_example_datapack(n_antennas=62, n_directions=10, n_times=1,
 
     # ground-truth ionosphere: Chapman background (with day/night solar
     # modulation, matching the pipeline's prior) + frozen-flow turbulence
-    from ..geometry.frames import solar_cos_zenith
-    cos_chi = float(solar_cos_zenith(times.mean(), array.enu_frame))
-    ne_bg = chapman.chapman_field(grid, cos_chi=cos_chi)
+    from ..geometry import frames
+    r_earth = None
+    if curved_earth:
+        r_earth = frames.gaussian_earth_radius(array.enu_frame.lat)
+        ax = np.asarray(grid.axes()[0], np.float64)
+        ay = np.asarray(grid.axes()[1], np.float64)
+        cos_chi = jnp.asarray(frames.solar_cos_zenith_field(
+            times.mean(), array.enu_frame,
+            ax[:, None], ay[None, :])[..., None], jnp.float32)
+    else:
+        cos_chi = float(frames.solar_cos_zenith(times.mean(),
+                                                array.enu_frame))
+    ne_bg = chapman.chapman_field(grid, cos_chi=cos_chi,
+                                  curved=curved_earth,
+                                  earth_radius_km=r_earth)
     m_bg = chapman.log_parametrize(ne_bg)
     pert0 = turbulent_log_perturbation(grid, amplitude=turbulence_amp,
                                        seed=seed + 2)

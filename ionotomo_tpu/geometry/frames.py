@@ -66,6 +66,28 @@ def ecef_to_geodetic(xyz):
     return lat, lon, h
 
 
+def earth_curvature_radii(lat):
+    """WGS84 radii of curvature at geodetic latitude ``lat`` [rad] → (Rm, Rn)
+    in km: Rm = meridional (north-south), Rn = prime-vertical (east-west)."""
+    sl = np.sin(np.asarray(lat, np.float64))
+    w2 = 1.0 - WGS84_E2 * sl * sl
+    rn = WGS84_A / np.sqrt(w2)
+    rm = WGS84_A * (1.0 - WGS84_E2) / w2 ** 1.5
+    return rm, rn
+
+
+def gaussian_earth_radius(lat):
+    """Gaussian (mean) radius of curvature sqrt(Rm*Rn) at latitude [rad], km.
+
+    The best single spherical radius for Earth-curvature corrections over a
+    local ENU window: using the osculating sphere of this radius, the
+    altitude error of ``models.chapman.altitude_field`` stays ≲0.1 km out to
+    ~500 km horizontal offset (vs 12–25 km of flat-Earth error there).
+    """
+    rm, rn = earth_curvature_radii(lat)
+    return float(np.sqrt(rm * rn))
+
+
 def enu_rotation(lat, lon):
     """Rows are the East/North/Up unit vectors in ECEF at (lat, lon)."""
     sl, cl = np.sin(lat), np.cos(lat)
@@ -282,10 +304,36 @@ def solar_radec(mjd):
 
 def solar_cos_zenith(mjd, enu: ENUFrame):
     """cos of the solar zenith angle at the frame origin — the Chapman
-    day/night driver: pass as ``cos_chi`` to models.chapman.chapman_field."""
+    day/night driver: pass as ``cos_chi`` to models.chapman.chapman_field.
+
+    ``solar_radec`` returns of-date coordinates, so the hour angle uses
+    apparent sidereal time directly (no precession re-application)."""
     ra, dec = solar_radec(mjd)
-    v = icrs_to_enu(ra, dec, mjd, enu)
-    return v[..., 2]
+    h = gmst_rad(mjd) + equation_of_equinoxes_rad(mjd) + enu.lon - ra
+    return (np.sin(enu.lat) * np.sin(dec)
+            + np.cos(enu.lat) * np.cos(dec) * np.cos(h))
+
+
+def solar_cos_zenith_field(mjd, enu: ENUFrame, x_km, y_km):
+    """cos solar zenith at each horizontal ENU offset (x_km, y_km) — the
+    spatially-varying day/night driver for wide grids (the terminator moves
+    ~28 km per minute of longitude; a ±400 km grid spans ~10° of arc).
+
+    x_km/y_km broadcast together; returns the broadcast shape. Computed via
+    the subsolar point: cos χ = sin φ sin δ + cos φ cos δ cos(λ − λ_s) with
+    λ_s = α_sun − GAST. Agrees with ``solar_cos_zenith`` at the origin to
+    the sub-0.1° class of ``solar_radec``.
+    """
+    x_km = np.asarray(x_km, np.float64)
+    y_km = np.asarray(y_km, np.float64)
+    ecef = enu.to_ecef(np.stack(np.broadcast_arrays(
+        x_km, y_km, np.zeros_like(x_km + y_km)), axis=-1))
+    lat, lon, _ = ecef_to_geodetic(ecef)
+    ra, dec = solar_radec(mjd)
+    gast = gmst_rad(mjd) + equation_of_equinoxes_rad(mjd)
+    lon_sun = ra - gast
+    return (np.sin(lat) * np.sin(dec)
+            + np.cos(lat) * np.cos(dec) * np.cos(lon - lon_sun))
 
 
 def enu_to_altaz(enu_vec):

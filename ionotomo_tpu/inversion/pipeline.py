@@ -57,18 +57,33 @@ class InversionPipeline:
             pad_km=self.config.grid.pad_km,
             h_min_km=self.config.grid.h_min_km)
         p = self.config.physics
-        from ..geometry.frames import solar_cos_zenith
-        cos_chi = float(solar_cos_zenith(self.datapack.times.mean(),
-                                         self.datapack.array.enu_frame))
+        from ..geometry import frames
+        enu_frame = self.datapack.array.enu_frame
+        t_mid = self.datapack.times.mean()
+        r_earth = None
+        if p.curved_earth:
+            # true-altitude profile + per-column solar factor: the
+            # reference's astropy-exact geometry (frames/chapman docstrings)
+            r_earth = frames.gaussian_earth_radius(enu_frame.lat)
+            ax = np.asarray(self.grid.axes()[0], np.float64)
+            ay = np.asarray(self.grid.axes()[1], np.float64)
+            cos_chi = jnp.asarray(frames.solar_cos_zenith_field(
+                t_mid, enu_frame, ax[:, None], ay[None, :])[..., None],
+                jnp.float32)
+        else:
+            cos_chi = float(frames.solar_cos_zenith(t_mid, enu_frame))
         if p.apriori_model == "multi_chapman":
             ne0 = chapman.multi_chapman_field(
                 self.grid, cos_chi=cos_chi,
-                plasmasphere_n0=p.plasmasphere_n0)
+                plasmasphere_n0=p.plasmasphere_n0,
+                curved=p.curved_earth, earth_radius_km=r_earth)
         else:
             ne0 = chapman.chapman_field(self.grid, n_peak=p.chapman_n_peak,
                                         h_peak_km=p.chapman_h_peak_km,
                                         scale_km=p.chapman_scale_km,
-                                        cos_chi=cos_chi)
+                                        cos_chi=cos_chi,
+                                        curved=p.curved_earth,
+                                        earth_radius_km=r_earth)
         self.m_prior = chapman.log_parametrize(ne0)
         pr = self.config.prior
         self.cov = GPCovariance.create(self.grid, sigma=pr.sigma,

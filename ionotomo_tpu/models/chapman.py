@@ -22,21 +22,56 @@ def chapman_ne(h_km, n_peak=1.0e12, h_peak_km=350.0, scale_km=80.0):
     return n_peak * jnp.exp(0.5 * (1.0 - z - jnp.exp(-z)))
 
 
+def altitude_field(grid: Grid3D, earth_radius_km=None, site_height_km=0.0):
+    """True altitude above the Earth's surface for every voxel of an ENU grid.
+
+    The ENU tangent plane falls away from the curved Earth: a voxel at
+    horizontal offset r and plane-height z sits at altitude
+    ``h = sqrt(r² + (R + h0 + z)²) − R`` (R = osculating-sphere radius,
+    h0 = site altitude) — +12.5 km at r = 400 km, +25 km at 565 km. The
+    reference computes heights through astropy's exact ITRS chain
+    (SURVEY.md §2 "A-priori ionosphere model"); this is the device-side
+    equivalent, exact on the osculating sphere (pass
+    ``frames.gaussian_earth_radius(lat)`` for ≲0.1 km agreement with the
+    WGS84 ellipsoid out to ~500 km).
+
+    Returns an (nx, ny, nz) jnp array of altitudes [km].
+    """
+    from .. import constants as _c
+    r_earth = _c.EARTH_RADIUS_KM if earth_radius_km is None else earth_radius_km
+    x = grid.origin[0] + grid.spacing[0] * jnp.arange(grid.shape[0])
+    y = grid.origin[1] + grid.spacing[1] * jnp.arange(grid.shape[1])
+    z = grid.origin[2] + grid.spacing[2] * jnp.arange(grid.shape[2])
+    r2 = (x[:, None, None] ** 2 + y[None, :, None] ** 2)
+    zc = r_earth + site_height_km + z[None, None, :]
+    return jnp.sqrt(r2 + zc * zc) - r_earth
+
+
 def solar_zenith_factor(cos_chi, floor=0.05):
     """Day/night modulation: sqrt(max(cos χ, floor)) Chapman scaling."""
     return jnp.sqrt(jnp.maximum(cos_chi, floor))
 
 
 def chapman_field(grid: Grid3D, n_peak=1.0e12, h_peak_km=350.0,
-                  scale_km=80.0, cos_chi=None):
-    """Sample the Chapman profile onto a Grid3D (z axis = altitude, km).
+                  scale_km=80.0, cos_chi=None, curved=False,
+                  earth_radius_km=None):
+    """Sample the Chapman profile onto a Grid3D (z axis = plane height, km).
 
     Returns n_e in m^-3 with shape ``grid.shape``. ``cos_chi`` (scalar or
-    per-voxel) applies the solar-zenith factor to N_peak.
+    per-voxel) applies the solar-zenith factor to N_peak. With
+    ``curved=True`` the profile is evaluated at each voxel's true altitude
+    above the curved Earth (``altitude_field``) instead of its ENU plane
+    height — the reference's astropy-exact behaviour; flat (default) and
+    curved differ by up to 25 km of altitude at the corners of a ±400 km
+    grid.
     """
-    z_axis = grid.origin[2] + grid.spacing[2] * jnp.arange(grid.shape[2])
-    prof = chapman_ne(z_axis, n_peak, h_peak_km, scale_km)  # (nz,)
-    field = jnp.broadcast_to(prof[None, None, :], grid.shape)
+    if curved:
+        h = altitude_field(grid, earth_radius_km)
+        field = chapman_ne(h, n_peak, h_peak_km, scale_km)
+    else:
+        z_axis = grid.origin[2] + grid.spacing[2] * jnp.arange(grid.shape[2])
+        prof = chapman_ne(z_axis, n_peak, h_peak_km, scale_km)  # (nz,)
+        field = jnp.broadcast_to(prof[None, None, :], grid.shape)
     if cos_chi is not None:
         field = field * solar_zenith_factor(cos_chi)
     return field
@@ -88,12 +123,20 @@ def multi_chapman_ne(h_km, layers=DEFAULT_LAYERS, cos_chi=None,
 
 
 def multi_chapman_field(grid: Grid3D, layers=DEFAULT_LAYERS, cos_chi=None,
-                        plasmasphere_n0=0.0, plasmasphere_scale_km=1200.0):
-    """Sample the multi-layer profile onto a Grid3D (z axis = altitude).
+                        plasmasphere_n0=0.0, plasmasphere_scale_km=1200.0,
+                        curved=False, earth_radius_km=None):
+    """Sample the multi-layer profile onto a Grid3D (z axis = plane height).
 
-    Per-voxel ``cos_chi`` is supported (shape ``grid.shape``), giving a
-    horizontally varying day/night terminator across the grid.
+    Per-voxel ``cos_chi`` is supported (any shape broadcastable to
+    ``grid.shape``, e.g. an (nx, ny, 1) ``frames.solar_cos_zenith_field``
+    map), giving a horizontally varying day/night terminator across the
+    grid. ``curved=True`` evaluates each voxel at its true altitude above
+    the curved Earth (see ``chapman_field``).
     """
+    if curved:
+        h = altitude_field(grid, earth_radius_km)
+        return multi_chapman_ne(h, layers, cos_chi, plasmasphere_n0,
+                                plasmasphere_scale_km)
     z_axis = grid.origin[2] + grid.spacing[2] * jnp.arange(grid.shape[2])
     if cos_chi is None or jnp.ndim(cos_chi) == 0:
         prof = multi_chapman_ne(z_axis, layers, cos_chi, plasmasphere_n0,

@@ -144,3 +144,27 @@ def test_icrs_to_enu_precession_shifts_directions_at_2026():
     ang = np.degrees(np.arccos(np.clip(np.dot(v_full, v_bare), -1, 1)))
     assert 0.2 < ang < 0.5
     np.testing.assert_allclose(np.linalg.norm(v_full), 1.0, atol=1e-12)
+
+
+def test_solar_cos_zenith_field_matches_origin_and_varies():
+    """Per-column solar zenith map: agrees with the scalar driver at the
+    origin; drifts by the expected ~1 deg of arc per ~111 km eastward."""
+    ref = frames.geodetic_to_ecef(np.deg2rad(52.9), np.deg2rad(6.9), 0.0)
+    enu = frames.ENUFrame(ref)
+    mjd = 58000.25
+    c0 = float(frames.solar_cos_zenith(mjd, enu))
+    x = np.array([-400.0, 0.0, 400.0])
+    field = frames.solar_cos_zenith_field(mjd, enu, x[:, None],
+                                          np.zeros((1, 1)))
+    np.testing.assert_allclose(field[1, 0], c0, atol=2e-3)
+    # monotone drift across 800 km of longitude, and a physical magnitude:
+    # dcos/dangle <= 1, 400 km ~ 0.063 rad of arc
+    assert abs(field[2, 0] - field[0, 0]) > 1e-3
+    assert abs(field[2, 0] - c0) < 0.13
+
+
+def test_gaussian_earth_radius_bounds():
+    rm, rn = frames.earth_curvature_radii(np.deg2rad(52.9))
+    assert 6350.0 < rm < 6400.0 and 6380.0 < rn < 6400.0
+    r = frames.gaussian_earth_radius(np.deg2rad(52.9))
+    assert rm < r < rn or rn < r < rm or abs(r - rm) < 50.0

@@ -216,3 +216,49 @@ def test_multi_chapman_layer_stack():
     f = np.asarray(chapman.multi_chapman_field(g, cos_chi=jnp.asarray(cos)))
     k350 = np.argmin(np.abs(np.asarray(g.axes()[2]) - 350.0))
     assert f[:4, :, k350].mean() > f[4:, :, k350].mean()
+
+
+def test_altitude_field_curvature():
+    """altitude_field: exact z on the central column; matches the exact
+    WGS84 ECEF chain off-axis (the reference's astropy-exact heights)."""
+    from ionotomo_tpu.geometry import frames
+
+    ref = frames.geodetic_to_ecef(np.deg2rad(52.9), np.deg2rad(6.9), 0.0)
+    enu = frames.ENUFrame(ref)
+    r_gauss = frames.gaussian_earth_radius(enu.lat)
+
+    g = Grid3D.from_bounds((-500.0, -500.0, 0.0), (500.0, 500.0, 1000.0),
+                           (5, 5, 5))
+    h = np.asarray(chapman.altitude_field(g, earth_radius_km=r_gauss))
+    z_axis = np.asarray(g.axes()[2])
+    # central column: ENU z IS altitude
+    np.testing.assert_allclose(h[2, 2, :], z_axis, atol=1e-3)
+    # corners sit ~+39 km above their plane height at 707 km offset
+    assert 30.0 < h[0, 0, 0] < 45.0
+    # exact chain: ENU -> ECEF -> geodetic height, all voxels
+    ax, ay = np.asarray(g.axes()[0]), np.asarray(g.axes()[1])
+    X, Y, Z = np.meshgrid(ax, ay, z_axis, indexing="ij")
+    pts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    _, _, h_exact = frames.ecef_to_geodetic(enu.to_ecef(pts))
+    err = np.abs(h - h_exact.reshape(h.shape))
+    assert err.max() < 0.25  # km, osculating sphere vs ellipsoid at 707 km
+
+
+def test_chapman_field_curved_vs_flat():
+    """Curved evaluation thins the edge-of-grid topside: above the peak the
+    true (higher) altitude means lower n_e than the flat-Earth sample."""
+    g = Grid3D.from_bounds((-400.0, -400.0, 0.0), (400.0, 400.0, 1000.0),
+                           (9, 9, 17))
+    flat = np.asarray(chapman.chapman_field(g))
+    curved = np.asarray(chapman.chapman_field(g, curved=True))
+    z = np.asarray(g.axes()[2])
+    k_top = np.searchsorted(z, 600.0)  # well above the 350 km peak
+    # central column unchanged
+    np.testing.assert_allclose(curved[4, 4, :], flat[4, 4, :], rtol=1e-5)
+    # edge columns: curved < flat above the peak (altitude is higher)
+    assert (curved[0, 0, k_top:] < flat[0, 0, k_top:]).all()
+    # the multi-layer stack honours the same flag
+    mflat = np.asarray(chapman.multi_chapman_field(g))
+    mcurv = np.asarray(chapman.multi_chapman_field(g, curved=True))
+    np.testing.assert_allclose(mcurv[4, 4, :], mflat[4, 4, :], rtol=1e-5)
+    assert (mcurv[0, 0, k_top:] < mflat[0, 0, k_top:]).all()
