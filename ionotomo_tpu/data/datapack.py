@@ -133,6 +133,18 @@ class DataPack:
         return cls(array, directions_icrs, times_mjd, dtec=dtec,
                    frequency_hz=float(freqs.min()), **kwargs)
 
+    @classmethod
+    def from_h5parm(cls, path, **kwargs):
+        """Read a losoto-layout h5parm solution file (tec*/phase* soltab)
+        — the LOFAR ecosystem's interchange format; see data/h5parm.py."""
+        from .h5parm import load_h5parm
+        return load_h5parm(path, **kwargs)
+
+    def to_h5parm(self, path, solset="sol000"):
+        """Write as a losoto-layout h5parm (tec000 soltab, TECU)."""
+        from .h5parm import save_h5parm
+        save_h5parm(self, path, solset=solset)
+
     # --- geometry ----------------------------------------------------------
 
     def antennas_enu(self):

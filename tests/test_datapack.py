@@ -191,3 +191,90 @@ def test_multifrequency_phase_tec_fit():
     np.testing.assert_allclose(dpn.noise_std, want, rtol=1e-10)
     # and the fit error is statistically consistent with that noise level
     assert 0.7 * want < err_fit < 1.3 * want
+
+
+def test_h5parm_roundtrip(tmp_path):
+    """DataPack → losoto-layout h5parm → DataPack preserves geometry,
+    values, flags and the differential-TEC invariant."""
+    dp, _ = generate_example_datapack(n_antennas=6, n_directions=4,
+                                      n_times=3, grid_shape=(16, 16, 16))
+    dp.flags[2, 1, 1] = True
+    p = tmp_path / "sols.h5"
+    dp.to_h5parm(p)
+    dp2 = DataPack.from_h5parm(p, noise_tecu=1e-3)
+    assert dp2.shape == dp.shape
+    # loading re-references (the ref row carries observation noise in the
+    # synth world), so equality holds at the re-referenced level
+    np.testing.assert_allclose(dp2.dtec, dp.dtec - dp.dtec[0:1],
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(dp2.directions, dp.directions, atol=1e-12)
+    np.testing.assert_allclose(dp2.array.itrs, dp.array.itrs, atol=1e-9)
+    assert dp2.array.labels == dp.array.labels
+    np.testing.assert_allclose(dp2.times, dp.times, atol=1e-9)
+    assert dp2.flags[2, 1, 1] and dp2.flags.sum() == 1
+    assert np.allclose(dp2.dtec[dp2.ref_antenna], 0.0)
+
+
+def test_h5parm_foreign_layout_and_phase(tmp_path):
+    """Read an h5parm we didn't write: pol axis, permuted AXES order,
+    absolute (un-referenced) TEC, antenna table larger than the soltab's
+    antenna axis; plus a single-frequency phase soltab."""
+    import h5py
+    from ionotomo_tpu import constants
+
+    rng = np.random.default_rng(0)
+    arr = generate_lofar_like_array(n_core=3, n_remote=2, seed=1)
+    na_tab, na, nt, nd = 5, 4, 2, 3
+    names = np.asarray(arr.labels, dtype="S64")
+    ant_dtype = np.dtype([("name", "S64"), ("position", np.float64, (3,))])
+    ant_tab = np.zeros(na_tab, ant_dtype)
+    ant_tab["name"] = names
+    ant_tab["position"] = arr.itrs * 1e3
+    src_dtype = np.dtype([("name", "S64"), ("dir", np.float64, (2,))])
+    src = np.zeros(nd, src_dtype)
+    src["name"] = np.asarray([f"P{j}" for j in range(nd)], dtype="S64")
+    src["dir"] = np.stack([np.full(nd, 1.2), 0.9 + 0.01 * np.arange(nd)],
+                          axis=-1)
+    tec_abs = rng.normal(scale=0.05, size=(na, nd, nt, 2))  # TECU, +pol
+    phase = rng.normal(scale=0.5, size=(1, nt, na, nd))     # freq leading
+
+    p = tmp_path / "foreign.h5"
+    with h5py.File(p, "w") as f:
+        ss = f.create_group("sol000")
+        ss.create_dataset("antenna", data=ant_tab)
+        ss.create_dataset("source", data=src)
+        st = ss.create_group("tec000")
+        st.attrs["TITLE"] = np.bytes_(b"tec")
+        v = st.create_dataset("val", data=tec_abs)
+        v.attrs["AXES"] = np.bytes_(b"ant,dir,time,pol")
+        st.create_dataset("time", data=58000.0 * 86400.0
+                          + np.arange(nt) * 30.0)
+        st.create_dataset("ant", data=names[:na])  # soltab subset
+        st.create_dataset("dir", data=src["name"])
+        st.create_dataset("pol", data=np.asarray([b"XX", b"YY"]))
+        st2 = ss.create_group("phase000")
+        st2.attrs["TITLE"] = np.bytes_(b"phase")
+        v2 = st2.create_dataset("val", data=phase)
+        v2.attrs["AXES"] = np.bytes_(b"freq,time,ant,dir")
+        st2.create_dataset("weight", data=np.ones_like(phase))
+        st2.create_dataset("freq", data=np.asarray([150e6]))
+        st2.create_dataset("time", data=58000.0 * 86400.0
+                           + np.arange(nt) * 30.0)
+        st2.create_dataset("ant", data=names[:na])
+        st2.create_dataset("dir", data=src["name"])
+
+    dp = DataPack.from_h5parm(p, ref_antenna=1)
+    assert dp.shape == (na, nt, nd)
+    assert len(dp.array) == na                  # restricted to soltab ants
+    assert np.allclose(dp.dtec[1], 0.0)         # re-referenced
+    want = (tec_abs.mean(-1) - tec_abs.mean(-1)[1:2]).transpose(0, 2, 1)
+    np.testing.assert_allclose(
+        dp.dtec, want * constants.TECU / constants.TEC_SCALE, rtol=1e-9)
+
+    dpp = DataPack.from_h5parm(p, soltab="phase000", ref_antenna=0)
+    assert dpp.shape == (na, nt, nd)
+    # phase view of the loaded dtec reproduces the referenced input phase
+    # (up to the time-unwrap, identity here since |dphi|<pi)
+    ref_phase = phase[0] - phase[0, :, 0:1]
+    np.testing.assert_allclose(
+        dpp.phase().transpose(1, 0, 2), ref_phase, atol=1e-6)
