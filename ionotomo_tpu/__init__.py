@@ -39,6 +39,9 @@ from .inversion.model_selection import (gcv_score,            # noqa: F401
 from .inversion.pipeline import InversionPipeline             # noqa: F401
 from .inversion.priors import (GPCovariance, fit_shell_spectrum,  # noqa: F401
                                laplacian)
+from .inversion.anchors import (TecAnchors,                   # noqa: F401
+                                vertical_anchor_bundle,
+                                anchors_from_field)
 from .inversion.solution import Solution                      # noqa: F401
 from .inversion import solvers                                # noqa: F401
 from .inversion.solvers import map_gauss_newton_robust        # noqa: F401

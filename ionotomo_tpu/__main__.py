@@ -58,7 +58,24 @@ def cmd_invert(args):
                               metrics_path=args.metrics),
     )
     pipe = InversionPipeline(dp, cfg)
-    sol = pipe.run(resume=args.resume)
+    anchors = None
+    if args.vtec_anchors:
+        import numpy as np
+        from . import constants
+        from .inversion import anchors as anchors_mod
+        with np.load(args.vtec_anchors) as z:
+            xy = np.asarray(z["points_xy"], np.float64)     # (A, 2) ENU km
+            v = (np.asarray(z["values_tecu"], np.float64)
+                 * constants.TECU / constants.TEC_SCALE)
+            noise = (float(z["noise_tecu"]) * constants.TECU
+                     / constants.TEC_SCALE)
+        import jax.numpy as jnp
+        bundle = anchors_mod.columns_bundle(pipe.grid, xy)
+        anchors = anchors_mod.TecAnchors(
+            rays=bundle, values=jnp.asarray(v, jnp.float32),
+            noise_std=jnp.float32(noise))
+    sol = pipe.run(resume=args.resume, anchors=anchors,
+                   anchor_mode=args.anchor_mode)
     sol.save(args.out)
     print(f"wrote {args.out}: {sol.num_times} timestep(s), "
           f"grid {sol.grid.shape}")
@@ -217,6 +234,13 @@ def main(argv=None):
                    choices=["chapman", "multi_chapman"],
                    help="a-priori n_e: single Chapman layer or the "
                         "E/F1/F2 stack (models/chapman.py)")
+    i.add_argument("--vtec-anchors", default=None,
+                   help="npz with points_xy (A,2; ENU km), values_tecu "
+                        "(A,), noise_tecu (scalar): external absolute "
+                        "vertical-TEC constraints (e.g. a GNSS map) "
+                        "assimilated before the dTEC solves")
+    i.add_argument("--anchor-mode", default="sequential",
+                   choices=["sequential", "joint"])
     i.add_argument("--curved-earth", action="store_true",
                    help="evaluate the a-priori profile at true altitude "
                         "above the curved Earth with a per-column solar "

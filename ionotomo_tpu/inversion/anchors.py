@@ -1,0 +1,141 @@
+"""Absolute-TEC anchoring: lift dTEC's common-mode null space.
+
+Differential TEC is blind to any field change that adds the same TEC to
+every ray of an antenna — in practice the common-mode vertical profile
+(the dominant term of the reconstruction's model-space error; see
+BENCH_LOCAL.md config 4). Real calibration pipelines close this gap with
+external **absolute** TEC: GNSS-derived vertical-TEC maps over the array
+(the standard products the reference's LOFAR context consumes). This
+module represents such data as extra absolute-TEC rows appended to the
+data operator: an anchor is a ray (usually a vertical column) with an
+observed TEC value and a noise level, and the MAP solver
+(`solvers.map_gauss_newton(..., anchors=...)`) fits them jointly with the
+dTEC rows — same Krylov machinery, no special casing.
+
+Typical use::
+
+    bundle = vertical_anchor_bundle(grid)                   # (A, N, 3)
+    anchors = TecAnchors(bundle, vtec_obs, noise)           # external data
+    res = solvers.map_gauss_newton(..., anchors=anchors)
+
+For synthetic studies, ``anchors_from_field`` simulates the external
+instrument from a truth field (value = true TEC + noise).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grids import Grid3D
+from ..forward import tec as tec_mod
+from ..geometry.rays import RayBundle
+
+
+class TecAnchors(NamedTuple):
+    """Absolute-TEC constraints: ``values[a] ≈ ∫ n_e ds`` over
+    ``rays.points[a]`` (TEC_SCALE working units), weighted by
+    ``noise_std`` (scalar or (A,))."""
+
+    rays: RayBundle
+    values: jax.Array
+    noise_std: jax.Array
+
+
+def columns_bundle(grid: Grid3D, points_xy, n_samples: int = 65
+                   ) -> RayBundle:
+    """Vertical columns through the grid's full z extent at the given
+    horizontal ENU positions (A, 2) [km] — anchor geometry for a VTEC map
+    sampled at arbitrary pierce points."""
+    xy = np.atleast_2d(np.asarray(points_xy, np.float64))
+    origin = np.asarray(grid.origin, np.float64)
+    span_z = float(grid.spacing[2]) * (grid.shape[2] - 1)
+    a = xy.shape[0]
+    s = np.linspace(0.0, span_z, n_samples)
+    pts = np.concatenate(
+        [np.broadcast_to(xy[:, None, :], (a, n_samples, 2)),
+         np.broadcast_to((origin[2] + s)[None, :, None],
+                         (a, n_samples, 1))], axis=-1)
+    ds = np.full((a,), span_z / (n_samples - 1), np.float32)
+    return RayBundle(points=jnp.asarray(pts, jnp.float32),
+                     ds=jnp.asarray(ds))
+
+
+def vertical_anchor_bundle(grid: Grid3D, nx: int = 4, ny: int = 4,
+                           n_samples: int = 65,
+                           margin_frac: float = 0.12) -> RayBundle:
+    """Vertical columns through the grid at an nx×ny horizontal lattice
+    (inset by ``margin_frac`` of the extent, away from the tricubic edge
+    clamp), spanning the full z extent — the geometry of a GNSS VTEC map
+    sampled over the array."""
+    origin = np.asarray(grid.origin, np.float64)
+    span = np.asarray(grid.spacing, np.float64) * (
+        np.asarray(grid.shape) - 1)
+    xs = origin[0] + span[0] * np.linspace(margin_frac, 1 - margin_frac, nx)
+    ys = origin[1] + span[1] * np.linspace(margin_frac, 1 - margin_frac, ny)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    xy = np.stack([X.ravel(), Y.ravel()], axis=-1)
+    return columns_bundle(grid, xy, n_samples)
+
+
+def assimilate_anchors(grid: Grid3D, m_prior: jax.Array, cov,
+                       anchors: "TecAnchors", gn_iters: int = 2,
+                       cg_iters: int = 30, cg_tol: float = 1e-5):
+    """MAP-update the prior mean from the absolute-TEC anchors alone.
+
+    Sequential assimilation: the anchor rows are few (tens) and observe
+    mostly the common-mode/profile component that the dTEC rows cannot
+    see, so assimilating them first — producing a corrected background
+    that the dTEC solve then uses as its prior mean — sidesteps the
+    truncated-CG direction competition of a joint solve (10⁴ dTEC rows
+    monopolise the first ~40 Krylov directions; measured in DESIGN.md
+    §"VTEC anchoring"). The posterior covariance is approximated by the
+    prior (standard sequential-DA simplification; the anchored component
+    is preserved by the dTEC solve's prior pull, which is exactly zero
+    along directions dTEC observes nothing about).
+
+    Same C^{1/2}-preconditioned Gauss-Newton/CG machinery as
+    ``solvers.map_gauss_newton``; cheap (seconds at 128³).
+    """
+    from ..core import linalg
+
+    values = anchors.values
+    inv_cd = 1.0 / jnp.broadcast_to(
+        jnp.asarray(anchors.noise_std), values.shape).ravel() ** 2
+
+    def gn_step(m_k, _):
+        def fwd(m):
+            return tec_mod.tec(m, grid, anchors.rays)
+        g0, jvp = jax.linearize(fwd, m_k)
+        vjp = jax.linear_transpose(jvp, m_k)
+        r_hat = values - g0
+
+        def matvec(u):
+            v = cov.apply_sqrt(u.reshape(grid.shape))
+            (z,) = vjp(jvp(v) * inv_cd)
+            return u + cov.apply_sqrt(z).ravel()
+
+        # prior pull stays anchored at m_prior (as in map_gauss_newton)
+        dm_prior = m_prior - m_k
+        r_lin = r_hat - jvp(dm_prior)
+        (z1,) = vjp(r_lin * inv_cd)
+        rhs = cov.apply_sqrt(z1).ravel()
+        u, _ = linalg.cg(matvec, rhs, max_iters=cg_iters, tol=cg_tol)
+        return m_k + dm_prior + cov.apply_sqrt(u.reshape(grid.shape)), None
+
+    m, _ = jax.lax.scan(gn_step, m_prior, None, length=gn_iters)
+    return m
+
+
+def anchors_from_field(field_m: jax.Array, grid: Grid3D,
+                       bundle: RayBundle, noise_std: float,
+                       seed: int = 0) -> TecAnchors:
+    """Simulate the external absolute-TEC instrument from a (truth) field:
+    values = TEC over the anchor rays + Gaussian noise. Bench/test helper;
+    real data enters through ``TecAnchors`` directly."""
+    v = tec_mod.tec(field_m, grid, bundle)
+    v = v + noise_std * jax.random.normal(jax.random.key(seed), v.shape)
+    return TecAnchors(rays=bundle, values=v,
+                      noise_std=jnp.asarray(noise_std, jnp.float32))

@@ -89,6 +89,7 @@ class InversionPipeline:
         self.cov = GPCovariance.create(self.grid, sigma=pr.sigma,
                                        length_scale=pr.length_scale_km,
                                        kind=pr.kind)
+        self.anchors = None            # TecAnchors via run(anchors=...)
         self.mesh = (shard_mod.ray_mesh()
                      if len(jax.devices()) > 1 else None)
         self._na_padded = None        # lazy; see _padded_na
@@ -238,7 +239,8 @@ class InversionPipeline:
         return solvers.map_gauss_newton(
             self.grid, rb, d_t, noise, m_start, self.cov,
             num_directions=nd, i0=self.i0, gn_iters=sc.gn_iters,
-            cg_iters=sc.cg_iters, cg_tol=sc.cg_tol, m0=m0)
+            cg_iters=sc.cg_iters, cg_tol=sc.cg_tol, m0=m0,
+            anchors=self.anchors)
 
     def solve_snapshot(self, t: int, m0=None):
         """Invert one timestep; returns (m, diagnostics dict).
@@ -315,10 +317,52 @@ class InversionPipeline:
         mine.pop("runtime", None)
         return theirs == mine
 
-    def run(self, resume: bool = True) -> Solution:
+    def anchor_background_cov(self, sigma: float = 1.0,
+                              vertical_scale_km: float = 150.0
+                              ) -> GPCovariance:
+        """Background-error covariance for sequential VTEC assimilation:
+        long horizontal correlation (half the grid's horizontal span —
+        profile errors are large-scale) × ``vertical_scale_km`` vertical.
+        Distinct from the turbulence prior: measured at 128³ (DESIGN.md
+        "VTEC anchoring"), assimilating a global profile error through the
+        L≈80 km turbulence prior fits the anchor columns but interpolates
+        nothing between them."""
+        sp = np.asarray(jax.device_get(self.grid.spacing), np.float64)
+        span = sp * (np.asarray(self.grid.shape) - 1)
+        l_h = 0.5 * float(max(span[0], span[1]))
+        return GPCovariance.create(
+            self.grid, sigma=sigma,
+            length_scale=(l_h, l_h, vertical_scale_km), kind="sqexp")
+
+    def run(self, resume: bool = True, anchors=None,
+            anchor_mode: str = "sequential", anchor_cov=None) -> Solution:
         """Full run: all timesteps, checkpointed, metrics-logged.
         With ``runtime.profile_dir`` set, the whole run is captured as a
-        jax.profiler device trace (SURVEY §5.1)."""
+        jax.profiler device trace (SURVEY §5.1).
+
+        ``anchors`` (inversion.anchors.TecAnchors): external absolute-TEC
+        constraints (e.g. a GNSS VTEC map over the array) — they pin the
+        common-mode/profile component dTEC cannot observe.
+        ``anchor_mode="sequential"`` (default, recommended) assimilates
+        them into the prior mean once, before the dTEC solves — every
+        solver mode (GN/LSQR/Kalman/EnKF) then starts from the corrected
+        background; ``"joint"`` appends them as data rows of each MAP
+        Gauss-Newton snapshot solve instead (needs generous cg_iters; see
+        inversion/anchors.py on the truncated-CG direction competition).
+        ``anchor_cov``: covariance of the background error the anchors
+        correct (default: ``anchor_background_cov()`` — long-horizontal ×
+        150 km-vertical, NOT the turbulence prior).
+        """
+        if anchors is not None:
+            from . import anchors as anchors_mod
+            self.metrics.write(dict(event="tec_anchors", mode=anchor_mode,
+                                    n=int(anchors.values.shape[0])))
+            if anchor_mode == "sequential":
+                cov_bg = anchor_cov or self.anchor_background_cov()
+                self.m_prior = anchors_mod.assimilate_anchors(
+                    self.grid, self.m_prior, cov_bg, anchors)
+            else:
+                self.anchors = anchors
         rt = self.config.runtime
         if rt.profile_dir:
             from ..utils.metrics import profile_to

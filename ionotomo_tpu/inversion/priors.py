@@ -81,14 +81,24 @@ class GPCovariance:
     spectrum: jax.Array        # (nx, ny, nz//2+1) rfftn layout, PSD
     shape: tuple
     sigma: float
-    length_scale: float
+    length_scale: float        # scalar, or (Lx, Ly, Lz) tuple (anisotropic)
     kind: str
 
     @staticmethod
     def create(grid: Grid3D, sigma=1.0, length_scale=50.0,
                kind="exponential", inner_scale=2.0):
+        """``length_scale`` may be a scalar (isotropic) or a 3-sequence
+        (Lx, Ly, Lz) of per-axis correlation lengths [km] — anisotropic
+        priors model e.g. background-profile errors (long horizontal, short
+        vertical correlation; inversion/anchors.py) or field-aligned
+        turbulence. The anisotropic kernel is the isotropic shape evaluated
+        on the stretched distance sqrt(Σ (Δx_i/L_i)²)."""
         nx, ny, nz = grid.shape
         sp = np.asarray(jax.device_get(grid.spacing), np.float64)
+        ls = np.asarray(length_scale, np.float64).reshape(-1)
+        ls_meta = (float(ls[0]) if ls.size == 1
+                   else tuple(float(v) for v in ls))
+        ls3 = np.full(3, ls[0]) if ls.size == 1 else ls
         if kind == "von_karman":
             # built directly in spectral space: the turbulence spectrum
             # itself (models.turbulence), normalised to marginal σ² —
@@ -99,10 +109,23 @@ class GPCovariance:
             kmag = 2 * np.pi * np.sqrt(
                 ax[0][:, None, None] ** 2 + ax[1][None, :, None] ** 2
                 + ax[2][None, None, :] ** 2)
-            k0 = 2 * np.pi / length_scale
             li = inner_scale / (2 * np.pi)
-            spec = (kmag**2 + k0**2) ** (-11.0 / 6.0) \
-                * np.exp(-((kmag * li) ** 2))
+            if np.all(ls3 == ls3[0]):
+                k0 = 2 * np.pi / ls3[0]
+                spec = (kmag**2 + k0**2) ** (-11.0 / 6.0) \
+                    * np.exp(-((kmag * li) ** 2))
+            else:
+                # anisotropic outer scale on the stretched wavevector:
+                # (Σ (k_i L_i)² + (2π)²)^{-11/6} ≡ the isotropic form
+                # when L_i = L (overall L-power absorbed by the σ²
+                # normalisation below); inner-scale dissipation stays
+                # isotropic/physical.
+                ks2 = (2 * np.pi) ** 2 * (
+                    (ax[0][:, None, None] * ls3[0]) ** 2
+                    + (ax[1][None, :, None] * ls3[1]) ** 2
+                    + (ax[2][None, None, :] * ls3[2]) ** 2)
+                spec = (ks2 + (2 * np.pi) ** 2) ** (-11.0 / 6.0) \
+                    * np.exp(-((kmag * li) ** 2))
             spec[0, 0, 0] = 0.0  # zero-mean field
             # marginal variance: (1/N²)·Σ_full spec, rfft conjugate pairs
             # counted twice except the self-conjugate kz planes
@@ -118,15 +141,21 @@ class GPCovariance:
             # (minimum-image) distance lattice
             ax = [np.minimum(np.arange(n), n - np.arange(n)) * sp[d]
                   for d, n in enumerate(grid.shape)]
-            r = np.sqrt(ax[0][:, None, None] ** 2
-                        + ax[1][None, :, None] ** 2
-                        + ax[2][None, None, :] ** 2)
-            k = (sigma ** 2) * _kernel_values(r, kind, length_scale)
+            if np.all(ls3 == ls3[0]):
+                r = np.sqrt(ax[0][:, None, None] ** 2
+                            + ax[1][None, :, None] ** 2
+                            + ax[2][None, None, :] ** 2)
+                k = (sigma ** 2) * _kernel_values(r, kind, ls3[0])
+            else:
+                r = np.sqrt((ax[0][:, None, None] / ls3[0]) ** 2
+                            + (ax[1][None, :, None] / ls3[1]) ** 2
+                            + (ax[2][None, None, :] / ls3[2]) ** 2)
+                k = (sigma ** 2) * _kernel_values(r, kind, 1.0)
             spec = np.fft.rfftn(k).real
             spec = np.maximum(spec, 0.0)  # PSD-ify
         return GPCovariance(spectrum=jnp.asarray(spec, jnp.float32),
                             shape=tuple(grid.shape), sigma=float(sigma),
-                            length_scale=float(length_scale), kind=kind)
+                            length_scale=ls_meta, kind=kind)
 
     def apply(self, v: jax.Array) -> jax.Array:
         """C_m v — spectral multiply, O(N log N)."""

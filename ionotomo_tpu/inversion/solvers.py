@@ -41,17 +41,24 @@ class InversionResult(NamedTuple):
 
 
 def _dtec_operator(grid: Grid3D, rays: RayBundle, num_directions: int,
-                   i0: int, m0: jax.Array):
+                   i0: int, m0: jax.Array, anchors=None):
     """Linearised dTEC operator about m0 and its exact transpose.
 
     J δm = dtec'(m0)[δm]; both directions via jax JVP/VJP of the paired
     forward — XLA turns the gather into the scatter-add adjoint
     automatically, which matches the hand adjoint (tested).
     Returns (apply, applyT, g0) with data space flattened to (Na*Nd,).
+
+    ``anchors`` (inversion.anchors.TecAnchors): absolute-TEC rows appended
+    to the data space (Na*Nd + A,) — external VTEC constraints that pin
+    the common-mode component dTEC cannot see.
     """
 
     def fwd(m):
-        return tec_mod.dtec_paired(m, grid, rays, num_directions, i0).ravel()
+        g = tec_mod.dtec_paired(m, grid, rays, num_directions, i0).ravel()
+        if anchors is None:
+            return g
+        return jnp.concatenate([g, tec_mod.tec(m, grid, anchors.rays)])
 
     g0, jvp_lin = jax.linearize(fwd, m0)
     applyT = jax.linear_transpose(jvp_lin, m0)
@@ -109,7 +116,7 @@ def lsqr_smoothness(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
 def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                      m_prior, cov: GPCovariance, num_directions: int,
                      i0: int = 0, gn_iters: int = 3, cg_iters: int = 40,
-                     cg_tol: float = 1e-4, m0=None):
+                     cg_tol: float = 1e-4, m0=None, anchors=None):
     """Config 4: Bayesian MAP with GP covariance prior.
 
     Minimises S(m) = ½‖g(m)−d‖²_{C_d⁻¹} + ½‖m−m_prior‖²_{C_m⁻¹}
@@ -127,15 +134,25 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
     anchored at m_prior either way — used by the nonlinear bent-ray outer
     loop, which re-traces rays through the current iterate and continues
     the solve from it (pipeline.solve_snapshot).
+
+    ``anchors`` (inversion.anchors.TecAnchors): optional absolute-TEC
+    constraints (e.g. a GNSS VTEC map) appended as extra data rows —
+    they observe the common-mode component that dTEC cannot, shrinking
+    the null space that dominates model-space error.
     """
     d = jnp.asarray(d_obs).ravel()
     cd_diag = jnp.broadcast_to(jnp.asarray(noise_std),
                                jnp.asarray(d_obs).shape).ravel() ** 2
+    if anchors is not None:
+        d = jnp.concatenate([d, anchors.values])
+        ca = jnp.broadcast_to(jnp.asarray(anchors.noise_std),
+                              anchors.values.shape).ravel() ** 2
+        cd_diag = jnp.concatenate([cd_diag, ca])
     inv_cd = 1.0 / cd_diag
 
     def gn_step(m_k, _):
         apply_j, apply_jt, g0 = _dtec_operator(grid, rays, num_directions,
-                                               i0, m_k)
+                                               i0, m_k, anchors)
         dm_prior = m_prior - m_k
         r_hat = d - g0 - apply_j(dm_prior)     # residual after prior pull
 

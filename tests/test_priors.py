@@ -129,3 +129,35 @@ def test_fit_shell_spectrum_recovers_sample_covariance():
     mask = s_true > 1e-3 * s_true.max()
     ratio = s_est[mask] / s_true[mask]
     assert 0.5 < np.median(ratio) < 1.5
+
+
+def test_anisotropic_length_scales():
+    """length_scale=(Lx,Ly,Lz): correlation decays per-axis; isotropic
+    scalar input is the (L,L,L) special case; von Kármán honours the
+    stretch too."""
+    import jax
+    g = Grid3D.from_bounds((0, 0, 0), (200, 200, 200), (32, 32, 32))
+    cov = GPCovariance.create(g, sigma=1.0, length_scale=(120.0, 25.0, 25.0),
+                              kind="sqexp")
+    # apply to a centred delta: C e_0 column = kernel around the centre
+    d = jnp.zeros(g.shape).at[16, 16, 16].set(1.0)
+    k = np.array(cov.apply(d))
+    k /= k[16, 16, 16]
+    # +8 voxels = 51.6 km: along x (L=120) corr stays high, along y (L=25) low
+    assert k[24, 16, 16] > 0.85
+    assert k[16, 24, 16] < 0.25
+    # scalar == tuple of equal entries
+    ca = GPCovariance.create(g, sigma=0.7, length_scale=60.0, kind="matern32")
+    cb = GPCovariance.create(g, sigma=0.7, length_scale=(60.0, 60.0, 60.0),
+                             kind="matern32")
+    np.testing.assert_allclose(np.asarray(ca.spectrum),
+                               np.asarray(cb.spectrum), rtol=1e-6)
+    # anisotropic von Kármán: x-correlation (stretched) > y-correlation
+    cv = GPCovariance.create(g, sigma=1.0, length_scale=(150.0, 30.0, 30.0),
+                             kind="von_karman")
+    kv = np.asarray(cv.apply(d))
+    assert kv[24, 16, 16] > 2.0 * kv[16, 24, 16]
+    # samples remain finite with the documented marginal variance
+    s = cv.sample(jax.random.key(0))
+    assert np.isfinite(np.asarray(s)).all()
+    assert abs(float(jnp.std(s)) - 1.0) < 0.35

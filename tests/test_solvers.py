@@ -278,3 +278,88 @@ def test_robust_gn_shrugs_off_unflagged_outliers():
     w = np.minimum(1.0, 3.0 / np.maximum(r_w, 1e-12))
     assert w[4, 2] < 0.2 and w[7, 5] < 0.2, (w[4, 2], w[7, 5])
     assert np.median(w) == 1.0
+
+
+def test_vtec_anchors_recover_common_mode():
+    """A horizontally-uniform profile perturbation is EXACTLY in dTEC's
+    null space (every antenna sees the same TEC per direction), so the
+    unanchored MAP solve must leave it untouched; absolute-TEC anchors
+    (inversion/anchors.py — the GNSS VTEC workflow) observe it directly
+    and the anchored solve recovers it."""
+    from ionotomo_tpu.forward import tec as tec_mod
+    from ionotomo_tpu.inversion import anchors as anch
+
+    w = inversion_world(nx=16, n_ants=8, n_dirs=6)
+    grid, m_prior = w["grid"], w["m_prior"]
+    # common-mode truth: a pure vertical-profile bump, uniform in (x, y)
+    z = np.asarray(grid.axes()[2])
+    bump = 0.4 * np.exp(-0.5 * ((z - 300.0) / 90.0) ** 2)
+    m_true = m_prior + jnp.asarray(
+        np.broadcast_to(bump[None, None, :], grid.shape), jnp.float32)
+    d_obs = tec_mod.dtec_paired(m_true, grid, w["rays"], w["n_dirs"], 0)
+    assert float(jnp.abs(d_obs).max()) < 1e-3 * float(
+        tec_mod.tec(m_true, grid, w["rays"]).mean())  # truly null-space
+
+    cov = GPCovariance.create(grid, sigma=0.3, length_scale=120.0,
+                              kind="sqexp")
+    base = solvers.map_gauss_newton(grid, w["rays"], d_obs, w["noise_std"],
+                                    m_prior, cov, num_directions=w["n_dirs"],
+                                    gn_iters=2, cg_iters=15)
+
+    bundle = anch.vertical_anchor_bundle(grid, nx=3, ny=3, n_samples=33)
+    a = anch.anchors_from_field(m_true, grid, bundle,
+                                noise_std=float(w["noise_std"]), seed=3)
+    with_a = solvers.map_gauss_newton(grid, w["rays"], d_obs,
+                                      w["noise_std"], m_prior, cov,
+                                      num_directions=w["n_dirs"],
+                                      gn_iters=2, cg_iters=15, anchors=a)
+
+    err_prior = float(jnp.sqrt(jnp.mean((m_prior - m_true) ** 2)))
+    err_base = float(jnp.sqrt(jnp.mean((base.m - m_true) ** 2)))
+    err_anch = float(jnp.sqrt(jnp.mean((with_a.m - m_true) ** 2)))
+    # unanchored: blind to the perturbation (stays ~at the prior)
+    assert err_base > 0.9 * err_prior
+    # anchored: recovers a large part of it (the remainder is vertical-
+    # shape ambiguity: anchors observe the integral, not the profile)
+    assert err_anch < 0.7 * err_prior and err_anch < 0.7 * err_base
+    # and the anchored model reproduces the observed absolute TEC
+    v_pred = tec_mod.tec(with_a.m, grid, bundle)
+    v_true = tec_mod.tec(m_true, grid, bundle)
+    rel = float(jnp.max(jnp.abs(v_pred - v_true) / v_true))
+    assert rel < 0.05
+
+
+def test_assimilate_anchors_sequential_background():
+    """Sequential assimilation: the anchors-only MAP update corrects a
+    wrong prior profile (N_peak off by 1.6x), and the subsequent dTEC
+    solve preserves the correction (dTEC observes nothing along it)."""
+    from ionotomo_tpu.forward import tec as tec_mod
+    from ionotomo_tpu.inversion import anchors as anch
+
+    w = inversion_world(nx=16, n_ants=8, n_dirs=6)
+    grid, m_prior = w["grid"], w["m_prior"]
+    m_true = chapman.log_parametrize(
+        chapman.chapman_field(grid, n_peak=1.6e12))
+    d_obs = tec_mod.dtec_paired(m_true, grid, w["rays"], w["n_dirs"], 0)
+
+    bundle = anch.vertical_anchor_bundle(grid, nx=3, ny=3, n_samples=33)
+    v_true = tec_mod.tec(m_true, grid, bundle)
+    a = anch.TecAnchors(rays=bundle, values=v_true,
+                        noise_std=jnp.float32(0.005 * float(v_true.mean())))
+    cov = GPCovariance.create(grid, sigma=0.4, length_scale=150.0,
+                              kind="sqexp")
+    m_bg = anch.assimilate_anchors(grid, m_prior, cov, a, gn_iters=2,
+                                   cg_iters=25)
+    mis0 = float(jnp.sqrt(jnp.mean(
+        (tec_mod.tec(m_prior, grid, bundle) - v_true) ** 2)))
+    mis1 = float(jnp.sqrt(jnp.mean(
+        (tec_mod.tec(m_bg, grid, bundle) - v_true) ** 2)))
+    assert mis1 < 0.05 * mis0     # anchors fit
+
+    # dTEC solve from the corrected background keeps the correction
+    res = solvers.map_gauss_newton(grid, w["rays"], d_obs, w["noise_std"],
+                                   m_bg, cov, num_directions=w["n_dirs"],
+                                   gn_iters=2, cg_iters=15)
+    mis2 = float(jnp.sqrt(jnp.mean(
+        (tec_mod.tec(res.m, grid, bundle) - v_true) ** 2)))
+    assert mis2 < 0.15 * mis0
