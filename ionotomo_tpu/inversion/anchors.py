@@ -63,6 +63,44 @@ def columns_bundle(grid: Grid3D, points_xy, n_samples: int = 65
                      ds=jnp.asarray(ds))
 
 
+def slant_bundle(grid: Grid3D, points_xy, az_rad, el_rad,
+                 n_samples: int = 65) -> RayBundle:
+    """Slant anchor rays — the actual geometry of GNSS observations:
+    receiver at ENU ``points_xy`` (A, 2) on the grid floor, looking along
+    (azimuth from North through East, elevation) [rad; broadcast to A],
+    sampled until the path exits the grid top. Pass the raw slant TEC as
+    the anchor value (no thin-shell mapping needed — the 3D operator IS
+    the mapping function)."""
+    xy = np.atleast_2d(np.asarray(points_xy, np.float64))
+    a = xy.shape[0]
+    az = np.broadcast_to(np.asarray(az_rad, np.float64), (a,))
+    el = np.broadcast_to(np.asarray(el_rad, np.float64), (a,))
+    d = np.stack([np.cos(el) * np.sin(az), np.cos(el) * np.cos(az),
+                  np.sin(el)], axis=-1)
+    origin = np.asarray(grid.origin, np.float64)
+    span_z = float(grid.spacing[2]) * (grid.shape[2] - 1)
+    length = span_z / np.maximum(np.sin(el), 0.2)   # exit at grid top
+    o3 = np.concatenate([xy, np.full((a, 1), origin[2])], axis=-1)
+    s = np.linspace(0.0, 1.0, n_samples)
+    pts = o3[:, None, :] + (length[:, None, None] * s[None, :, None]
+                            * d[:, None, :])
+    ds = (length / (n_samples - 1)).astype(np.float32)
+    return RayBundle(points=jnp.asarray(pts, jnp.float32),
+                     ds=jnp.asarray(ds))
+
+
+def thin_shell_mapping(el_rad, h_shell_km: float = 350.0,
+                       earth_radius_km: float = 6371.0):
+    """Standard single-layer mapping function M(el) = STEC/VTEC for a thin
+    shell at ``h_shell_km``: 1/cos(z') with sin z' = R cos(el)/(R+h).
+    Utility for converting published GNSS VTEC products to slant anchor
+    values (or vice versa); the full 3D operator in ``slant_bundle`` is
+    the exact alternative."""
+    el = np.asarray(el_rad, np.float64)
+    sz = earth_radius_km * np.cos(el) / (earth_radius_km + h_shell_km)
+    return 1.0 / np.sqrt(1.0 - sz * sz)
+
+
 def vertical_anchor_bundle(grid: Grid3D, nx: int = 4, ny: int = 4,
                            n_samples: int = 65,
                            margin_frac: float = 0.12) -> RayBundle:

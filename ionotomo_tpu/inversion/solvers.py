@@ -58,7 +58,18 @@ def _dtec_operator(grid: Grid3D, rays: RayBundle, num_directions: int,
         g = tec_mod.dtec_paired(m, grid, rays, num_directions, i0).ravel()
         if anchors is None:
             return g
-        return jnp.concatenate([g, tec_mod.tec(m, grid, anchors.rays)])
+        a = tec_mod.tec(m, grid, anchors.rays)
+        try:
+            spec = jax.typeof(g).sharding.spec
+            if any(s is not None for s in spec):
+                # rays-sharded dTEC + replicated anchor rows: gather the
+                # (small) dTEC vector so the stacked data space is
+                # replicated — concatenate cannot mix shardings
+                g = jax.sharding.reshard(
+                    g, jax.typeof(a).sharding)
+        except Exception:
+            pass
+        return jnp.concatenate([g, a])
 
     g0, jvp_lin = jax.linearize(fwd, m0)
     applyT = jax.linear_transpose(jvp_lin, m0)

@@ -204,3 +204,75 @@ def test_pipeline_kalman_shards_rays_with_padding():
         sol_un = pipe_un.run(resume=False)
         delta = np.abs(sol_un.m - np.asarray(pipe_un.m_prior)).max()
         assert np.abs(sol_sh.m - sol_un.m).max() < 0.05 * delta
+
+
+def test_anchored_solve_with_sharded_rays_matches_unsharded():
+    """Joint anchor rows (replicated) + dTEC rays (sharded) in one MAP
+    solve: the mixed-sharding program must run and match the unsharded
+    result; slant anchors cover the non-vertical GNSS geometry."""
+    from ionotomo_tpu.inversion import solvers, anchors as anch
+    from ionotomo_tpu.inversion.priors import GPCovariance
+
+    grid, m, o, d = world(nx=12, n_rays=0)
+    n_ants, n_dirs = 8, 4
+    rng = np.random.default_rng(3)
+    ants = np.concatenate([rng.uniform(-40, 40, (n_ants, 2)),
+                           np.zeros((n_ants, 1))], -1).astype(np.float32)
+    zen = rng.uniform(0.05, 0.4, n_dirs)
+    az = rng.uniform(0, 2 * np.pi, n_dirs)
+    dirs = np.stack([np.sin(zen) * np.sin(az), np.sin(zen) * np.cos(az),
+                     np.cos(zen)], -1).astype(np.float32)
+    origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
+    rb = rays_mod.sample_straight_rays(origins, dvecs, max_length_km=800.0,
+                                       n_samples=17)
+    m_true = m + 0.2
+    d_obs = tec_mod.dtec_paired(m_true, grid, rb, n_dirs, 0)
+    cov = GPCovariance.create(grid, sigma=0.3, length_scale=120.0,
+                              kind="sqexp")
+    bundle = anch.slant_bundle(
+        grid, rng.uniform(-40, 40, (6, 2)),
+        az_rad=rng.uniform(0, 2 * np.pi, 6),
+        el_rad=rng.uniform(0.8, 1.5, 6), n_samples=17)
+    a = anch.TecAnchors(rays=bundle,
+                        values=tec_mod.tec(m_true, grid, bundle),
+                        noise_std=jnp.float32(1.0))
+
+    ref = solvers.map_gauss_newton(grid, rb, d_obs, 1.0, m, cov,
+                                   num_directions=n_dirs, gn_iters=1,
+                                   cg_iters=10, anchors=a)
+
+    mesh = shard_mod.ray_mesh()
+    sh = shard_mod.ray_sharding(mesh)
+    rb_s = rays_mod.RayBundle(points=jax.device_put(rb.points, sh),
+                              ds=jax.device_put(rb.ds, sh))
+    (m_r,) = shard_mod.replicate(mesh, m)
+    got = solvers.map_gauss_newton(grid, rb_s, d_obs, 1.0, m_r, cov,
+                                   num_directions=n_dirs, gn_iters=1,
+                                   cg_iters=10, anchors=a)
+    # f32 psum/all-gather reduction order differs from the single-device
+    # sum; 10 CG iterations amplify it to ~1e-3 on O(10) field values
+    np.testing.assert_allclose(np.asarray(got.m), np.asarray(ref.m),
+                               atol=3e-3)
+
+
+def test_slant_bundle_geometry_and_mapping():
+    """Slant rays exit at the grid top; the 3D slant/vertical TEC ratio of
+    a horizontally-uniform field matches the thin-shell mapping function
+    to a few percent (flat-grid geometry ~ secant law)."""
+    from ionotomo_tpu.inversion import anchors as anch
+
+    grid, m, _, _ = world(nx=16, n_rays=0)
+    el = np.deg2rad(55.0)
+    sb = anch.slant_bundle(grid, [[0.0, 0.0]], az_rad=0.7, el_rad=el,
+                           n_samples=33)
+    top = float(np.asarray(sb.points)[0, -1, 2])
+    z_top = float(grid.origin[2] + grid.spacing[2] * (grid.shape[2] - 1))
+    assert abs(top - z_top) < 1e-3
+    vb = anch.columns_bundle(grid, [[0.0, 0.0]], n_samples=33)
+    stec = float(tec_mod.tec(m, grid, sb)[0])
+    vtec = float(tec_mod.tec(m, grid, vb)[0])
+    # flat-slab secant: STEC/VTEC = 1/sin(el); thin-shell mapping at the
+    # same el is within ~10% of that for el≥45°
+    assert abs(stec / vtec - 1.0 / np.sin(el)) < 0.03 / np.sin(el)
+    msf = anch.thin_shell_mapping(el)
+    assert 0.85 < (stec / vtec) / msf < 1.25
