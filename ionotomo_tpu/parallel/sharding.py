@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 RAY_AXIS = "rays"
+SLICE_AXIS = "slice"
 
 
 def ray_mesh(devices=None) -> Mesh:
@@ -26,8 +27,31 @@ def ray_mesh(devices=None) -> Mesh:
     return jax.make_mesh((len(devices),), (RAY_AXIS,), devices=devices)
 
 
+def multislice_ray_mesh(n_slices: int, chips_per_slice: int = None,
+                        devices=None) -> Mesh:
+    """2-level ('slice', 'rays') mesh for multi-slice deployments: chips
+    within a slice talk over ICI, slices over DCN. Rays shard over the
+    flattened slice×chip product (``ray_sharding`` handles both mesh
+    kinds), so the device order must put each slice's chips contiguously
+    — jax's default device order does on real multi-slice topologies.
+    The only DCN traffic in a solve is the grid-sized psum of adjoint
+    contributions and the scalar CG reductions, once per CG iteration
+    (64 MiB per 256³ f32 grid); XLA's hierarchical collectives reduce
+    within slices over ICI first.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if chips_per_slice is None:
+        chips_per_slice = len(devices) // n_slices
+    n = n_slices * chips_per_slice
+    return jax.make_mesh((n_slices, chips_per_slice),
+                         (SLICE_AXIS, RAY_AXIS), devices=devices[:n])
+
+
 def ray_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (ray) axis."""
+    """Shard the leading (ray) axis — over the slice×chip product when the
+    mesh is 2-level (multislice_ray_mesh)."""
+    if SLICE_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P((SLICE_AXIS, RAY_AXIS)))
     return NamedSharding(mesh, P(RAY_AXIS))
 
 

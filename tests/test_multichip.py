@@ -276,3 +276,44 @@ def test_slant_bundle_geometry_and_mapping():
     assert abs(stec / vtec - 1.0 / np.sin(el)) < 0.03 / np.sin(el)
     msf = anch.thin_shell_mapping(el)
     assert 0.85 < (stec / vtec) / msf < 1.25
+
+
+def test_multislice_mesh_solve_matches_unsharded():
+    """2-level slice×chip mesh (the DCN scale-out story): a MAP solve
+    with rays sharded over the flattened product matches the unsharded
+    solve; shard_ray_batch and replicate work unchanged on the 2-D mesh."""
+    from ionotomo_tpu.inversion import solvers
+    from ionotomo_tpu.inversion.priors import GPCovariance
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    grid, m, _, _ = world(nx=12, n_rays=0)
+    n_ants, n_dirs = 8, 4
+    rng = np.random.default_rng(5)
+    ants = np.concatenate([rng.uniform(-40, 40, (n_ants, 2)),
+                           np.zeros((n_ants, 1))], -1).astype(np.float32)
+    zen = rng.uniform(0.05, 0.4, n_dirs)
+    az = rng.uniform(0, 2 * np.pi, n_dirs)
+    dirs = np.stack([np.sin(zen) * np.sin(az), np.sin(zen) * np.cos(az),
+                     np.cos(zen)], -1).astype(np.float32)
+    origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
+    rb = rays_mod.sample_straight_rays(origins, dvecs, max_length_km=800.0,
+                                       n_samples=17)
+    d_obs = tec_mod.dtec_paired(m + 0.15, grid, rb, n_dirs, 0)
+    cov = GPCovariance.create(grid, sigma=0.3, length_scale=120.0,
+                              kind="sqexp")
+    ref = solvers.map_gauss_newton(grid, rb, d_obs, 1.0, m, cov,
+                                   num_directions=n_dirs, gn_iters=1,
+                                   cg_iters=8)
+
+    mesh = shard_mod.multislice_ray_mesh(2, len(jax.devices()) // 2)
+    assert mesh.devices.size == 2 * (len(jax.devices()) // 2)
+    sh = shard_mod.ray_sharding(mesh)
+    rb_s = rays_mod.RayBundle(points=jax.device_put(rb.points, sh),
+                              ds=jax.device_put(rb.ds, sh))
+    (m_r,) = shard_mod.replicate(mesh, m)
+    got = solvers.map_gauss_newton(grid, rb_s, d_obs, 1.0, m_r, cov,
+                                   num_directions=n_dirs, gn_iters=1,
+                                   cg_iters=8)
+    np.testing.assert_allclose(np.asarray(got.m), np.asarray(ref.m),
+                               atol=3e-3)
