@@ -51,12 +51,15 @@ class KalmanResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "cg_iters",
-                                   "advect_first"))
+                                   "advect_first", "anchor_cg_iters"))
 def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
                   m0, cov: GPCovariance, wind_kmps, dt_s,
                   num_directions: int, i0: int = 0, cg_iters: int = 30,
                   cg_tol: float = 1e-4, fade: float = 1.0,
-                  advect_first: bool = False, m_clim=None):
+                  advect_first: bool = False, m_clim=None,
+                  anchors=None, anchor_values_seq=None,
+                  anchor_cov: GPCovariance = None,
+                  anchor_cg_iters: int = 8):
     """Run the filter over Nt timesteps.
 
     rays_seq: RayBundle with leading time axis — points (Nt, R, N, 3),
@@ -70,6 +73,17 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
     ``m_clim``: the climatological field the fade pull targets (defaults to
     m0 — but a chunked continuation must pass the original prior, since its
     m0 is the carried filter state).
+
+    ``anchors`` (inversion.anchors.TecAnchors): per-epoch absolute-TEC
+    constraints (e.g. GNSS VTEC maps at the observation cadence). Each
+    step's *prediction* is first MAP-updated against the epoch's anchor
+    values through ``anchor_cov`` (the long-horizontal background-error
+    covariance — pipeline.anchor_background_cov; required with anchors),
+    then the dTEC update runs as usual — the per-step form of the
+    sequential assimilation of DESIGN.md §8, pinning the absolute level
+    the dTEC rows cannot see as it drifts over the sequence.
+    ``anchor_values_seq`` (Nt, A) overrides ``anchors.values`` with
+    per-epoch values (default: the same values every epoch).
     """
     m_clim = m0 if m_clim is None else m_clim
     d_seq = jnp.asarray(d_obs_seq)
@@ -107,19 +121,53 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
                                / jnp.sqrt(cd_diag))
         return m_new, pre, post
 
+    if anchors is not None:
+        assert anchor_cov is not None, (
+            "kalman_filter(anchors=...) needs anchor_cov (the background-"
+            "error covariance, e.g. pipeline.anchor_background_cov())")
+        a_vals_seq = (jnp.broadcast_to(anchors.values,
+                                       (nt,) + anchors.values.shape[-1:])
+                      if anchor_values_seq is None
+                      else jnp.asarray(anchor_values_seq))
+        a_inv_cd = 1.0 / jnp.broadcast_to(
+            jnp.asarray(anchors.noise_std),
+            anchors.values.shape[-1:]).ravel() ** 2
+
+        def anchor_update(m_pred, a_vals):
+            def afwd(m):
+                return tec_mod.tec(m, grid, anchors.rays)
+            g0, jvp = jax.linearize(afwd, m_pred)
+            vjp = jax.linear_transpose(jvp, m_pred)
+            r = a_vals - g0
+
+            def amv(u):
+                v = anchor_cov.apply_sqrt(u.reshape(grid.shape))
+                (z,) = vjp(jvp(v) * a_inv_cd)
+                return u + anchor_cov.apply_sqrt(z).ravel()
+
+            rhs = anchor_cov.apply_sqrt(vjp(r * a_inv_cd)[0]).ravel()
+            u, _ = linalg.cg(amv, rhs, max_iters=anchor_cg_iters,
+                             tol=cg_tol)
+            return m_pred + anchor_cov.apply_sqrt(u.reshape(grid.shape))
+    else:
+        a_vals_seq = jnp.zeros((nt, 1), jnp.float32)
+
     def step(m_t, inputs):
-        rays_pts, rays_ds, d_t, cd_t, is_first = inputs
+        rays_pts, rays_ds, d_t, cd_t, a_t, is_first = inputs
         rays_t = RayBundle(points=rays_pts, ds=rays_ds)
         # predict: advect except at t=0 (state already at t=0)
         m_adv = advect_periodic(m_t, grid, shift)
         m_pred = jnp.where(is_first, m_t,
                            fade * m_adv + (1 - fade) * m_clim)
+        if anchors is not None:
+            m_pred = anchor_update(m_pred, a_t)
         m_new, pre, post = update(m_pred, rays_t, d_t, cd_t)
         return m_new, (m_new, pre, post)
 
     is_first = jnp.zeros((nt,), bool).at[0].set(not advect_first)
     _, (m_seq, pre, post) = jax.lax.scan(
-        step, m0, (rays_seq.points, rays_seq.ds, d_seq, cd_seq, is_first))
+        step, m0, (rays_seq.points, rays_seq.ds, d_seq, cd_seq,
+                   a_vals_seq, is_first))
     return KalmanResult(m_seq=m_seq, residuals=pre, post_residuals=post)
 
 

@@ -34,7 +34,8 @@ class OnlineKalman:
     def __init__(self, grid: Grid3D, cov: GPCovariance, m0, wind_kmps,
                  dt_s: float, num_directions: int, i0: int = 0,
                  cg_iters: int = 30, cg_tol: float = 1e-4,
-                 fade: float = 1.0):
+                 fade: float = 1.0, anchors=None,
+                 anchor_cov: GPCovariance = None):
         self.grid = grid
         self.cov = cov
         self.m_clim = jnp.asarray(m0)
@@ -46,10 +47,19 @@ class OnlineKalman:
         self.cg_iters = int(cg_iters)
         self.cg_tol = float(cg_tol)
         self.fade = float(fade)
+        # per-epoch absolute-TEC anchoring (kalman_filter docstring); pass
+        # fresh values per epoch via step(anchor_values=...)
+        self.anchors = anchors
+        self.anchor_cov = anchor_cov
         self.t = 0
 
-    def step(self, rays_t: RayBundle, d_t, noise_t):
-        """Assimilate one epoch; returns (m_t, diag dict)."""
+    def step(self, rays_t: RayBundle, d_t, noise_t, anchor_values=None):
+        """Assimilate one epoch; returns (m_t, diag dict).
+
+        ``anchor_values``: this epoch's absolute-TEC values for the
+        configured anchors (defaults to ``anchors.values``)."""
+        a_seq = (anchor_values[None]
+                 if anchor_values is not None else None)
         res = kalman_filter(
             self.grid,
             RayBundle(points=rays_t.points[None], ds=rays_t.ds[None]),
@@ -57,7 +67,9 @@ class OnlineKalman:
             self.m, self.cov, self.wind, self.dt_s,
             num_directions=self.nd, i0=self.i0, cg_iters=self.cg_iters,
             cg_tol=self.cg_tol, fade=self.fade,
-            advect_first=(self.t > 0), m_clim=self.m_clim)
+            advect_first=(self.t > 0), m_clim=self.m_clim,
+            anchors=self.anchors, anchor_values_seq=a_seq,
+            anchor_cov=self.anchor_cov)
         self.m = res.m_seq[0]
         self.t += 1
         diag = dict(t=self.t - 1,

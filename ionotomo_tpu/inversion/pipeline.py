@@ -90,6 +90,7 @@ class InversionPipeline:
                                        length_scale=pr.length_scale_km,
                                        kind=pr.kind)
         self.anchors = None            # TecAnchors via run(anchors=...)
+        self.anchor_cov = None         # background-error covariance
         self.mesh = (shard_mod.ray_mesh()
                      if len(jax.devices()) > 1 else None)
         self._na_padded = None        # lazy; see _padded_na
@@ -357,10 +358,14 @@ class InversionPipeline:
             from . import anchors as anchors_mod
             self.metrics.write(dict(event="tec_anchors", mode=anchor_mode,
                                     n=int(anchors.values.shape[0])))
+            self.anchor_cov = anchor_cov or self.anchor_background_cov()
             if anchor_mode == "sequential":
-                cov_bg = anchor_cov or self.anchor_background_cov()
                 self.m_prior = anchors_mod.assimilate_anchors(
-                    self.grid, self.m_prior, cov_bg, anchors)
+                    self.grid, self.m_prior, self.anchor_cov, anchors)
+                if self.config.solver.solver == "kalman":
+                    # time-evolving runs re-anchor every epoch (the state
+                    # drifts; kalman_filter's per-step anchor sub-update)
+                    self.anchors = anchors
             else:
                 self.anchors = anchors
         rt = self.config.runtime
@@ -568,7 +573,10 @@ class InversionPipeline:
                 m_cur, self.cov, wind, dt_s,
                 num_directions=nd, i0=self.i0, cg_iters=sc.cg_iters,
                 cg_tol=sc.cg_tol, fade=sc.kalman_fade,
-                advect_first=(c0 > 0), m_clim=self.m_prior)
+                advect_first=(c0 > 0), m_clim=self.m_prior,
+                anchors=self.anchors,
+                anchor_cov=(self.anchor_cov if self.anchors is not None
+                            else None))
             jax.block_until_ready(res.m_seq)
             m_list.extend(np.asarray(res.m_seq))
             pre.extend(np.asarray(res.residuals))

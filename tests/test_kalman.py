@@ -230,3 +230,57 @@ def test_enkf_adaptive_spectral_gain():
     np.testing.assert_allclose(
         np.asarray(r2.mean_seq),
         np.asarray(res_ad.mean_seq[2:]), atol=1e-6)
+
+
+def test_kalman_per_epoch_anchors_track_drifting_common_mode():
+    """A horizontally-uniform profile component drifting over the sequence
+    is invisible to dTEC (the filter cannot track it) but per-epoch
+    absolute-TEC anchors pin it (kalman_filter anchor sub-update)."""
+    from ionotomo_tpu.inversion import anchors as anch
+
+    w = moving_world(nt=4)
+    grid, m_bg, nd = w["grid"], w["m_bg"], w["n_dirs"]
+    nt = 4
+    z = np.asarray(grid.axes()[2])
+    prof = jnp.asarray(np.broadcast_to(
+        np.exp(-0.5 * ((z - 320.0) / 100.0) ** 2)[None, None, :],
+        grid.shape), jnp.float32)
+
+    # truth: growing common-mode bump ONLY (dTEC stays ~0)
+    betas = 0.15 * np.arange(1, nt + 1)
+    rb1 = rays_mod.RayBundle(points=w["rays_seq"].points[0],
+                             ds=w["rays_seq"].ds[0])
+    d_seq = jnp.stack([tec_mod.dtec_paired(m_bg + b * prof, grid, rb1,
+                                           nd, 0) for b in betas])
+    assert float(jnp.abs(d_seq).max()) < 1e-2 * float(
+        tec_mod.tec(m_bg, grid, rb1).mean())
+
+    bundle = anch.vertical_anchor_bundle(grid, nx=3, ny=3, n_samples=33)
+    a_vals = jnp.stack([tec_mod.tec(m_bg + b * prof, grid, bundle)
+                        for b in betas])                     # (Nt, A)
+    anchors = anch.TecAnchors(
+        rays=bundle, values=a_vals[0],
+        noise_std=jnp.float32(0.002 * float(a_vals.mean())))
+    cov = GPCovariance.create(grid, sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+    sp = np.asarray(grid.spacing); span = sp * (np.asarray(grid.shape) - 1)
+    cov_bg = GPCovariance.create(
+        grid, sigma=0.6,
+        length_scale=(0.5 * span[0], 0.5 * span[1], 150.0), kind="sqexp")
+
+    base = kalman_filter(grid, w["rays_seq"], d_seq, w["noise"], m_bg,
+                         cov, w["wind"], w["dt_s"], num_directions=nd,
+                         cg_iters=15)
+    got = kalman_filter(grid, w["rays_seq"], d_seq, w["noise"], m_bg,
+                        cov, w["wind"], w["dt_s"], num_directions=nd,
+                        cg_iters=15, anchors=anchors,
+                        anchor_values_seq=a_vals, anchor_cov=cov_bg,
+                        anchor_cg_iters=10)
+
+    # final-epoch anchor-column TEC: anchored tracks, unanchored doesn't
+    v_true = tec_mod.tec(m_bg + betas[-1] * prof, grid, bundle)
+    e_base = float(jnp.sqrt(jnp.mean(
+        (tec_mod.tec(base.m_seq[-1], grid, bundle) - v_true) ** 2)))
+    e_anch = float(jnp.sqrt(jnp.mean(
+        (tec_mod.tec(got.m_seq[-1], grid, bundle) - v_true) ** 2)))
+    assert e_anch < 0.25 * e_base
