@@ -108,7 +108,7 @@ def load_h5parm(path, solset="sol000", soltab=None, ref_antenna=0,
     array = RadioArray(itrs_km[idx], st_ants, name=_decode(solset))
     directions = np.stack([src_radec[d] for d in st_dirs])  # (Nd, 2)
 
-    flags = ~(weight > 0)
+    flags = ~(weight > 0) | ~np.isfinite(val)
     val = np.where(np.isfinite(val), val, 0.0)
 
     if kind.startswith("tec"):
@@ -117,6 +117,9 @@ def load_h5parm(path, solset="sol000", soltab=None, ref_antenna=0,
         dtec = val * (constants.TECU / constants.TEC_SCALE)
         frequency_hz = constants.DEFAULT_FREQUENCY_HZ
         dtec = dtec - dtec[ref_antenna:ref_antenna + 1]
+        # a corrupted reference sample mis-references EVERY antenna for
+        # that (time, dir) — propagate its flag to all rows
+        flags = flags | flags[ref_antenna:ref_antenna + 1]
         noise = ((noise_tecu if noise_tecu is not None else 1e-3)
                  * constants.TECU / constants.TEC_SCALE)
         dp = DataPack(array, directions, times_mjd, dtec=dtec,
@@ -127,10 +130,13 @@ def load_h5parm(path, solset="sol000", soltab=None, ref_antenna=0,
         if freqs is None:
             raise ValueError("phase soltab needs a freq axis")
         phase = val - val[:, ref_antenna:ref_antenna + 1]
+        flags = flags | flags[:, ref_antenna:ref_antenna + 1]
         noise_rad = None
         if noise_tecu is not None:
+            # phase = PHASE_COEF * TEC[m^-2] / f: the per-channel phase
+            # noise equivalent of noise_tecu at the most dispersive channel
             noise_rad = (noise_tecu * constants.TECU * constants.PHASE_COEF
-                         / float(freqs.min()) / constants.TEC_SCALE)
+                         / float(freqs.min()))
         if freqs.size == 1:
             noise = (None if noise_tecu is None else
                      noise_tecu * constants.TECU / constants.TEC_SCALE)

@@ -75,11 +75,8 @@ def generate_example_datapack(n_antennas=62, n_directions=10, n_times=1,
     r_earth = None
     if curved_earth:
         r_earth = frames.gaussian_earth_radius(array.enu_frame.lat)
-        ax = np.asarray(grid.axes()[0], np.float64)
-        ay = np.asarray(grid.axes()[1], np.float64)
-        cos_chi = jnp.asarray(frames.solar_cos_zenith_field(
-            times.mean(), array.enu_frame,
-            ax[:, None], ay[None, :])[..., None], jnp.float32)
+        cos_chi = chapman.terminator_cos_chi(grid, array.enu_frame,
+                                             times.mean())
     else:
         cos_chi = float(frames.solar_cos_zenith(times.mean(),
                                                 array.enu_frame))

@@ -70,16 +70,29 @@ def slant_bundle(grid: Grid3D, points_xy, az_rad, el_rad,
     (azimuth from North through East, elevation) [rad; broadcast to A],
     sampled until the path exits the grid top. Pass the raw slant TEC as
     the anchor value (no thin-shell mapping needed — the 3D operator IS
-    the mapping function)."""
+    the mapping function).
+
+    Elevations below ~10° are rejected: the ray would run hundreds of km
+    horizontally, far past the grid's edge, where the tricubic edge clamp
+    would silently extrapolate boundary values into the integral — apply
+    the usual GNSS elevation cutoff (or enlarge the grid) instead. Rays
+    at accepted elevations may still exit the grid sides near the top;
+    keep receiver points away from the horizontal boundary.
+    """
     xy = np.atleast_2d(np.asarray(points_xy, np.float64))
     a = xy.shape[0]
     az = np.broadcast_to(np.asarray(az_rad, np.float64), (a,))
     el = np.broadcast_to(np.asarray(el_rad, np.float64), (a,))
+    if np.any(el < np.deg2rad(10.0)):
+        raise ValueError(
+            "slant_bundle: elevation below 10 deg (min given: "
+            f"{np.degrees(el.min()):.1f}); such rays leave the grid "
+            "horizontally and the edge-clamped integral would be biased")
     d = np.stack([np.cos(el) * np.sin(az), np.cos(el) * np.cos(az),
                   np.sin(el)], axis=-1)
     origin = np.asarray(grid.origin, np.float64)
     span_z = float(grid.spacing[2]) * (grid.shape[2] - 1)
-    length = span_z / np.maximum(np.sin(el), 0.2)   # exit at grid top
+    length = span_z / np.sin(el)                    # exit at grid top
     o3 = np.concatenate([xy, np.full((a, 1), origin[2])], axis=-1)
     s = np.linspace(0.0, 1.0, n_samples)
     pts = o3[:, None, :] + (length[:, None, None] * s[None, :, None]
@@ -118,6 +131,37 @@ def vertical_anchor_bundle(grid: Grid3D, nx: int = 4, ny: int = 4,
     return columns_bundle(grid, xy, n_samples)
 
 
+def anchor_map_step(grid: Grid3D, m_k: jax.Array, cov,
+                    rays: RayBundle, values, inv_cd,
+                    cg_iters: int, cg_tol: float = 1e-5, m_pull=None):
+    """One Gauss-Newton step of the anchors-only MAP update about ``m_k``
+    (C^{1/2}-preconditioned CG, as in solvers.map_gauss_newton), with the
+    prior pull anchored at ``m_pull`` (None = pull at ``m_k`` itself — the
+    pure regularised update used per filter step). Shared core of
+    ``assimilate_anchors`` and ``kalman_filter``'s anchor sub-update."""
+    from ..core import linalg
+
+    def fwd(m):
+        return tec_mod.tec(m, grid, rays)
+
+    g0, jvp = jax.linearize(fwd, m_k)
+    vjp = jax.linear_transpose(jvp, m_k)
+
+    def matvec(u):
+        v = cov.apply_sqrt(u.reshape(grid.shape))
+        (z,) = vjp(jvp(v) * inv_cd)
+        return u + cov.apply_sqrt(z).ravel()
+
+    dm_prior = 0.0 if m_pull is None else (m_pull - m_k)
+    r_lin = values - g0
+    if m_pull is not None:
+        r_lin = r_lin - jvp(dm_prior)
+    (z1,) = vjp(r_lin * inv_cd)
+    rhs = cov.apply_sqrt(z1).ravel()
+    u, _ = linalg.cg(matvec, rhs, max_iters=cg_iters, tol=cg_tol)
+    return m_k + dm_prior + cov.apply_sqrt(u.reshape(grid.shape))
+
+
 def assimilate_anchors(grid: Grid3D, m_prior: jax.Array, cov,
                        anchors: "TecAnchors", gn_iters: int = 2,
                        cg_iters: int = 30, cg_tol: float = 1e-5):
@@ -137,31 +181,15 @@ def assimilate_anchors(grid: Grid3D, m_prior: jax.Array, cov,
     Same C^{1/2}-preconditioned Gauss-Newton/CG machinery as
     ``solvers.map_gauss_newton``; cheap (seconds at 128³).
     """
-    from ..core import linalg
-
     values = anchors.values
     inv_cd = 1.0 / jnp.broadcast_to(
         jnp.asarray(anchors.noise_std), values.shape).ravel() ** 2
 
     def gn_step(m_k, _):
-        def fwd(m):
-            return tec_mod.tec(m, grid, anchors.rays)
-        g0, jvp = jax.linearize(fwd, m_k)
-        vjp = jax.linear_transpose(jvp, m_k)
-        r_hat = values - g0
-
-        def matvec(u):
-            v = cov.apply_sqrt(u.reshape(grid.shape))
-            (z,) = vjp(jvp(v) * inv_cd)
-            return u + cov.apply_sqrt(z).ravel()
-
         # prior pull stays anchored at m_prior (as in map_gauss_newton)
-        dm_prior = m_prior - m_k
-        r_lin = r_hat - jvp(dm_prior)
-        (z1,) = vjp(r_lin * inv_cd)
-        rhs = cov.apply_sqrt(z1).ravel()
-        u, _ = linalg.cg(matvec, rhs, max_iters=cg_iters, tol=cg_tol)
-        return m_k + dm_prior + cov.apply_sqrt(u.reshape(grid.shape)), None
+        return anchor_map_step(grid, m_k, cov, anchors.rays, values,
+                               inv_cd, cg_iters, cg_tol,
+                               m_pull=m_prior), None
 
     m, _ = jax.lax.scan(gn_step, m_prior, None, length=gn_iters)
     return m

@@ -122,6 +122,7 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
         return m_new, pre, post
 
     if anchors is not None:
+        from .anchors import anchor_map_step
         assert anchor_cov is not None, (
             "kalman_filter(anchors=...) needs anchor_cov (the background-"
             "error covariance, e.g. pipeline.anchor_background_cov())")
@@ -134,21 +135,10 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
             anchors.values.shape[-1:]).ravel() ** 2
 
         def anchor_update(m_pred, a_vals):
-            def afwd(m):
-                return tec_mod.tec(m, grid, anchors.rays)
-            g0, jvp = jax.linearize(afwd, m_pred)
-            vjp = jax.linear_transpose(jvp, m_pred)
-            r = a_vals - g0
-
-            def amv(u):
-                v = anchor_cov.apply_sqrt(u.reshape(grid.shape))
-                (z,) = vjp(jvp(v) * a_inv_cd)
-                return u + anchor_cov.apply_sqrt(z).ravel()
-
-            rhs = anchor_cov.apply_sqrt(vjp(r * a_inv_cd)[0]).ravel()
-            u, _ = linalg.cg(amv, rhs, max_iters=anchor_cg_iters,
-                             tol=cg_tol)
-            return m_pred + anchor_cov.apply_sqrt(u.reshape(grid.shape))
+            # pure regularised update about the prediction (m_pull=None)
+            return anchor_map_step(grid, m_pred, anchor_cov, anchors.rays,
+                                   a_vals, a_inv_cd, anchor_cg_iters,
+                                   cg_tol)
     else:
         a_vals_seq = jnp.zeros((nt, 1), jnp.float32)
 
@@ -181,7 +171,8 @@ class EnsembleKalmanResult(NamedTuple):
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "cg_iters",
                                    "n_members", "advect_first",
-                                   "spectrum_blend", "spectrum_bins"))
+                                   "spectrum_blend", "spectrum_bins",
+                                   "anchor_cg_iters"))
 def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                            noise_std, m0, cov: GPCovariance, wind_kmps,
                            dt_s, num_directions: int, key,
@@ -192,7 +183,10 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                            inflation: float = 1.0, ens0=None,
                            step_offset: int = 0,
                            spectrum_blend: float = 0.0,
-                           spectrum_bins: int = 48):
+                           spectrum_bins: int = 48,
+                           anchors=None, anchor_values_seq=None,
+                           anchor_cov: GPCovariance = None,
+                           anchor_cg_iters: int = 8):
     """Ensemble variant: time-propagated posterior uncertainty.
 
     Goes beyond the reference's point-estimate filter: an ensemble of
@@ -234,6 +228,12 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     low variance (thousands of modes per |k| shell). 0 (default) keeps
     the static-gain behaviour; chunked continuation stays bit-identical
     since the fit depends only on the carried ensemble.
+
+    ``anchors``/``anchor_values_seq``/``anchor_cov``: per-epoch absolute-
+    TEC anchoring of each member's *prediction* (see ``kalman_filter``),
+    with per-member anchor-noise perturbations so the ensemble spread
+    contracts consistently in the anchored directions (the RTO form of
+    the stochastic-EnKF perturbed-observation update).
     """
     m_clim = m0 if m_clim is None else m_clim
     d_seq = jnp.asarray(d_obs_seq)
@@ -241,6 +241,20 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     cd_seq = (jnp.broadcast_to(jnp.asarray(noise_std), d_seq.shape)
               .reshape(nt, -1) ** 2)
     shift = jnp.asarray(wind_kmps, jnp.float32) * dt_s
+
+    if anchors is not None:
+        from .anchors import anchor_map_step
+        assert anchor_cov is not None, (
+            "ensemble_kalman_filter(anchors=...) needs anchor_cov")
+        a_vals_seq = (jnp.broadcast_to(anchors.values,
+                                       (nt,) + anchors.values.shape[-1:])
+                      if anchor_values_seq is None
+                      else jnp.asarray(anchor_values_seq))
+        a_noise = jnp.broadcast_to(jnp.asarray(anchors.noise_std),
+                                   anchors.values.shape[-1:]).ravel()
+        a_inv_cd = 1.0 / a_noise ** 2
+    else:
+        a_vals_seq = jnp.zeros((nt, 1), jnp.float32)
 
     if ens0 is None:
         # initial ensemble: prior mean + prior draws (reserved key slot)
@@ -273,7 +287,7 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
         return m_pred + cov_t.apply_sqrt(u.reshape(grid.shape)), pre
 
     def step(ens, inputs):
-        rays_pts, rays_ds, d_t, cd_t, is_first, t_global = inputs
+        rays_pts, rays_ds, d_t, cd_t, a_t, is_first, t_global = inputs
         rays_t = RayBundle(points=rays_pts, ds=rays_ds)
         k_t = jax.random.fold_in(key, t_global)
         k_adv, k_obs = jax.random.split(k_t)
@@ -306,6 +320,18 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
             cov_t = dataclasses.replace(cov, spectrum=spec_t)
         else:
             cov_t = cov
+        if anchors is not None:
+            # anchor each member's prediction with its own perturbed
+            # anchor values (keeps the ensemble a consistent posterior
+            # sample; derived key leaves the existing k_adv/k_obs
+            # stream — and thus unanchored runs — untouched)
+            k_anc = jax.random.fold_in(k_t, 2)
+            eps_a = (jax.random.normal(
+                k_anc, (n_members,) + a_t.shape) * a_noise[None])
+            ens_pred = jax.vmap(
+                lambda m, e: anchor_map_step(
+                    grid, m, anchor_cov, anchors.rays, a_t + e,
+                    a_inv_cd, anchor_cg_iters, cg_tol))(ens_pred, eps_a)
         eps = (jax.random.normal(k_obs, (n_members, d_t.size))
                * jnp.sqrt(cd_t)[None, :])
         ens_new, pres = jax.vmap(
@@ -318,6 +344,7 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     t_global = step_offset + jnp.arange(nt, dtype=jnp.int32)
     ens_f, (mean_seq, std_seq, pre) = jax.lax.scan(
         step, ens0,
-        (rays_seq.points, rays_seq.ds, d_seq, cd_seq, is_first, t_global))
+        (rays_seq.points, rays_seq.ds, d_seq, cd_seq, a_vals_seq,
+         is_first, t_global))
     return EnsembleKalmanResult(mean_seq=mean_seq, std_seq=std_seq,
                                 residuals=pre, ensemble=ens_f)

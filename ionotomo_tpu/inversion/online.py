@@ -96,7 +96,8 @@ class OnlineEnsembleKalman:
                  dt_s: float, num_directions: int, key, n_members: int = 8,
                  i0: int = 0, cg_iters: int = 20, cg_tol: float = 1e-4,
                  fade: float = 1.0, process_sigma: float = 0.0,
-                 inflation: float = 1.0, spectrum_blend: float = 0.0):
+                 inflation: float = 1.0, spectrum_blend: float = 0.0,
+                 anchors=None, anchor_cov: GPCovariance = None):
         self.grid = grid
         self.cov = cov
         self.m_clim = jnp.asarray(m0)
@@ -112,11 +113,18 @@ class OnlineEnsembleKalman:
         self.spectrum_blend = float(spectrum_blend)
         self.n_members = int(n_members)
         self.key = key
+        self.anchors = anchors
+        self.anchor_cov = anchor_cov
         self.ens = None      # built by the filter on the first step
         self.t = 0
 
-    def step(self, rays_t: RayBundle, d_t, noise_t):
-        """Assimilate one epoch; returns (mean, std, diag dict)."""
+    def step(self, rays_t: RayBundle, d_t, noise_t, anchor_values=None):
+        """Assimilate one epoch; returns (mean, std, diag dict).
+
+        ``anchor_values``: this epoch's absolute-TEC values for the
+        configured anchors (defaults to ``anchors.values``)."""
+        a_seq = (anchor_values[None]
+                 if anchor_values is not None else None)
         res = ensemble_kalman_filter(
             self.grid,
             RayBundle(points=rays_t.points[None], ds=rays_t.ds[None]),
@@ -128,7 +136,8 @@ class OnlineEnsembleKalman:
             process_sigma=self.process_sigma, inflation=self.inflation,
             spectrum_blend=self.spectrum_blend,
             advect_first=(self.t > 0), m_clim=self.m_clim, ens0=self.ens,
-            step_offset=self.t)
+            step_offset=self.t, anchors=self.anchors,
+            anchor_values_seq=a_seq, anchor_cov=self.anchor_cov)
         self.ens = res.ensemble
         self.t += 1
         diag = dict(t=self.t - 1, pre_residual=float(res.residuals[0]))

@@ -65,11 +65,8 @@ class InversionPipeline:
             # true-altitude profile + per-column solar factor: the
             # reference's astropy-exact geometry (frames/chapman docstrings)
             r_earth = frames.gaussian_earth_radius(enu_frame.lat)
-            ax = np.asarray(self.grid.axes()[0], np.float64)
-            ay = np.asarray(self.grid.axes()[1], np.float64)
-            cos_chi = jnp.asarray(frames.solar_cos_zenith_field(
-                t_mid, enu_frame, ax[:, None], ay[None, :])[..., None],
-                jnp.float32)
+            cos_chi = chapman.terminator_cos_chi(self.grid, enu_frame,
+                                                 t_mid)
         else:
             cos_chi = float(frames.solar_cos_zenith(t_mid, enu_frame))
         if p.apriori_model == "multi_chapman":
@@ -85,6 +82,10 @@ class InversionPipeline:
                                         curved=p.curved_earth,
                                         earth_radius_km=r_earth)
         self.m_prior = chapman.log_parametrize(ne0)
+        self._m_prior0 = self.m_prior     # pristine prior; run() restores
+                                          # it so repeated runs (with or
+                                          # without anchors) are identical
+                                          # to fresh-pipeline runs
         pr = self.config.prior
         self.cov = GPCovariance.create(self.grid, sigma=pr.sigma,
                                        length_scale=pr.length_scale_km,
@@ -150,21 +151,24 @@ class InversionPipeline:
     # --- sharding ------------------------------------------------------------
 
     def _padded_na(self, na: int, nd: int) -> int:
-        """Smallest Na' ≥ Na with Na'·Nd divisible by the mesh size.
+        """Smallest Na' ≥ Na divisible by the mesh size.
 
-        The solvers rely on the row-major (antenna × direction) ray layout,
-        so rays are padded in whole-antenna blocks: duplicated last antenna,
+        The solvers rely on the row-major (antenna × direction) ray layout
+        and reshape the sharded flat ray axis back to (Na', Nd, …), which
+        sharding-in-types only supports when every device holds whole
+        antennas — i.e. Na' % n_devices == 0 (Na'·Nd % n_devices == 0 is
+        NOT enough: 6 antennas × 4 directions on 8 devices splits antennas
+        across devices and the paired-dTEC reshape fails to compile). Rays
+        are padded in whole-antenna blocks: duplicated last antenna,
         observations zero with noise 1e6 (weight ~1e-12 in every C_d⁻¹
         misfit) — results match the unsharded solve (tests/test_multichip).
-        Depends only on (Na, Nd, mesh) — computed and logged once.
+        Depends only on (Na, mesh) — computed and logged once.
         """
         if self.mesh is None:
             return na
         if self._na_padded is None:
             k = self.mesh.devices.size
-            na_p = na
-            while (na_p * nd) % k:
-                na_p += 1
+            na_p = shard_mod.pad_to_multiple(na, k)
             self._na_padded = na_p
             if na_p != na:
                 self.metrics.write(dict(event="ray_sharding_padded",
@@ -278,7 +282,8 @@ class InversionPipeline:
                 res = solvers.map_gauss_newton(
                     self.grid, rb, d_t, noise, m_start, self.cov,
                     num_directions=nd, i0=self.i0, gn_iters=n_iters,
-                    cg_iters=sc.cg_iters, cg_tol=sc.cg_tol, m0=m_k)
+                    cg_iters=sc.cg_iters, cg_tol=sc.cg_tol, m0=m_k,
+                    anchors=self.anchors)
                 m_k = res.m
                 done_iters += n_iters
                 cur = float(res.residual_norm)   # outer-loop stall check
@@ -354,17 +359,29 @@ class InversionPipeline:
         correct (default: ``anchor_background_cov()`` — long-horizontal ×
         150 km-vertical, NOT the turbulence prior).
         """
+        # anchor state never leaks between run() calls: a later
+        # run(anchors=None) must be identical to a fresh pipeline's run
+        self.anchors, self.anchor_cov = None, None
+        self.m_prior = self._m_prior0
         if anchors is not None:
             from . import anchors as anchors_mod
+            solver_name = self.config.solver.solver
+            if anchor_mode == "joint" and solver_name != "map_gauss_newton":
+                raise ValueError(
+                    f"anchor_mode='joint' supports only the "
+                    f"map_gauss_newton solver (got '{solver_name}'): the "
+                    "other modes would silently ignore the anchors — use "
+                    "anchor_mode='sequential', which works with every "
+                    "solver (and re-anchors per epoch in kalman mode)")
             self.metrics.write(dict(event="tec_anchors", mode=anchor_mode,
                                     n=int(anchors.values.shape[0])))
             self.anchor_cov = anchor_cov or self.anchor_background_cov()
             if anchor_mode == "sequential":
                 self.m_prior = anchors_mod.assimilate_anchors(
                     self.grid, self.m_prior, self.anchor_cov, anchors)
-                if self.config.solver.solver == "kalman":
+                if solver_name in ("kalman", "enkf"):
                     # time-evolving runs re-anchor every epoch (the state
-                    # drifts; kalman_filter's per-step anchor sub-update)
+                    # drifts; the filters' per-step anchor sub-update)
                     self.anchors = anchors
             else:
                 self.anchors = anchors
@@ -456,7 +473,10 @@ class InversionPipeline:
                 inflation=sc.enkf_inflation,
                 spectrum_blend=sc.enkf_spectrum_blend,
                 advect_first=(c0 > 0),
-                m_clim=self.m_prior, ens0=ens, step_offset=c0)
+                m_clim=self.m_prior, ens0=ens, step_offset=c0,
+                anchors=self.anchors,
+                anchor_cov=(self.anchor_cov if self.anchors is not None
+                            else None))
             jax.block_until_ready(res.mean_seq)
             mean_list.extend(np.asarray(res.mean_seq))
             std_list.extend(np.asarray(res.std_seq))

@@ -47,6 +47,24 @@ def altitude_field(grid: Grid3D, earth_radius_km=None, site_height_km=0.0):
     return jnp.sqrt(r2 + zc * zc) - r_earth
 
 
+def terminator_cos_chi(grid: Grid3D, enu_frame, mjd):
+    """Per-column solar-zenith cosine map, (nx, ny, 1) f32 — the
+    horizontally varying day/night driver for wide grids, ready to pass
+    as ``cos_chi`` to the field builders. Host-side helper shared by the
+    pipeline's curved-Earth prior and the synthetic-world generator
+    (geometry.frames.solar_cos_zenith_field does the geometry)."""
+    from ..geometry import frames
+    ax = np.asarray(jax.device_get(grid.origin[0])
+                    + jax.device_get(grid.spacing[0]) * np.arange(
+                        grid.shape[0]), np.float64)
+    ay = np.asarray(jax.device_get(grid.origin[1])
+                    + jax.device_get(grid.spacing[1]) * np.arange(
+                        grid.shape[1]), np.float64)
+    cc = frames.solar_cos_zenith_field(mjd, enu_frame,
+                                       ax[:, None], ay[None, :])
+    return jnp.asarray(cc[..., None], jnp.float32)
+
+
 def solar_zenith_factor(cos_chi, floor=0.05):
     """Day/night modulation: sqrt(max(cos χ, floor)) Chapman scaling."""
     return jnp.sqrt(jnp.maximum(cos_chi, floor))

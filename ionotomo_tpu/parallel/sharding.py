@@ -41,8 +41,15 @@ def multislice_ray_mesh(n_slices: int, chips_per_slice: int = None,
     """
     devices = list(devices if devices is not None else jax.devices())
     if chips_per_slice is None:
+        if len(devices) % n_slices:
+            raise ValueError(
+                f"{len(devices)} devices do not divide into {n_slices} "
+                "slices; pass chips_per_slice (and an explicit device "
+                "subset) to use fewer devices deliberately")
         chips_per_slice = len(devices) // n_slices
     n = n_slices * chips_per_slice
+    if n > len(devices):
+        raise ValueError(f"need {n} devices, have {len(devices)}")
     return jax.make_mesh((n_slices, chips_per_slice),
                          (SLICE_AXIS, RAY_AXIS), devices=devices[:n])
 

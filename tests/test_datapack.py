@@ -278,3 +278,52 @@ def test_h5parm_foreign_layout_and_phase(tmp_path):
     ref_phase = phase[0] - phase[0, :, 0:1]
     np.testing.assert_allclose(
         dpp.phase().transpose(1, 0, 2), ref_phase, atol=1e-6)
+
+
+def test_h5parm_ref_flag_propagates_and_multifreq_noise_units(tmp_path):
+    """A flagged reference-antenna sample mis-references every antenna for
+    that (time, dir) — all rows must be flagged; and the multi-frequency
+    phase noise conversion lands at the documented TEC-unit magnitude."""
+    import h5py
+    from ionotomo_tpu import constants
+
+    dp, _ = generate_example_datapack(n_antennas=5, n_directions=3,
+                                      n_times=2, grid_shape=(16, 16, 16))
+    dp.flags[0, 1, 2] = True          # ref antenna is 0
+    p = tmp_path / "s.h5"
+    dp.to_h5parm(p)
+    dp2 = DataPack.from_h5parm(p)
+    assert dp2.flags[:, 1, 2].all()          # whole column flagged
+    assert not dp2.flags[:, 0, 2].any()
+
+    # multi-frequency phase: noise_std ≈ noise_tecu·(TECU/TEC_SCALE)·
+    # f_eff/f_min ≤ that bound (broadband fit beats one channel)
+    freqs = np.array([120e6, 150e6, 180e6])
+    rng = np.random.default_rng(0)
+    arr = generate_lofar_like_array(n_core=2, n_remote=1, seed=0)
+    names = np.asarray(arr.labels, dtype="S64")
+    ant_dtype = np.dtype([("name", "S64"), ("position", np.float64, (3,))])
+    ant = np.zeros(3, ant_dtype); ant["name"] = names
+    ant["position"] = arr.itrs * 1e3
+    src_dtype = np.dtype([("name", "S64"), ("dir", np.float64, (2,))])
+    src = np.zeros(2, src_dtype)
+    src["name"] = np.asarray([b"A", b"B"]); src["dir"] = 1.0
+    with h5py.File(tmp_path / "mf.h5", "w") as f:
+        ss = f.create_group("sol000")
+        ss.create_dataset("antenna", data=ant)
+        ss.create_dataset("source", data=src)
+        st = ss.create_group("phase000")
+        st.attrs["TITLE"] = np.bytes_(b"phase")
+        v = st.create_dataset(
+            "val", data=rng.normal(size=(3, 2, 3, 2)) * 0.1)
+        v.attrs["AXES"] = np.bytes_(b"freq,time,ant,dir")
+        st.create_dataset("freq", data=freqs)
+        st.create_dataset("time", data=58000.0 * 86400 + np.arange(2) * 30)
+        st.create_dataset("ant", data=names)
+        st.create_dataset("dir", data=src["name"])
+    noise_tecu = 2e-3
+    dpm = DataPack.from_h5parm(tmp_path / "mf.h5", soltab="phase000",
+                               noise_tecu=noise_tecu)
+    bound = noise_tecu * constants.TECU / constants.TEC_SCALE
+    got = float(dpm.noise_std.mean())
+    assert 0.2 * bound < got <= 1.001 * bound

@@ -284,3 +284,56 @@ def test_kalman_per_epoch_anchors_track_drifting_common_mode():
     e_anch = float(jnp.sqrt(jnp.mean(
         (tec_mod.tec(got.m_seq[-1], grid, bundle) - v_true) ** 2)))
     assert e_anch < 0.25 * e_base
+
+
+def test_enkf_anchors_track_and_contract_spread():
+    """EnKF per-member anchoring: the anchored ensemble tracks the
+    drifting common mode AND its spread contracts in the anchored
+    (vertically-integrated) direction; unanchored runs are untouched by
+    the added code path (key stream unchanged)."""
+    from ionotomo_tpu.inversion import anchors as anch
+    from ionotomo_tpu.inversion.kalman import ensemble_kalman_filter
+
+    w = moving_world(nt=3, nx=14)
+    grid, m_bg, nd = w["grid"], w["m_bg"], w["n_dirs"]
+    nt = 3
+    z = np.asarray(grid.axes()[2])
+    prof = jnp.asarray(np.broadcast_to(
+        np.exp(-0.5 * ((z - 320.0) / 100.0) ** 2)[None, None, :],
+        grid.shape), jnp.float32)
+    betas = 0.2 * np.arange(1, nt + 1)
+    rb1 = rays_mod.RayBundle(points=w["rays_seq"].points[0],
+                             ds=w["rays_seq"].ds[0])
+    d_seq = jnp.stack([tec_mod.dtec_paired(m_bg + b * prof, grid, rb1,
+                                           nd, 0) for b in betas])
+    bundle = anch.vertical_anchor_bundle(grid, nx=3, ny=3, n_samples=25)
+    a_vals = jnp.stack([tec_mod.tec(m_bg + b * prof, grid, bundle)
+                        for b in betas])
+    anchors = anch.TecAnchors(
+        rays=bundle, values=a_vals[0],
+        noise_std=jnp.float32(0.003 * float(a_vals.mean())))
+    cov = GPCovariance.create(grid, sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+    sp = np.asarray(grid.spacing); span = sp * (np.asarray(grid.shape) - 1)
+    cov_bg = GPCovariance.create(
+        grid, sigma=0.6,
+        length_scale=(0.5 * span[0], 0.5 * span[1], 150.0), kind="sqexp")
+    key = jax.random.key(2)
+    kw = dict(num_directions=nd, key=key, n_members=6, cg_iters=10)
+    base = ensemble_kalman_filter(grid, w["rays_seq"], d_seq, w["noise"],
+                                  m_bg, cov, w["wind"], w["dt_s"], **kw)
+    got = ensemble_kalman_filter(grid, w["rays_seq"], d_seq, w["noise"],
+                                 m_bg, cov, w["wind"], w["dt_s"],
+                                 anchors=anchors, anchor_values_seq=a_vals,
+                                 anchor_cov=cov_bg, **kw)
+    v_true = tec_mod.tec(m_bg + betas[-1] * prof, grid, bundle)
+    e_base = float(jnp.sqrt(jnp.mean(
+        (tec_mod.tec(base.mean_seq[-1], grid, bundle) - v_true) ** 2)))
+    e_anch = float(jnp.sqrt(jnp.mean(
+        (tec_mod.tec(got.mean_seq[-1], grid, bundle) - v_true) ** 2)))
+    assert e_anch < 0.3 * e_base
+    # spread of the column TEC across members contracts under anchoring
+    def col_spread(ens):
+        v = jnp.stack([tec_mod.tec(m, grid, bundle) for m in ens])
+        return float(v.std(axis=0).mean())
+    assert col_spread(got.ensemble) < 0.7 * col_spread(base.ensemble)

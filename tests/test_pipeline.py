@@ -379,3 +379,42 @@ def test_pipeline_profile_dir_captures_trace(tmp_path):
     assert np.isfinite(np.asarray(sol.m)).all()
     files = glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
     assert any(os.path.isfile(f) for f in files), files
+
+
+def test_run_anchor_state_does_not_leak_between_runs(tmp_path):
+    """run(anchors=a) then run() on the same pipeline must equal a fresh
+    unanchored run (anchor state and the assimilated prior are reset)."""
+    import jax.numpy as jnp
+    from ionotomo_tpu.forward import tec as tec_mod
+    from ionotomo_tpu.inversion import anchors as anch
+
+    dp, truth = generate_example_datapack(n_antennas=6, n_directions=4,
+                                          n_times=1, grid_shape=(14, 14, 14))
+    def cfg(sub):
+        return EngineConfig(
+            grid=GridConfig(shape=(14, 14, 14)), rays=RayConfig(n_samples=17),
+            solver=SolverConfig(gn_iters=1, cg_iters=6),
+            runtime=RuntimeConfig(
+                checkpoint_dir=str(tmp_path / sub / "c"),
+                metrics_path=str(tmp_path / sub / "m.jsonl")))
+    pipe = InversionPipeline(dp, cfg("a"))
+    bundle = anch.vertical_anchor_bundle(pipe.grid, nx=2, ny=2, n_samples=17)
+    v = tec_mod.tec(jnp.asarray(truth["m"][0]), truth["grid"], bundle)
+    a = anch.TecAnchors(rays=bundle, values=v, noise_std=jnp.float32(10.0))
+    sol_anch = pipe.run(resume=False, anchors=a)
+    sol_after = pipe.run(resume=False)                 # no anchors now
+    pipe_fresh = InversionPipeline(dp, cfg("b"))
+    sol_fresh = pipe_fresh.run(resume=False)
+    assert not np.allclose(sol_anch.m, sol_fresh.m)    # anchors did act
+    np.testing.assert_allclose(sol_after.m, sol_fresh.m, atol=1e-6)
+
+    # joint mode with a non-GN solver refuses instead of silently ignoring
+    import pytest as _pytest
+    cfg_l = EngineConfig(
+        grid=GridConfig(shape=(14, 14, 14)), rays=RayConfig(n_samples=17),
+        solver=SolverConfig(solver="lsqr_smoothness"),
+        runtime=RuntimeConfig(checkpoint_dir=str(tmp_path / "c2"),
+                              metrics_path=str(tmp_path / "m2.jsonl")))
+    with _pytest.raises(ValueError, match="joint"):
+        InversionPipeline(dp, cfg_l).run(resume=False, anchors=a,
+                                         anchor_mode="joint")
