@@ -19,7 +19,7 @@ def cmd_simulate(args):
         n_antennas=args.antennas, n_directions=args.directions,
         n_times=args.times, mjd0=args.mjd0, grid_shape=(args.grid,) * 3,
         noise_tecu=args.noise_tecu, turbulence_amp=args.turbulence,
-        seed=args.seed)
+        seed=args.seed, curved_earth=args.curved_earth)
     dp.save(args.out)
     print(f"wrote {args.out}: dtec shape {dp.shape}, "
           f"ref antenna {dp.array.labels[dp.ref_antenna]}")
@@ -29,6 +29,27 @@ def cmd_simulate(args):
         sol = Solution(truth["grid"], truth["m"])
         sol.save(args.truth_out)
         print(f"wrote ground truth to {args.truth_out}")
+
+
+def cmd_serve(args):
+    from .config import (EngineConfig, GridConfig, PriorConfig, RayConfig,
+                         SolverConfig)
+    from .serving import EpochService
+
+    cfg = EngineConfig(
+        grid=GridConfig(shape=(args.grid,) * 3),
+        rays=RayConfig(n_samples=args.samples),
+        prior=PriorConfig(sigma=args.prior_sigma,
+                          length_scale_km=args.prior_length,
+                          kind=args.prior_kind),
+        solver=SolverConfig(solver=args.solver, cg_iters=args.cg_iters),
+    )
+    svc = EpochService(args.watch_dir, args.out_dir, cfg,
+                       wind_kmps=args.wind)
+    print(f"serving: watching {args.watch_dir} -> {args.out_dir} "
+          f"({args.solver})")
+    done = svc.run(poll_s=args.poll_s, max_epochs=args.max_epochs)
+    print(f"assimilated {done} epoch(s)")
 
 
 def cmd_invert(args):
@@ -203,6 +224,9 @@ def main(argv=None):
     s.add_argument("--noise-tecu", type=float, default=1e-3)
     s.add_argument("--turbulence", type=float, default=0.3)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--curved-earth", action="store_true",
+                   help="build the truth world with curved-Earth "
+                        "geometry (true altitudes + solar terminator)")
     s.set_defaults(fn=cmd_simulate)
 
     i = sub.add_parser("invert", help="invert a DataPack to a Solution")
@@ -266,6 +290,26 @@ def main(argv=None):
     q.add_argument("--rm", action="store_true",
                    help="also write differential Faraday RM (dipole B)")
     q.set_defaults(fn=cmd_predict)
+
+    v = sub.add_parser("serve", help="streaming service: watch a "
+                                     "directory for DataPack epochs, "
+                                     "filter online, emit Solutions")
+    v.add_argument("watch_dir")
+    v.add_argument("out_dir")
+    v.add_argument("--solver", default="kalman",
+                   choices=["kalman", "enkf"])
+    v.add_argument("--grid", type=int, default=64)
+    v.add_argument("--samples", type=int, default=65)
+    v.add_argument("--cg-iters", type=int, default=30)
+    v.add_argument("--prior-sigma", type=float, default=0.3)
+    v.add_argument("--prior-length", type=float, default=80.0)
+    v.add_argument("--prior-kind", default="von_karman")
+    v.add_argument("--wind", type=float, nargs=3, default=(0.0, 0.0, 0.0),
+                   metavar=("VX", "VY", "VZ"), help="bulk wind [km/s]")
+    v.add_argument("--poll-s", type=float, default=2.0)
+    v.add_argument("--max-epochs", type=int, default=None,
+                   help="stop after N epochs (default: run forever)")
+    v.set_defaults(fn=cmd_serve)
 
     n = sub.add_parser("info", help="describe a DataPack/Solution file")
     n.add_argument("path")

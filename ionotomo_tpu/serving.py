@@ -1,0 +1,201 @@
+"""Streaming epoch service — the deployable serving surface.
+
+A live calibration system produces observation epochs continuously; this
+service watches a directory for DataPack files, pushes each epoch through
+the online frozen-flow filter (inversion.online), and writes a Solution
+(+ JSONL diagnostics) per epoch with a restartable state file — the
+production wrapper the reference's notebook-driven workflow never had.
+
+    svc = EpochService(watch_dir, out_dir, config)
+    svc.run(poll_s=2.0)            # or svc.process_available() per tick
+
+Contract:
+- Epoch files are DataPack HDF5 (one or more timesteps each), processed
+  in sorted filename order, exactly once (processed names persist in the
+  state file). Files appearing later but sorting earlier are still
+  processed (ingest order is arrival order within a poll, sorted).
+- Geometry may vary per epoch (rays are rebuilt per timestep); the model
+  grid and prior are fixed at service start from the **first** file's
+  geometry plus the configured padding — size generously (grid.pad_km)
+  if later epochs point elsewhere, since the tricubic edge clamp
+  extrapolates outside the grid.
+- Restart: a new EpochService over the same ``out_dir`` resumes from
+  ``state.npz`` and produces bit-identical output to an uninterrupted
+  service (OnlineKalman is deterministic; the EnKF is keyed by the
+  global epoch index).
+
+CLI: ``python -m ionotomo_tpu serve IN_DIR OUT_DIR [--solver enkf] …``.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from .config import EngineConfig
+from .data.datapack import DataPack
+from .geometry import rays as rays_mod
+from .inversion.online import OnlineEnsembleKalman, OnlineKalman
+from .inversion.priors import GPCovariance
+from .inversion.solution import Solution
+from .models import chapman
+from .utils import checkpoint as ckpt_mod
+
+
+class EpochService:
+    """Watch ``watch_dir`` for DataPack epochs, filter, emit Solutions."""
+
+    def __init__(self, watch_dir, out_dir, config: EngineConfig = None,
+                 wind_kmps=(0.0, 0.0, 0.0), anchors=None, anchor_cov=None,
+                 key=None):
+        import jax
+
+        self.watch_dir = str(watch_dir)
+        self.out_dir = str(out_dir)
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.config = config or EngineConfig()
+        self.state_path = os.path.join(self.out_dir, "state.npz")
+        self.metrics_path = os.path.join(self.out_dir, "epochs.jsonl")
+        self.processed: list[str] = []
+        self.filter = None
+        self._wind = np.asarray(wind_kmps, np.float64)
+        self._anchors = anchors
+        self._anchor_cov = anchor_cov
+        self._key = key if key is not None else jax.random.key(0)
+        if os.path.exists(self.state_path):
+            self._load_state()
+
+    # --- state ---------------------------------------------------------
+
+    def _save_state(self):
+        state = dict(self.filter.state_dict())
+        state["processed"] = np.asarray(self.processed, dtype="U")
+        state["grid_origin"] = np.asarray(self.grid.origin)
+        state["grid_spacing"] = np.asarray(self.grid.spacing)
+        state["grid_shape"] = np.asarray(self.grid.shape)
+        ckpt_mod.save_checkpoint(self.out_dir, self.filter.t, state,
+                                 self.config.to_json(),
+                                 name=os.path.basename(self.state_path))
+
+    def _load_state(self):
+        with np.load(self.state_path, allow_pickle=False) as z:
+            state = {k: z[k] for k in z.files}
+        self.processed = [str(s) for s in state.pop("processed")]
+        from .core.grids import Grid3D
+        self.grid = Grid3D.create(state.pop("grid_origin"),
+                                  state.pop("grid_spacing"),
+                                  tuple(int(s)
+                                        for s in state.pop("grid_shape")))
+        state.pop("__config__", None)
+        self._build_filter()
+        self.filter.load_state(state)
+
+    # --- setup ---------------------------------------------------------
+
+    def _bootstrap(self, dp: DataPack):
+        """Fix grid/prior/filter from the first epoch's geometry."""
+        c = self.config
+        self.grid = chapman.grid_enclosing_rays(
+            dp.antennas_enu(), dp.directions_enu().reshape(-1, 3),
+            max_length_km=c.physics.max_length_km, shape=c.grid.shape,
+            pad_km=c.grid.pad_km, h_min_km=c.grid.h_min_km)
+        self._build_filter()
+
+    def _build_filter(self):
+        c = self.config
+        ne0 = chapman.chapman_field(self.grid,
+                                    n_peak=c.physics.chapman_n_peak,
+                                    h_peak_km=c.physics.chapman_h_peak_km,
+                                    scale_km=c.physics.chapman_scale_km,
+                                    curved=c.physics.curved_earth)
+        m_prior = chapman.log_parametrize(ne0)
+        cov = GPCovariance.create(self.grid, sigma=c.prior.sigma,
+                                  length_scale=c.prior.length_scale_km,
+                                  kind=c.prior.kind)
+        kw = dict(cg_iters=c.solver.cg_iters, cg_tol=c.solver.cg_tol,
+                  fade=c.solver.kalman_fade, anchors=self._anchors,
+                  anchor_cov=self._anchor_cov)
+        if c.solver.solver == "enkf":
+            self.filter = OnlineEnsembleKalman(
+                self.grid, cov, m_prior, self._wind, dt_s=30.0,
+                num_directions=1, key=self._key,
+                n_members=c.solver.enkf_members,
+                process_sigma=c.solver.enkf_process_sigma,
+                inflation=c.solver.enkf_inflation,
+                spectrum_blend=c.solver.enkf_spectrum_blend, **kw)
+        else:
+            self.filter = OnlineKalman(self.grid, cov, m_prior,
+                                       self._wind, dt_s=30.0,
+                                       num_directions=1, **kw)
+
+    # --- ingest --------------------------------------------------------
+
+    def _pending(self):
+        names = sorted(f for f in os.listdir(self.watch_dir)
+                       if f.endswith((".h5", ".hdf5"))
+                       and f not in self.processed)
+        return names
+
+    def process_available(self) -> int:
+        """Ingest every unprocessed epoch file currently present; returns
+        the number of epochs (timesteps) assimilated."""
+        n_epochs = 0
+        for name in self._pending():
+            path = os.path.join(self.watch_dir, name)
+            dp = DataPack.load(path)
+            if self.filter is None:
+                self._bootstrap(dp)
+            na, nt, nd = dp.shape
+            dev = dp.to_device_arrays()
+            noise = np.where(dev["flags"], 1e6, dev["noise_std"])
+            if nt > 1 and len(dp.times) > 1:
+                self.filter.dt_s = float(
+                    (dp.times[1] - dp.times[0]) * 86400.0)
+            self.filter.nd = nd
+            for t in range(nt):
+                origins, dvecs = rays_mod.make_ray_batch(
+                    dev["antennas_enu"], dev["directions_enu"][t])
+                rb = rays_mod.sample_straight_rays(
+                    origins, dvecs,
+                    max_length_km=self.config.physics.max_length_km,
+                    n_samples=self.config.rays.n_samples)
+                t0 = time.perf_counter()
+                out = self.filter.step(rb,
+                                       jnp.asarray(dev["dtec"][:, t, :]),
+                                       jnp.asarray(noise[:, t, :]))
+                secs = time.perf_counter() - t0
+                epoch = self.filter.t - 1
+                if len(out) == 3:          # ensemble: (mean, std, diag)
+                    m_t, std_t, diag = out
+                    sol = Solution(self.grid, np.asarray(m_t)[None],
+                                   diagnostics=dict(
+                                       std=np.asarray(std_t)[None]),
+                                   config_json=self.config.to_json())
+                else:
+                    m_t, diag = out
+                    sol = Solution(self.grid, np.asarray(m_t)[None],
+                                   config_json=self.config.to_json())
+                sol.save(os.path.join(self.out_dir,
+                                      f"epoch_{epoch:06d}.h5"))
+                with open(self.metrics_path, "a") as f:
+                    f.write(json.dumps(dict(epoch=epoch, file=name,
+                                            seconds=round(secs, 3),
+                                            **diag)) + "\n")
+                n_epochs += 1
+            self.processed.append(name)
+            self._save_state()
+        return n_epochs
+
+    def run(self, poll_s: float = 2.0, max_epochs: int = None):
+        """Poll until ``max_epochs`` have been assimilated (forever when
+        None)."""
+        done = 0
+        while max_epochs is None or done < max_epochs:
+            n = self.process_available()
+            done += n
+            if n == 0:
+                time.sleep(poll_s)
+        return done

@@ -15,8 +15,13 @@ import tempfile
 import numpy as np
 
 
-def save_checkpoint(directory, step: int, state: dict, config_json: str = ""):
-    """Atomically write ``state`` (dict of arrays / scalars) at ``step``."""
+def save_checkpoint(directory, step: int, state: dict, config_json: str = "",
+                    name: str = None):
+    """Atomically write ``state`` (dict of arrays / scalars) at ``step``.
+
+    ``name`` overrides the default per-step filename with a fixed one
+    (e.g. a service's rolling ``state.npz``) — same tmp+fsync+rename
+    atomicity either way."""
     os.makedirs(directory, exist_ok=True)
     payload = {k: np.asarray(v) for k, v in state.items()}
     payload["__step__"] = np.asarray(step, np.int64)
@@ -28,7 +33,8 @@ def save_checkpoint(directory, step: int, state: dict, config_json: str = ""):
             np.savez(f, **payload)
             f.flush()
             os.fsync(f.fileno())
-        final = os.path.join(directory, f"ckpt_{step:08d}.npz")
+        final = os.path.join(directory,
+                             name if name else f"ckpt_{step:08d}.npz")
         os.replace(tmp, final)
         return final
     except BaseException:

@@ -1,0 +1,87 @@
+"""EpochService: directory-watching streaming service (serving.py) —
+ingest-once semantics, per-epoch Solutions, and bit-identical restart."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ionotomo_tpu.config import (EngineConfig, GridConfig, PriorConfig,
+                                 RayConfig, SolverConfig)
+from ionotomo_tpu.data.synth import generate_example_datapack
+from ionotomo_tpu.inversion.solution import Solution
+from ionotomo_tpu.serving import EpochService
+
+
+def _epoch_files(directory, n_files, nt_each=1, seed=0, start=0):
+    paths = []
+    for i in range(start, start + n_files):
+        dp, _ = generate_example_datapack(
+            n_antennas=6, n_directions=4, n_times=nt_each,
+            mjd0=58000.45 + i * nt_each * 30.0 / 86400.0,
+            grid_shape=(12, 12, 12), seed=seed, n_samples=17)
+        p = os.path.join(directory, f"epoch_{i:03d}.h5")
+        dp.save(p)
+        paths.append(p)
+    return paths
+
+
+def _cfg():
+    return EngineConfig(
+        grid=GridConfig(shape=(14, 14, 14)),
+        rays=RayConfig(n_samples=17),
+        prior=PriorConfig(kind="sqexp", length_scale_km=90.0),
+        solver=SolverConfig(solver="kalman", cg_iters=8))
+
+
+def test_service_ingests_once_and_restarts_identically(tmp_path):
+    watch = tmp_path / "in"; watch.mkdir()
+    out_a = tmp_path / "out_a"; out_b = tmp_path / "out_b"
+    _epoch_files(str(watch), 2, nt_each=2)
+
+    # uninterrupted service over all files
+    svc = EpochService(str(watch), str(out_a), _cfg())
+    assert svc.process_available() == 4
+    assert svc.process_available() == 0          # ingest-once
+    _epoch_files(str(watch), 1, start=2)         # one more file appears
+    assert svc.process_available() == 1
+
+    # interrupted twin: process 2 files, "crash", resume from state.npz
+    svc_b = EpochService(str(watch), str(out_b), _cfg())
+    # hide the last file to emulate arrival order
+    os.rename(watch / "epoch_002.h5", tmp_path / "stash.h5")
+    assert svc_b.process_available() == 4
+    del svc_b
+    os.rename(tmp_path / "stash.h5", watch / "epoch_002.h5")
+    svc_b2 = EpochService(str(watch), str(out_b), _cfg())   # restart
+    assert svc_b2.filter.t == 4                  # state restored
+    assert svc_b2.process_available() == 1
+
+    # outputs: 5 epochs, identical between the two services
+    for d in (out_a, out_b):
+        names = sorted(f for f in os.listdir(d) if f.startswith("epoch_"))
+        assert names == [f"epoch_{i:06d}.h5" for i in range(5)]
+    for i in range(5):
+        sa = Solution.load(out_a / f"epoch_{i:06d}.h5")
+        sb = Solution.load(out_b / f"epoch_{i:06d}.h5")
+        np.testing.assert_allclose(sa.m, sb.m, atol=0)
+
+    # diagnostics stream has one record per epoch
+    recs = [json.loads(l) for l in open(out_a / "epochs.jsonl")]
+    assert [r["epoch"] for r in recs] == list(range(5))
+    assert all("pre_residual" in r for r in recs)
+
+
+def test_service_enkf_emits_spread(tmp_path):
+    watch = tmp_path / "in"; watch.mkdir()
+    out = tmp_path / "out"
+    _epoch_files(str(watch), 1)
+    cfg = EngineConfig(
+        grid=GridConfig(shape=(12, 12, 12)), rays=RayConfig(n_samples=17),
+        prior=PriorConfig(kind="sqexp", length_scale_km=90.0),
+        solver=SolverConfig(solver="enkf", cg_iters=6, enkf_members=4))
+    svc = EpochService(str(watch), str(out), cfg)
+    assert svc.run(poll_s=0.01, max_epochs=1) == 1
+    sol = Solution.load(out / "epoch_000000.h5")
+    assert "std" in sol.diagnostics
+    assert np.isfinite(sol.diagnostics["std"]).all()
