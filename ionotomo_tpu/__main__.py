@@ -60,6 +60,11 @@ def cmd_invert(args):
     from .inversion.pipeline import InversionPipeline
 
     dp = DataPack.load(args.datapack)
+    if args.auto_flag:
+        from .data.selection import flag_outliers
+        n = flag_outliers(dp, threshold=args.auto_flag)
+        print(f"auto-flagged {n} outlier sample(s) "
+              f"(threshold {args.auto_flag} median steps)")
     cfg = EngineConfig(
         physics=PhysicsConfig(apriori_model=args.apriori_model,
                               curved_earth=args.curved_earth),
@@ -258,6 +263,10 @@ def main(argv=None):
                    choices=["chapman", "multi_chapman"],
                    help="a-priori n_e: single Chapman layer or the "
                         "E/F1/F2 stack (models/chapman.py)")
+    i.add_argument("--auto-flag", type=float, default=0.0, metavar="K",
+                   help="flag samples whose epoch-to-epoch jump exceeds "
+                        "K median steps before inverting "
+                        "(data/selection.flag_outliers; 0 = off)")
     i.add_argument("--vtec-anchors", default=None,
                    help="npz with points_xy (A,2; ENU km), values_tecu "
                         "(A,), noise_tecu (scalar): external absolute "

@@ -79,3 +79,39 @@ def drop_flagged(datapack: DataPack, max_flag_fraction=0.5):
     if datapack.ref_antenna not in keep:
         keep = np.sort(np.concatenate([[datapack.ref_antenna], keep]))
     return datapack.select(antennas=keep)
+
+
+def flag_outliers(datapack: DataPack, threshold: float = 6.0,
+                  min_epochs: int = 4):
+    """Automatic outlier flagging: detect RFI / cycle-slip samples in each
+    (antenna, direction) time series.
+
+    Statistic: a sample's minimum distance to its time neighbours — a
+    spike differs from BOTH neighbours, while the neighbour of a spike
+    still matches its other side, so single spikes don't contaminate
+    adjacent epochs (endpoints use their one neighbour). Samples whose
+    distance exceeds ``threshold`` × the series' median epoch-to-epoch
+    step (floored by the measurement noise) are flagged. The ionosphere
+    moves smoothly at calibration cadence, so the median step captures
+    signal drift + noise; instrumental jumps sit far outside it. Series
+    shorter than ``min_epochs`` are left untouched.
+
+    Returns the number of newly flagged samples; flags are OR'd into
+    ``datapack.flags`` in place (the solvers' noise inflation removes
+    their weight — or use a ``robust_gn`` solve to down-weight without
+    hard flags).
+    """
+    d = np.asarray(datapack.dtec, np.float64)        # (Na, Nt, Nd)
+    na, nt, nd = d.shape
+    if nt < min_epochs:
+        return 0
+    step = np.abs(d[:, 1:, :] - d[:, :-1, :])        # (Na, Nt-1, Nd)
+    r = np.empty_like(d)
+    r[:, 0] = step[:, 0]
+    r[:, -1] = step[:, -1]
+    r[:, 1:-1] = np.minimum(step[:, :-1], step[:, 1:])
+    scale = np.maximum(np.median(step, axis=1, keepdims=True),
+                       datapack.noise_std)
+    new = (r > threshold * scale) & ~datapack.flags
+    datapack.flags |= new
+    return int(new.sum())

@@ -119,3 +119,30 @@ def test_animations_write_gifs(tmp_path):
     p2 = tmp_path / "dp.gif"
     plot_tools.animate_datapack(d, filename=str(p2), fps=2)
     assert p2.exists() and p2.stat().st_size > 200
+
+
+def test_flag_outliers_catches_spikes_not_signal():
+    """MAD flagger: injected RFI spikes are flagged, the smooth ionospheric
+    signal (including its trend) is not."""
+    from ionotomo_tpu.data.selection import flag_outliers
+
+    dp, _ = generate_example_datapack(n_antennas=6, n_directions=4,
+                                      n_times=12, grid_shape=(12, 12, 12),
+                                      noise_tecu=1e-3, n_samples=9,
+                                      wind_kmps=(0.02, 0.01, 0.0))
+    base_flags = dp.flags.copy()
+    scale = np.abs(dp.dtec).max()
+    dp.dtec[2, 5, 1] += 50.0 * scale          # RFI spike
+    dp.dtec[4, 0, 3] -= 80.0 * scale          # spike at the series edge
+    n = flag_outliers(dp, threshold=6.0)
+    assert dp.flags[2, 5, 1] and dp.flags[4, 0, 3]
+    # no collateral flags beyond a small false-positive allowance
+    assert n <= 4
+    # idempotent-ish: second call flags nothing new on clean data
+    assert flag_outliers(dp, threshold=6.0) == 0
+    # too-short series: untouched
+    dp2, _ = generate_example_datapack(n_antennas=4, n_directions=2,
+                                       n_times=2, grid_shape=(12, 12, 12),
+                                       n_samples=9)
+    assert flag_outliers(dp2) == 0
+    del base_flags
