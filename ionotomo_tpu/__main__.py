@@ -40,7 +40,9 @@ def cmd_serve(args):
         grid=GridConfig(shape=(args.grid,) * 3),
         rays=RayConfig(n_samples=args.samples),
         prior=PriorConfig(sigma=args.prior_sigma,
-                          length_scale_km=args.prior_length,
+                          length_scale_km=(tuple(args.prior_length)
+                                           if len(args.prior_length) > 1
+                                           else args.prior_length[0]),
                           kind=args.prior_kind),
         solver=SolverConfig(solver=args.solver, cg_iters=args.cg_iters),
     )
@@ -73,7 +75,9 @@ def cmd_invert(args):
                        n_steps=args.n_steps,
                        retrace_every=args.retrace_every),
         prior=PriorConfig(sigma=args.prior_sigma,
-                          length_scale_km=args.prior_length,
+                          length_scale_km=(tuple(args.prior_length)
+                                           if len(args.prior_length) > 1
+                                           else args.prior_length[0]),
                           kind=args.prior_kind,
                           auto_select=args.auto_prior),
         solver=SolverConfig(solver=args.solver, gn_iters=args.gn_iters,
@@ -257,7 +261,9 @@ def main(argv=None):
     i.add_argument("--gn-iters", type=int, default=2)
     i.add_argument("--cg-iters", type=int, default=40)
     i.add_argument("--prior-sigma", type=float, default=0.3)
-    i.add_argument("--prior-length", type=float, default=80.0)
+    i.add_argument("--prior-length", type=float, nargs="+", default=[80.0],
+                   metavar="L",
+                   help="prior correlation length [km]: one value (isotropic) or three (Lx Ly Lz)")
     i.add_argument("--prior-kind", default="von_karman")
     i.add_argument("--apriori-model", default="chapman",
                    choices=["chapman", "multi_chapman"],
@@ -311,7 +317,8 @@ def main(argv=None):
     v.add_argument("--samples", type=int, default=65)
     v.add_argument("--cg-iters", type=int, default=30)
     v.add_argument("--prior-sigma", type=float, default=0.3)
-    v.add_argument("--prior-length", type=float, default=80.0)
+    v.add_argument("--prior-length", type=float, nargs="+", default=[80.0],
+                   metavar="L")
     v.add_argument("--prior-kind", default="von_karman")
     v.add_argument("--wind", type=float, nargs=3, default=(0.0, 0.0, 0.0),
                    metavar=("VX", "VY", "VZ"), help="bulk wind [km/s]")

@@ -59,7 +59,8 @@ class RayConfig:
 class PriorConfig:
     kind: str = "exponential"        # GP kernel family
     sigma: float = 0.3               # log-density std
-    length_scale_km: float = 60.0
+    length_scale_km: float = 60.0    # scalar, or (Lx, Ly, Lz) tuple for an
+                                     # anisotropic prior (priors.GPCovariance)
     smooth: float = 1.0              # Laplacian weight (config-3 solver)
     damp: float = 1e-2
     auto_select: bool = False        # GCV over a candidate grid around

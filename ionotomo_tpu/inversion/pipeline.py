@@ -106,12 +106,14 @@ class InversionPipeline:
         from .model_selection import select_prior
         pr = self.config.prior
         candidates = []
+        ls0 = pr.length_scale_km
         for kind in dict.fromkeys([pr.kind, "von_karman", "exponential"]):
             for fs in (0.5, 1.0, 2.0):
                 for fl in (0.5, 1.0, 2.0):
+                    ls = (tuple(l * fl for l in ls0)
+                          if isinstance(ls0, (tuple, list)) else ls0 * fl)
                     candidates.append(dict(
-                        sigma=pr.sigma * fs,
-                        length_scale=pr.length_scale_km * fl, kind=kind))
+                        sigma=pr.sigma * fs, length_scale=ls, kind=kind))
         ants, d0, noise0, _ = self._padded_data(0)
         origins, dvecs = rays_mod.make_ray_batch(ants, self.directions[0])
         rb = self._shard(rays_mod.sample_straight_rays(

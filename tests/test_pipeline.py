@@ -418,3 +418,26 @@ def test_run_anchor_state_does_not_leak_between_runs(tmp_path):
     with _pytest.raises(ValueError, match="joint"):
         InversionPipeline(dp, cfg_l).run(resume=False, anchors=a,
                                          anchor_mode="joint")
+
+
+def test_anisotropic_prior_through_config_and_resume_roundtrip(tmp_path):
+    """PriorConfig.length_scale_km accepts (Lx, Ly, Lz); the config
+    serialises into checkpoints and the resume compatibility check still
+    matches after the tuple→list JSON round-trip."""
+    dp, _ = generate_example_datapack(n_antennas=5, n_directions=3,
+                                      n_times=1, grid_shape=(12, 12, 12))
+    cfg = EngineConfig(
+        grid=GridConfig(shape=(12, 12, 12)), rays=RayConfig(n_samples=17),
+        prior=PriorConfig(kind="sqexp",
+                          length_scale_km=(150.0, 150.0, 40.0)),
+        solver=SolverConfig(gn_iters=1, cg_iters=5),
+        runtime=RuntimeConfig(checkpoint_dir=str(tmp_path / "c"),
+                              metrics_path=str(tmp_path / "m.jsonl")))
+    pipe = InversionPipeline(dp, cfg)
+    assert tuple(np.atleast_1d(pipe.cov.length_scale)) == (150.0, 150.0,
+                                                           40.0)
+    sol = pipe.run(resume=False)
+    assert np.isfinite(sol.m).all()
+    # resume check passes across the JSON round-trip
+    pipe2 = InversionPipeline(dp, cfg)
+    assert pipe2._config_compatible(cfg.to_json())
