@@ -145,6 +145,34 @@ class DataPack:
         from .h5parm import save_h5parm
         save_h5parm(self, path, solset=solset)
 
+    @staticmethod
+    def concat_times(datapacks):
+        """Concatenate DataPacks along the time axis (the inverse of a
+        per-epoch stream: merge epoch files into one batch observation).
+        Geometry (antennas, directions, reference antenna, frequency)
+        must match; times must be strictly increasing across the pieces.
+        """
+        dps = list(datapacks)
+        assert dps, "need at least one DataPack"
+        first = dps[0]
+        for dp in dps[1:]:
+            assert dp.array.labels == first.array.labels, "antenna mismatch"
+            assert np.allclose(dp.directions, first.directions), \
+                "direction mismatch"
+            assert dp.ref_antenna == first.ref_antenna
+            assert dp.frequency_hz == first.frequency_hz
+            assert dp.frame_model == first.frame_model
+        times = np.concatenate([dp.times for dp in dps])
+        assert np.all(np.diff(times) > 0), \
+            "times must be strictly increasing across the pieces"
+        return DataPack(
+            first.array, first.directions, times,
+            dtec=np.concatenate([dp.dtec for dp in dps], axis=1),
+            flags=np.concatenate([dp.flags for dp in dps], axis=1),
+            noise_std=np.concatenate([dp.noise_std for dp in dps], axis=1),
+            ref_antenna=first.ref_antenna, frequency_hz=first.frequency_hz,
+            frame_model=first.frame_model)
+
     # --- geometry ----------------------------------------------------------
 
     def antennas_enu(self):

@@ -327,3 +327,20 @@ def test_h5parm_ref_flag_propagates_and_multifreq_noise_units(tmp_path):
     bound = noise_tecu * constants.TECU / constants.TEC_SCALE
     got = float(dpm.noise_std.mean())
     assert 0.2 * bound < got <= 1.001 * bound
+
+
+def test_concat_times_merges_epoch_streams():
+    dp, _ = generate_example_datapack(n_antennas=5, n_directions=3,
+                                      n_times=4, grid_shape=(12, 12, 12),
+                                      n_samples=9)
+    a = dp.select(times=[0, 1])
+    b = dp.select(times=[2, 3])
+    merged = DataPack.concat_times([a, b])
+    assert merged.shape == dp.shape
+    np.testing.assert_allclose(merged.dtec, dp.dtec)
+    np.testing.assert_allclose(merged.times, dp.times)
+    np.testing.assert_array_equal(merged.flags, dp.flags)
+    # decreasing times refused
+    import pytest as _pytest
+    with _pytest.raises(AssertionError, match="increasing"):
+        DataPack.concat_times([b, a])
