@@ -157,6 +157,9 @@ class DataPack:
         first = dps[0]
         for dp in dps[1:]:
             assert dp.array.labels == first.array.labels, "antenna mismatch"
+            assert np.allclose(dp.array.itrs, first.array.itrs), \
+                "antenna position mismatch (labels alone don't identify " \
+                "an array)"
             assert np.allclose(dp.directions, first.directions), \
                 "direction mismatch"
             assert dp.ref_antenna == first.ref_antenna

@@ -83,8 +83,8 @@ def drop_flagged(datapack: DataPack, max_flag_fraction=0.5):
 
 def flag_outliers(datapack: DataPack, threshold: float = 6.0,
                   min_epochs: int = 4):
-    """Automatic outlier flagging: detect RFI / cycle-slip samples in each
-    (antenna, direction) time series.
+    """Automatic outlier flagging: detect **impulsive** (single-epoch)
+    spikes — RFI hits, glitches — in each (antenna, direction) series.
 
     Statistic: a sample's minimum distance to its time neighbours — a
     spike differs from BOTH neighbours, while the neighbour of a spike
@@ -93,8 +93,15 @@ def flag_outliers(datapack: DataPack, threshold: float = 6.0,
     distance exceeds ``threshold`` × the series' median epoch-to-epoch
     step (floored by the measurement noise) are flagged. The ionosphere
     moves smoothly at calibration cadence, so the median step captures
-    signal drift + noise; instrumental jumps sit far outside it. Series
+    signal drift + noise; instrumental spikes sit far outside it. Series
     shorter than ``min_epochs`` are left untouched.
+
+    Deliberately NOT detected: *persistent* level shifts (cycle slips,
+    multi-epoch RFI bursts) — by construction both sides of a sustained
+    jump match one neighbour. Cycle slips belong to the phase domain:
+    ingest via ``DataPack.from_phase`` (whose time unwrap absorbs 2π
+    slips) or solve with ``robust_gn``, which down-weights sustained
+    misfits the prior cannot explain.
 
     Returns the number of newly flagged samples; flags are OR'd into
     ``datapack.flags`` in place (the solvers' noise inflation removes

@@ -54,12 +54,8 @@ def terminator_cos_chi(grid: Grid3D, enu_frame, mjd):
     pipeline's curved-Earth prior and the synthetic-world generator
     (geometry.frames.solar_cos_zenith_field does the geometry)."""
     from ..geometry import frames
-    ax = np.asarray(jax.device_get(grid.origin[0])
-                    + jax.device_get(grid.spacing[0]) * np.arange(
-                        grid.shape[0]), np.float64)
-    ay = np.asarray(jax.device_get(grid.origin[1])
-                    + jax.device_get(grid.spacing[1]) * np.arange(
-                        grid.shape[1]), np.float64)
+    ax = np.asarray(grid.axes()[0], np.float64)
+    ay = np.asarray(grid.axes()[1], np.float64)
     cc = frames.solar_cos_zenith_field(mjd, enu_frame,
                                        ax[:, None], ay[None, :])
     return jnp.asarray(cc[..., None], jnp.float32)

@@ -14,6 +14,11 @@ Contract:
   in sorted filename order, exactly once (processed names persist in the
   state file). Files appearing later but sorting earlier are still
   processed (ingest order is arrival order within a poll, sorted).
+  Unreadable (partially-written) files pause ingestion until the next
+  poll so epochs are never assimilated out of time order.
+- The frozen-flow advection step is the actual time since the last
+  assimilated epoch (tracked across files and restarts); out-of-order
+  epochs assimilate without advection.
 - Geometry may vary per epoch (rays are rebuilt per timestep); the model
   grid and prior are fixed at service start from the **first** file's
   geometry plus the configured padding — size generously (grid.pad_km)
@@ -61,6 +66,7 @@ class EpochService:
         self.metrics_path = os.path.join(self.out_dir, "epochs.jsonl")
         self.processed: list[str] = []
         self.filter = None
+        self.last_mjd = None           # cadence tracking (advection dt)
         self._wind = np.asarray(wind_kmps, np.float64)
         self._anchors = anchors
         self._anchor_cov = anchor_cov
@@ -76,6 +82,8 @@ class EpochService:
         state["grid_origin"] = np.asarray(self.grid.origin)
         state["grid_spacing"] = np.asarray(self.grid.spacing)
         state["grid_shape"] = np.asarray(self.grid.shape)
+        state["last_mjd"] = np.float64(
+            self.last_mjd if self.last_mjd is not None else np.nan)
         ckpt_mod.save_checkpoint(self.out_dir, self.filter.t, state,
                                  self.config.to_json(),
                                  name=os.path.basename(self.state_path))
@@ -89,9 +97,44 @@ class EpochService:
                                   state.pop("grid_spacing"),
                                   tuple(int(s)
                                         for s in state.pop("grid_shape")))
-        state.pop("__config__", None)
+        lm = float(state.pop("last_mjd", np.nan))
+        self.last_mjd = None if np.isnan(lm) else lm
+        cfg_json = bytes(state.pop("__config__", np.zeros(0, np.uint8))
+                         ).rstrip(b"\x00").decode()
+        if cfg_json and not self._config_compatible(cfg_json):
+            raise ValueError(
+                "state.npz in the output directory was produced under a "
+                "different engine configuration — resuming would silently "
+                "mix two runs; point the service at a fresh out_dir or "
+                "restore the original configuration")
         self._build_filter()
         self.filter.load_state(state)
+        # drop diagnostics for epochs that will be re-emitted (a crash
+        # mid-file re-processes that file; Solutions overwrite
+        # deterministically, the JSONL must not duplicate)
+        if os.path.exists(self.metrics_path):
+            kept = []
+            with open(self.metrics_path) as f:
+                for line in f:
+                    try:
+                        if json.loads(line)["epoch"] < self.filter.t:
+                            kept.append(line)
+                    except (ValueError, KeyError):
+                        pass
+            with open(self.metrics_path, "w") as f:
+                f.writelines(kept)
+
+    def _config_compatible(self, cfg_json: str) -> bool:
+        """Same contract as InversionPipeline._config_compatible: every
+        non-runtime field must match (defaults fill fields added since)."""
+        try:
+            theirs = json.loads(EngineConfig.from_json(cfg_json).to_json())
+            mine = json.loads(self.config.to_json())
+        except (ValueError, KeyError, TypeError):
+            return False
+        theirs.pop("runtime", None)
+        mine.pop("runtime", None)
+        return theirs == mine
 
     # --- setup ---------------------------------------------------------
 
@@ -145,17 +188,31 @@ class EpochService:
         n_epochs = 0
         for name in self._pending():
             path = os.path.join(self.watch_dir, name)
-            dp = DataPack.load(path)
+            try:
+                dp = DataPack.load(path)
+            except (OSError, KeyError) as e:
+                # partially-written / unreadable file: leave unprocessed
+                # (the producer may still be writing it), note it, retry
+                # on the next poll. Stop here rather than skipping ahead —
+                # later files must not be assimilated out of time order.
+                with open(self.metrics_path, "a") as f:
+                    f.write(json.dumps(dict(event="unreadable", file=name,
+                                            error=str(e)[:200])) + "\n")
+                break
             if self.filter is None:
                 self._bootstrap(dp)
             na, nt, nd = dp.shape
             dev = dp.to_device_arrays()
             noise = np.where(dev["flags"], 1e6, dev["noise_std"])
-            if nt > 1 and len(dp.times) > 1:
-                self.filter.dt_s = float(
-                    (dp.times[1] - dp.times[0]) * 86400.0)
             self.filter.nd = nd
             for t in range(nt):
+                # advection step = actual time since the last assimilated
+                # epoch (across files too; persisted for restarts)
+                if self.last_mjd is not None:
+                    dt = (float(dp.times[t]) - self.last_mjd) * 86400.0
+                    if dt > 0:
+                        self.filter.dt_s = dt
+                self.last_mjd = float(dp.times[t])
                 origins, dvecs = rays_mod.make_ray_batch(
                     dev["antennas_enu"], dev["directions_enu"][t])
                 rb = rays_mod.sample_straight_rays(
@@ -190,8 +247,11 @@ class EpochService:
         return n_epochs
 
     def run(self, poll_s: float = 2.0, max_epochs: int = None):
-        """Poll until ``max_epochs`` have been assimilated (forever when
-        None)."""
+        """Poll until at least ``max_epochs`` have been assimilated
+        (forever when None). The bound is checked between polls at file
+        granularity — a file's epochs are never split across restarts —
+        so a poll that ingests a multi-epoch file may finish past the
+        bound; the return value is the exact count."""
         done = 0
         while max_epochs is None or done < max_epochs:
             n = self.process_available()

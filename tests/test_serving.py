@@ -85,3 +85,59 @@ def test_service_enkf_emits_spread(tmp_path):
     sol = Solution.load(out / "epoch_000000.h5")
     assert "std" in sol.diagnostics
     assert np.isfinite(sol.diagnostics["std"]).all()
+
+
+def test_service_cadence_config_guard_and_unreadable_files(tmp_path):
+    watch = tmp_path / "in"; watch.mkdir()
+    out = tmp_path / "out"
+    # two single-epoch files 10 s apart: the advection step must follow
+    # the actual cadence, not a hard-coded default
+    for i in range(2):
+        dp, _ = generate_example_datapack(
+            n_antennas=6, n_directions=4, n_times=1,
+            mjd0=58000.45 + i * 10.0 / 86400.0,
+            grid_shape=(12, 12, 12), n_samples=17)
+        dp.save(watch / f"e{i}.h5")
+    svc = EpochService(str(watch), str(out), _cfg())
+    assert svc.process_available() == 2
+    assert abs(svc.filter.dt_s - 10.0) < 0.01
+
+    # partially-written file: logged, retried, service survives; later
+    # files are NOT processed ahead of it (time order preserved)
+    (watch / "e2.h5").write_bytes(b"not an hdf5 file")
+    dp3, _ = generate_example_datapack(
+        n_antennas=6, n_directions=4, n_times=1,
+        mjd0=58000.45 + 30.0 / 86400.0, grid_shape=(12, 12, 12),
+        n_samples=17)
+    dp3.save(watch / "e3.h5")
+    assert svc.process_available() == 0
+    recs = [json.loads(l) for l in open(out / "epochs.jsonl")]
+    assert any(r.get("event") == "unreadable" for r in recs)
+    dp3.save(watch / "e2.h5")                    # producer finishes e2
+    assert svc.process_available() == 2
+
+    # restart under a different configuration refuses the stale state
+    import dataclasses
+    import pytest as _pytest
+    cfg2 = dataclasses.replace(
+        _cfg(), prior=dataclasses.replace(_cfg().prior, sigma=0.9))
+    with _pytest.raises(ValueError, match="different engine config"):
+        EpochService(str(watch), str(out), cfg2)
+    # cadence survives a same-config restart (persisted in the state)
+    svc2 = EpochService(str(watch), str(out), _cfg())
+    assert svc2.last_mjd is not None
+
+
+def test_concat_times_rejects_position_mismatch():
+    from ionotomo_tpu.data.datapack import DataPack
+    dp1, _ = generate_example_datapack(n_antennas=4, n_directions=2,
+                                       n_times=1, grid_shape=(12, 12, 12),
+                                       n_samples=9, seed=0)
+    dp2, _ = generate_example_datapack(n_antennas=4, n_directions=2,
+                                       n_times=1, mjd0=58000.46,
+                                       grid_shape=(12, 12, 12),
+                                       n_samples=9, seed=1)
+    dp2.directions = dp1.directions.copy()       # same labels + dirs,
+    import pytest as _pytest                      # different positions
+    with _pytest.raises(AssertionError, match="position"):
+        DataPack.concat_times([dp1, dp2])
