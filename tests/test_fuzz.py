@@ -121,3 +121,55 @@ def test_fuzz_sharded_interp_matches_replicated():
         np.testing.assert_allclose(got, want, rtol=3e-5,
                                    atol=3e-6 * max(1, np.abs(want).max()),
                                    err_msg=str((trial, nx, ny, nz)))
+
+
+def test_fuzz_h5parm_axis_permutations(tmp_path):
+    """The h5parm loader must reorder ANY AXES permutation (with/without
+    pol and degenerate freq) to (ant, time, dir) and land the same values."""
+    import itertools
+    import h5py
+    from ionotomo_tpu import constants
+    from ionotomo_tpu.data.datapack import DataPack
+    from ionotomo_tpu.data.radio_array import generate_lofar_like_array
+
+    rng = np.random.default_rng(3)
+    arr = generate_lofar_like_array(n_core=2, n_remote=2, seed=2)
+    na, nt, nd = 4, 3, 2
+    names = np.asarray(arr.labels, dtype="S64")
+    ant_dtype = np.dtype([("name", "S64"), ("position", np.float64, (3,))])
+    ant = np.zeros(na, ant_dtype)
+    ant["name"] = names; ant["position"] = arr.itrs * 1e3
+    src_dtype = np.dtype([("name", "S64"), ("dir", np.float64, (2,))])
+    src = np.zeros(nd, src_dtype)
+    src["name"] = np.asarray([f"S{j}" for j in range(nd)], dtype="S64")
+    src["dir"] = np.stack([np.full(nd, 1.0), 0.5 + 0.1 * np.arange(nd)], -1)
+    tec = rng.normal(scale=0.1, size=(na, nt, nd))        # TECU, canonical
+
+    perms = list(itertools.permutations(["ant", "time", "dir"]))
+    rng.shuffle(perms)
+    want = (tec - tec[0:1]) * constants.TECU / constants.TEC_SCALE
+    for k, axes in enumerate(perms[:4]):
+        with_pol = k % 2 == 0
+        ax_list = list(axes) + (["pol"] if with_pol else [])
+        src_axes = {"ant": 0, "time": 1, "dir": 2}
+        val = np.transpose(tec, [src_axes[a] for a in axes])
+        if with_pol:
+            val = np.stack([val, val], axis=-1)
+        p = tmp_path / f"f{k}.h5"
+        with h5py.File(p, "w") as f:
+            ss = f.create_group("sol000")
+            ss.create_dataset("antenna", data=ant)
+            ss.create_dataset("source", data=src)
+            st = ss.create_group("tec000")
+            st.attrs["TITLE"] = np.bytes_(b"tec")
+            v = st.create_dataset("val", data=val)
+            v.attrs["AXES"] = np.bytes_(",".join(ax_list).encode())
+            st.create_dataset("time",
+                              data=58000.0 * 86400 + np.arange(nt) * 30.0)
+            st.create_dataset("ant", data=names)
+            st.create_dataset("dir", data=src["name"])
+            if with_pol:
+                st.create_dataset("pol", data=np.asarray([b"XX", b"YY"]))
+        dp = DataPack.from_h5parm(p)
+        assert dp.shape == (na, nt, nd)
+        np.testing.assert_allclose(dp.dtec, want, rtol=1e-9)
