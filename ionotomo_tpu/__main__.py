@@ -47,7 +47,8 @@ def cmd_serve(args):
         solver=SolverConfig(solver=args.solver, cg_iters=args.cg_iters),
     )
     svc = EpochService(args.watch_dir, args.out_dir, cfg,
-                       wind_kmps=args.wind)
+                       wind_kmps=args.wind,
+                       vtec_anchors_npz=args.vtec_anchors)
     print(f"serving: watching {args.watch_dir} -> {args.out_dir} "
           f"({args.solver})")
     done = svc.run(poll_s=args.poll_s, max_epochs=args.max_epochs)
@@ -322,6 +323,10 @@ def main(argv=None):
     v.add_argument("--prior-kind", default="von_karman")
     v.add_argument("--wind", type=float, nargs=3, default=(0.0, 0.0, 0.0),
                    metavar=("VX", "VY", "VZ"), help="bulk wind [km/s]")
+    v.add_argument("--vtec-anchors", default=None,
+                   help="npz with points_xy/values_tecu/noise_tecu: "
+                        "per-epoch absolute-TEC anchoring of the filter "
+                        "(same format as invert --vtec-anchors)")
     v.add_argument("--poll-s", type=float, default=2.0)
     v.add_argument("--max-epochs", type=int, default=None,
                    help="stop after N epochs (default: run forever)")

@@ -55,7 +55,13 @@ class EpochService:
 
     def __init__(self, watch_dir, out_dir, config: EngineConfig = None,
                  wind_kmps=(0.0, 0.0, 0.0), anchors=None, anchor_cov=None,
-                 key=None):
+                 vtec_anchors_npz=None, key=None):
+        """``vtec_anchors_npz``: path to an npz of external VTEC
+        constraints (``points_xy`` (A,2) ENU km, ``values_tecu`` (A,),
+        ``noise_tecu`` scalar — the invert CLI's format); the anchors are
+        built at bootstrap, once the grid exists. Alternatively pass a
+        ready ``TecAnchors`` via ``anchors`` (+ optional ``anchor_cov``;
+        defaults to a long-horizontal background covariance)."""
         import jax
 
         self.watch_dir = str(watch_dir)
@@ -70,6 +76,7 @@ class EpochService:
         self._wind = np.asarray(wind_kmps, np.float64)
         self._anchors = anchors
         self._anchor_cov = anchor_cov
+        self._anchors_npz = vtec_anchors_npz
         self._key = key if key is not None else jax.random.key(0)
         if os.path.exists(self.state_path):
             self._load_state()
@@ -148,7 +155,28 @@ class EpochService:
         self._build_filter()
 
     def _build_filter(self):
+        from . import constants
+        from .inversion import anchors as anchors_mod
+
         c = self.config
+        if self._anchors_npz and self._anchors is None:
+            with np.load(self._anchors_npz) as z:
+                xy = np.asarray(z["points_xy"], np.float64)
+                v = (np.asarray(z["values_tecu"], np.float64)
+                     * constants.TECU / constants.TEC_SCALE)
+                noise = (float(z["noise_tecu"]) * constants.TECU
+                         / constants.TEC_SCALE)
+            self._anchors = anchors_mod.TecAnchors(
+                rays=anchors_mod.columns_bundle(self.grid, xy),
+                values=jnp.asarray(v, jnp.float32),
+                noise_std=jnp.float32(noise))
+        if self._anchors is not None and self._anchor_cov is None:
+            sp = np.asarray(self.grid.spacing, np.float64)
+            span = sp * (np.asarray(self.grid.shape) - 1)
+            l_h = 0.5 * float(max(span[0], span[1]))
+            self._anchor_cov = GPCovariance.create(
+                self.grid, sigma=1.0, length_scale=(l_h, l_h, 150.0),
+                kind="sqexp")
         ne0 = chapman.chapman_field(self.grid,
                                     n_peak=c.physics.chapman_n_peak,
                                     h_peak_km=c.physics.chapman_h_peak_km,

@@ -141,3 +141,30 @@ def test_concat_times_rejects_position_mismatch():
     import pytest as _pytest                      # different positions
     with _pytest.raises(AssertionError, match="position"):
         DataPack.concat_times([dp1, dp2])
+
+
+def test_service_vtec_anchors_from_npz(tmp_path):
+    """serve --vtec-anchors path: anchors built at bootstrap hold the
+    filter's absolute level (values flow into every epoch's sub-update)."""
+    import jax.numpy as jnp
+    from ionotomo_tpu.forward import tec as tec_mod
+    from ionotomo_tpu.inversion import anchors as anch
+
+    watch = tmp_path / "in"; watch.mkdir()
+    out = tmp_path / "out"
+    _epoch_files(str(watch), 2)
+    npz = tmp_path / "vtec.npz"
+    np.savez(npz, points_xy=np.array([[-20.0, -20.0], [20.0, 20.0]]),
+             values_tecu=np.array([25.0, 26.0]), noise_tecu=np.array(0.2))
+    svc = EpochService(str(watch), str(out), _cfg(),
+                       vtec_anchors_npz=str(npz))
+    assert svc.process_available() == 2
+    assert svc.filter.anchors is not None
+    # the filtered field's VTEC at the anchor columns approaches the
+    # anchored values (25-26 TECU = 25000-26000 working units)
+    from ionotomo_tpu.inversion.solution import Solution
+    sol = Solution.load(out / "epoch_000001.h5")
+    bundle = anch.columns_bundle(svc.grid,
+                                 [[-20.0, -20.0], [20.0, 20.0]])
+    v = np.asarray(tec_mod.tec(jnp.asarray(sol.m[0]), svc.grid, bundle))
+    np.testing.assert_allclose(v, [25000.0, 26000.0], rtol=0.10)
