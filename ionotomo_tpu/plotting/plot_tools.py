@@ -159,3 +159,36 @@ def animate_datapack(datapack: DataPack, antennas=None, ncols=4,
         anim.save(filename, writer=animation.PillowWriter(fps=fps))
         plt.close(fig)
     return anim
+
+
+def plot_vtec_map(solution: Solution, time_idx=0, filename=None,
+                  anchors_xy=None):
+    """Vertical-TEC map of a reconstruction in TECU (the standard science
+    product; forward.tec.vtec_map), with physical ENU extent and optional
+    anchor pierce-point overlay (inversion/anchors.py geometry)."""
+    import jax.numpy as jnp
+    from .. import constants
+    from ..forward.tec import vtec_map
+
+    g = solution.grid
+    v = np.asarray(vtec_map(jnp.asarray(solution.m[time_idx]), g))
+    v_tecu = v * constants.TEC_SCALE / constants.TECU
+    x0, y0 = float(g.origin[0]), float(g.origin[1])
+    x1 = x0 + float(g.spacing[0]) * (g.shape[0] - 1)
+    y1 = y0 + float(g.spacing[1]) * (g.shape[1] - 1)
+    fig, ax = plt.subplots(figsize=(5.2, 4.4))
+    im = ax.imshow(v_tecu.T, origin="lower", extent=(x0, x1, y0, y1),
+                   cmap="viridis", aspect="equal")
+    fig.colorbar(im, ax=ax, label="VTEC [TECU]")
+    if anchors_xy is not None:
+        a = np.atleast_2d(np.asarray(anchors_xy))
+        ax.scatter(a[:, 0], a[:, 1], marker="x", c="w", s=40,
+                   label="anchors")
+        ax.legend(loc="upper right", fontsize=8)
+    ax.set_xlabel("East [km]")
+    ax.set_ylabel("North [km]")
+    ax.set_title(f"vertical TEC, t={time_idx}")
+    if filename:
+        fig.savefig(filename, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+    return fig

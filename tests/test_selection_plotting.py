@@ -146,3 +146,13 @@ def test_flag_outliers_catches_spikes_not_signal():
                                        n_samples=9)
     assert flag_outliers(dp2) == 0
     del base_flags
+
+
+def test_plot_vtec_map(tmp_path):
+    from ionotomo_tpu.plotting.plot_tools import plot_vtec_map
+    g = Grid3D.from_bounds((-100, -100, 0), (100, 100, 800), (12, 12, 12))
+    m = np.asarray(chapman.log_parametrize(chapman.chapman_field(g)))
+    sol = Solution(g, m[None])
+    p = tmp_path / "vtec.png"
+    plot_vtec_map(sol, filename=str(p), anchors_xy=[[-50, -50], [50, 50]])
+    assert p.exists() and p.stat().st_size > 5000
