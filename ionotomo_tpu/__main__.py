@@ -215,6 +215,20 @@ def cmd_info(args):
                   f"grid: {tuple(int(s) for s in f['grid/shape'][:])}")
             if f.attrs.get("config"):
                 print(f"  config: {f.attrs['config'][:160]}...")
+        elif any(k.startswith("sol") and isinstance(f[k], h5py.Group)
+                 for k in f):
+            print(f"h5parm: {args.path}")
+            for ss_name in (k for k in f
+                            if k.startswith("sol")
+                            and isinstance(f[k], h5py.Group)):
+                ss = f[ss_name]
+                soltabs = [k for k in ss
+                           if isinstance(ss[k], h5py.Group)]
+                na = ss["antenna"].shape[0] if "antenna" in ss else "?"
+                nd = ss["source"].shape[0] if "source" in ss else "?"
+                print(f"  {ss_name}: antennas {na}, sources {nd}, "
+                      f"soltabs {soltabs}")
+            print("  load with DataPack.from_h5parm(path)")
         else:
             print("unrecognised file")
 
