@@ -184,8 +184,13 @@ def cmd_predict(args):
                    ref_antenna=dp.ref_antenna,
                    frequency_hz=dp.frequency_hz,
                    frame_model=dp.frame_model)
-    out.save(args.out)
-    print(f"wrote {args.out}")
+    if args.h5parm:
+        out.to_h5parm(args.out)
+        print(f"wrote {args.out} (losoto h5parm tec000 soltab — feed "
+              f"straight back to the LOFAR calibration pipeline)")
+    else:
+        out.save(args.out)
+        print(f"wrote {args.out}")
     if args.rm:
         import h5py
         with h5py.File(args.out, "a") as f:
@@ -319,6 +324,9 @@ def main(argv=None):
     q.add_argument("--n-steps", type=int, default=64)
     q.add_argument("--rm", action="store_true",
                    help="also write differential Faraday RM (dipole B)")
+    q.add_argument("--h5parm", action="store_true",
+                   help="write the prediction as a losoto h5parm "
+                        "(tec000 soltab) instead of a DataPack file")
     q.set_defaults(fn=cmd_predict)
 
     v = sub.add_parser("serve", help="streaming service: watch a "
