@@ -83,3 +83,35 @@ def test_cli_predict_roundtrip(tmp_path):
         scale = np.abs(ds).max()
         assert np.abs(db - ds).max() < 0.05 * scale
         assert np.isfinite(fb["drm"][:]).all()
+
+
+def test_cli_serve_and_h5parm_predict(tmp_path):
+    """serve assimilates dropped epoch files; predict --h5parm emits a
+    soltab that info recognises and from_h5parm reloads."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    watch = tmp_path / "in"; watch.mkdir()
+    out = tmp_path / "out"
+    # epoch files via the simulate CLI (different times)
+    for i in range(2):
+        r = run(["simulate", "--out", str(watch / f"e{i}.h5"),
+                 "--antennas", "6", "--directions", "3", "--grid", "12",
+                 "--times", "1",
+                 "--mjd0", str(58000.45 + i * 30.0 / 86400.0)], repo)
+        assert r.returncode == 0, r.stderr[-500:]
+    r = run(["serve", str(watch), str(out), "--grid", "14",
+             "--samples", "17", "--cg-iters", "6", "--max-epochs", "2",
+             "--prior-kind", "sqexp"], repo)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "assimilated 2 epoch(s)" in r.stdout
+    assert (out / "epoch_000001.h5").exists()
+
+    # h5parm output from predict on the served solution
+    pred = tmp_path / "pred.h5"
+    r = run(["predict", str(out / "epoch_000001.h5"),
+             str(watch / "e1.h5"), "--out", str(pred), "--samples", "17",
+             "--h5parm"], repo)
+    assert r.returncode == 0, r.stderr[-500:]
+    r = run(["info", str(pred)], repo)
+    assert r.returncode == 0 and "h5parm" in r.stdout
+    from ionotomo_tpu.data.datapack import DataPack
+    assert DataPack.from_h5parm(pred).shape == (6, 1, 3)
