@@ -226,7 +226,8 @@ def map_gauss_newton_robust(grid: Grid3D, rays: RayBundle, d_obs,
 def posterior_samples(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                       m_prior, cov: GPCovariance, num_directions: int,
                       key, n_samples: int = 8, i0: int = 0,
-                      cg_iters: int = 40, cg_tol: float = 1e-4):
+                      cg_iters: int = 40, cg_tol: float = 1e-4,
+                      anchors=None):
     """Randomise-then-optimise posterior sampling (uncertainty beyond MAP).
 
     Draws n_samples from the linearised Bayesian posterior by solving the
@@ -237,13 +238,27 @@ def posterior_samples(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
     Returns (samples (n_samples, *grid.shape), mean, std). The spread of
     the samples estimates posterior uncertainty (exact in the linearised
     Gaussian limit).
+
+    ``anchors`` (inversion.anchors.TecAnchors): absolute-TEC rows joined
+    to the data space; each sample's anchor values are perturbed by the
+    anchor noise automatically (they are just more data rows to RTO), so
+    the sampled uncertainty contracts in the anchored directions. Same
+    truncated-CG caveat as the joint MAP mode (DESIGN.md §8): with ~10⁴
+    dTEC rows the anchor directions need generous ``cg_iters`` to be
+    fit — for point estimates at that scale prefer sequential
+    assimilation, and sample about the anchored background.
     """
     d = jnp.asarray(d_obs).ravel()
     cd_diag = jnp.broadcast_to(jnp.asarray(noise_std),
                                jnp.asarray(d_obs).shape).ravel() ** 2
+    if anchors is not None:
+        d = jnp.concatenate([d, anchors.values])
+        ca = jnp.broadcast_to(jnp.asarray(anchors.noise_std),
+                              anchors.values.shape).ravel() ** 2
+        cd_diag = jnp.concatenate([cd_diag, ca])
     inv_cd = 1.0 / cd_diag
     apply_j, apply_jt, g0 = _dtec_operator(grid, rays, num_directions, i0,
-                                           m_prior)
+                                           m_prior, anchors)
     r0 = d - g0
 
     def matvec(u):

@@ -363,3 +363,38 @@ def test_assimilate_anchors_sequential_background():
     mis2 = float(jnp.sqrt(jnp.mean(
         (tec_mod.tec(res.m, grid, bundle) - v_true) ** 2)))
     assert mis2 < 0.15 * mis0
+
+
+def test_posterior_samples_anchors_contract_column_uncertainty():
+    """RTO sampling with anchor rows: the sampled spread of column TEC at
+    the anchored pierce points contracts vs the unanchored posterior."""
+    import jax
+    from ionotomo_tpu.forward import tec as tec_mod
+    from ionotomo_tpu.inversion import anchors as anch
+
+    w = inversion_world(nx=14, n_ants=6, n_dirs=4, seed=9)
+    grid = w["grid"]
+    cov = GPCovariance.create(grid, sigma=0.3, length_scale=100.0,
+                              kind="sqexp")
+    bundle = anch.vertical_anchor_bundle(grid, nx=2, ny=2, n_samples=25)
+    v_true = tec_mod.tec(w["m_true"], grid, bundle)
+    a = anch.TecAnchors(rays=bundle, values=v_true,
+                        noise_std=jnp.float32(0.002 * float(v_true.mean())))
+    kw = dict(num_directions=w["n_dirs"], key=jax.random.key(1),
+              n_samples=8, cg_iters=25)
+    s0, _, _ = solvers.posterior_samples(grid, w["rays"], w["d_obs"],
+                                         w["noise_std"], w["m_prior"],
+                                         cov, **kw)
+    s1, _, _ = solvers.posterior_samples(grid, w["rays"], w["d_obs"],
+                                         w["noise_std"], w["m_prior"],
+                                         cov, anchors=a, **kw)
+
+    def col_spread(samples):
+        v = jnp.stack([tec_mod.tec(m, grid, bundle) for m in samples])
+        return float(v.std(axis=0).mean())
+
+    assert col_spread(s1) < 0.5 * col_spread(s0)
+    # anchored sample mean honours the anchor values
+    v_mean = jnp.stack([tec_mod.tec(m, grid, bundle) for m in s1]).mean(0)
+    np.testing.assert_allclose(np.asarray(v_mean), np.asarray(v_true),
+                               rtol=0.05)
