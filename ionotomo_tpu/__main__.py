@@ -91,20 +91,8 @@ def cmd_invert(args):
     pipe = InversionPipeline(dp, cfg)
     anchors = None
     if args.vtec_anchors:
-        import numpy as np
-        from . import constants
-        from .inversion import anchors as anchors_mod
-        with np.load(args.vtec_anchors) as z:
-            xy = np.asarray(z["points_xy"], np.float64)     # (A, 2) ENU km
-            v = (np.asarray(z["values_tecu"], np.float64)
-                 * constants.TECU / constants.TEC_SCALE)
-            noise = (float(z["noise_tecu"]) * constants.TECU
-                     / constants.TEC_SCALE)
-        import jax.numpy as jnp
-        bundle = anchors_mod.columns_bundle(pipe.grid, xy)
-        anchors = anchors_mod.TecAnchors(
-            rays=bundle, values=jnp.asarray(v, jnp.float32),
-            noise_std=jnp.float32(noise))
+        from .inversion.anchors import anchors_from_npz
+        anchors = anchors_from_npz(pipe.grid, args.vtec_anchors)
     sol = pipe.run(resume=args.resume, anchors=anchors,
                    anchor_mode=args.anchor_mode)
     sol.save(args.out)
@@ -185,6 +173,12 @@ def cmd_predict(args):
                    frequency_hz=dp.frequency_hz,
                    frame_model=dp.frame_model)
     if args.h5parm:
+        if args.rm:
+            raise SystemExit(
+                "--h5parm with --rm is not supported: differential RM has "
+                "no losoto soltab representation here and a stray root "
+                "dataset would break pipeline consumers — write a "
+                "DataPack file (drop --h5parm) for RM output")
         out.to_h5parm(args.out)
         print(f"wrote {args.out} (losoto h5parm tec000 soltab — feed "
               f"straight back to the LOFAR calibration pipeline)")

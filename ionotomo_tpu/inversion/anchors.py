@@ -131,6 +131,59 @@ def vertical_anchor_bundle(grid: Grid3D, nx: int = 4, ny: int = 4,
     return columns_bundle(grid, xy, n_samples)
 
 
+def anchors_from_npz(grid: Grid3D, path, n_samples: int = 65
+                     ) -> TecAnchors:
+    """Build vertical-column anchors from the CLI npz format
+    (``points_xy`` (A,2) ENU km, ``values_tecu`` (A,), ``noise_tecu``
+    scalar) — shared by ``invert --vtec-anchors`` and the serving layer.
+    Pierce points must lie inside the grid's horizontal extent: columns
+    outside would be silently edge-clamped by the tricubic interpolant
+    and bias every solve."""
+    from .. import constants
+
+    with np.load(path) as z:
+        xy = np.asarray(z["points_xy"], np.float64)
+        v = (np.asarray(z["values_tecu"], np.float64)
+             * constants.TECU / constants.TEC_SCALE)
+        noise = (float(z["noise_tecu"]) * constants.TECU
+                 / constants.TEC_SCALE)
+    origin = np.asarray(grid.origin, np.float64)
+    span = np.asarray(grid.spacing, np.float64) * (
+        np.asarray(grid.shape) - 1)
+    bad = ((xy[:, 0] < origin[0]) | (xy[:, 0] > origin[0] + span[0])
+           | (xy[:, 1] < origin[1]) | (xy[:, 1] > origin[1] + span[1]))
+    if bad.any():
+        raise ValueError(
+            f"{int(bad.sum())} anchor pierce point(s) fall outside the "
+            f"grid's horizontal extent x∈[{origin[0]:.0f}, "
+            f"{origin[0]+span[0]:.0f}], y∈[{origin[1]:.0f}, "
+            f"{origin[1]+span[1]:.0f}] km — out-of-grid columns would be "
+            "edge-clamped and bias the solve; drop them or enlarge the "
+            "grid")
+    return TecAnchors(rays=columns_bundle(grid, xy, n_samples),
+                      values=jnp.asarray(v, jnp.float32),
+                      noise_std=jnp.float32(noise))
+
+
+def background_covariance(grid: Grid3D, sigma: float = 1.0,
+                          vertical_scale_km: float = 150.0):
+    """Background-error covariance for sequential anchor assimilation:
+    long horizontal correlation (half the grid's horizontal span — profile
+    errors are large-scale) × ``vertical_scale_km``. Distinct from the
+    turbulence prior (measured: DESIGN.md §8 — through an L≈80 km prior
+    the update fits the columns and interpolates nothing between them).
+    Shared by ``InversionPipeline.anchor_background_cov`` and the serving
+    layer."""
+    from .priors import GPCovariance
+
+    sp = np.asarray(jax.device_get(grid.spacing), np.float64)
+    span = sp * (np.asarray(grid.shape) - 1)
+    l_h = 0.5 * float(max(span[0], span[1]))
+    return GPCovariance.create(grid, sigma=sigma,
+                               length_scale=(l_h, l_h, vertical_scale_km),
+                               kind="sqexp")
+
+
 def anchor_map_step(grid: Grid3D, m_k: jax.Array, cov,
                     rays: RayBundle, values, inv_cd,
                     cg_iters: int, cg_tol: float = 1e-5, m_pull=None):

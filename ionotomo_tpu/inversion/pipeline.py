@@ -328,19 +328,12 @@ class InversionPipeline:
     def anchor_background_cov(self, sigma: float = 1.0,
                               vertical_scale_km: float = 150.0
                               ) -> GPCovariance:
-        """Background-error covariance for sequential VTEC assimilation:
-        long horizontal correlation (half the grid's horizontal span —
-        profile errors are large-scale) × ``vertical_scale_km`` vertical.
-        Distinct from the turbulence prior: measured at 128³ (DESIGN.md
-        "VTEC anchoring"), assimilating a global profile error through the
-        L≈80 km turbulence prior fits the anchor columns but interpolates
-        nothing between them."""
-        sp = np.asarray(jax.device_get(self.grid.spacing), np.float64)
-        span = sp * (np.asarray(self.grid.shape) - 1)
-        l_h = 0.5 * float(max(span[0], span[1]))
-        return GPCovariance.create(
-            self.grid, sigma=sigma,
-            length_scale=(l_h, l_h, vertical_scale_km), kind="sqexp")
+        """Background-error covariance for sequential VTEC assimilation —
+        see inversion.anchors.background_covariance (shared with the
+        serving layer)."""
+        from .anchors import background_covariance
+        return background_covariance(self.grid, sigma=sigma,
+                                     vertical_scale_km=vertical_scale_km)
 
     def run(self, resume: bool = True, anchors=None,
             anchor_mode: str = "sequential", anchor_cov=None) -> Solution:

@@ -84,6 +84,18 @@ def _dtec_operator(grid: Grid3D, rays: RayBundle, num_directions: int,
     return apply, applyt, g0
 
 
+def _join_anchor_rows(d, cd_diag, anchors):
+    """Append absolute-TEC anchor rows to a flattened data vector and its
+    noise-variance diagonal (shared by map_gauss_newton and
+    posterior_samples)."""
+    if anchors is None:
+        return d, cd_diag
+    ca = jnp.broadcast_to(jnp.asarray(anchors.noise_std),
+                          anchors.values.shape).ravel() ** 2
+    return (jnp.concatenate([d, anchors.values]),
+            jnp.concatenate([cd_diag, ca]))
+
+
 @partial(jax.jit, static_argnames=("num_directions", "i0", "max_iters"))
 def lsqr_smoothness(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                     m0, num_directions: int, i0: int = 0,
@@ -154,11 +166,7 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
     d = jnp.asarray(d_obs).ravel()
     cd_diag = jnp.broadcast_to(jnp.asarray(noise_std),
                                jnp.asarray(d_obs).shape).ravel() ** 2
-    if anchors is not None:
-        d = jnp.concatenate([d, anchors.values])
-        ca = jnp.broadcast_to(jnp.asarray(anchors.noise_std),
-                              anchors.values.shape).ravel() ** 2
-        cd_diag = jnp.concatenate([cd_diag, ca])
+    d, cd_diag = _join_anchor_rows(d, cd_diag, anchors)
     inv_cd = 1.0 / cd_diag
 
     def gn_step(m_k, _):
@@ -251,11 +259,7 @@ def posterior_samples(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
     d = jnp.asarray(d_obs).ravel()
     cd_diag = jnp.broadcast_to(jnp.asarray(noise_std),
                                jnp.asarray(d_obs).shape).ravel() ** 2
-    if anchors is not None:
-        d = jnp.concatenate([d, anchors.values])
-        ca = jnp.broadcast_to(jnp.asarray(anchors.noise_std),
-                              anchors.values.shape).ravel() ** 2
-        cd_diag = jnp.concatenate([cd_diag, ca])
+    d, cd_diag = _join_anchor_rows(d, cd_diag, anchors)
     inv_cd = 1.0 / cd_diag
     apply_j, apply_jt, g0 = _dtec_operator(grid, rays, num_directions, i0,
                                            m_prior, anchors)

@@ -91,6 +91,13 @@ class EpochService:
         state["grid_shape"] = np.asarray(self.grid.shape)
         state["last_mjd"] = np.float64(
             self.last_mjd if self.last_mjd is not None else np.nan)
+        # anchors are part of the run's identity (like the config): a
+        # restart with different/missing anchors must refuse, not
+        # silently change the stream's absolute level
+        if self._anchors is not None:
+            state["anchor_points"] = np.asarray(self._anchors.rays.points)
+            state["anchor_values"] = np.asarray(self._anchors.values)
+            state["anchor_noise"] = np.asarray(self._anchors.noise_std)
         ckpt_mod.save_checkpoint(self.out_dir, self.filter.t, state,
                                  self.config.to_json(),
                                  name=os.path.basename(self.state_path))
@@ -115,6 +122,23 @@ class EpochService:
                 "mix two runs; point the service at a fresh out_dir or "
                 "restore the original configuration")
         self._build_filter()
+        saved_anchor = {k: state.pop(k) for k in
+                        ("anchor_points", "anchor_values", "anchor_noise")
+                        if k in state}
+        mine = self._anchors
+        if bool(saved_anchor) != (mine is not None) or (
+                saved_anchor and not (
+                    np.allclose(saved_anchor["anchor_points"],
+                                np.asarray(mine.rays.points))
+                    and np.allclose(saved_anchor["anchor_values"],
+                                    np.asarray(mine.values))
+                    and np.allclose(saved_anchor["anchor_noise"],
+                                    np.asarray(mine.noise_std)))):
+            raise ValueError(
+                "state.npz was produced with different absolute-TEC "
+                "anchors than this service is configured with — resuming "
+                "would silently change the stream's absolute level; use "
+                "a fresh out_dir or restore the original anchors")
         self.filter.load_state(state)
         # drop diagnostics for epochs that will be re-emitted (a crash
         # mid-file re-processes that file; Solutions overwrite
@@ -155,28 +179,14 @@ class EpochService:
         self._build_filter()
 
     def _build_filter(self):
-        from . import constants
         from .inversion import anchors as anchors_mod
 
         c = self.config
         if self._anchors_npz and self._anchors is None:
-            with np.load(self._anchors_npz) as z:
-                xy = np.asarray(z["points_xy"], np.float64)
-                v = (np.asarray(z["values_tecu"], np.float64)
-                     * constants.TECU / constants.TEC_SCALE)
-                noise = (float(z["noise_tecu"]) * constants.TECU
-                         / constants.TEC_SCALE)
-            self._anchors = anchors_mod.TecAnchors(
-                rays=anchors_mod.columns_bundle(self.grid, xy),
-                values=jnp.asarray(v, jnp.float32),
-                noise_std=jnp.float32(noise))
+            self._anchors = anchors_mod.anchors_from_npz(
+                self.grid, self._anchors_npz)
         if self._anchors is not None and self._anchor_cov is None:
-            sp = np.asarray(self.grid.spacing, np.float64)
-            span = sp * (np.asarray(self.grid.shape) - 1)
-            l_h = 0.5 * float(max(span[0], span[1]))
-            self._anchor_cov = GPCovariance.create(
-                self.grid, sigma=1.0, length_scale=(l_h, l_h, 150.0),
-                kind="sqexp")
+            self._anchor_cov = anchors_mod.background_covariance(self.grid)
         ne0 = chapman.chapman_field(self.grid,
                                     n_peak=c.physics.chapman_n_peak,
                                     h_peak_km=c.physics.chapman_h_peak_km,

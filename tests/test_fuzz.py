@@ -146,9 +146,8 @@ def test_fuzz_h5parm_axis_permutations(tmp_path):
     tec = rng.normal(scale=0.1, size=(na, nt, nd))        # TECU, canonical
 
     perms = list(itertools.permutations(["ant", "time", "dir"]))
-    rng.shuffle(perms)
     want = (tec - tec[0:1]) * constants.TECU / constants.TEC_SCALE
-    for k, axes in enumerate(perms[:4]):
+    for k, axes in enumerate(perms):
         with_pol = k % 2 == 0
         ax_list = list(axes) + (["pol"] if with_pol else [])
         src_axes = {"ant": 0, "time": 1, "dir": 2}

@@ -168,3 +168,34 @@ def test_service_vtec_anchors_from_npz(tmp_path):
                                  [[-20.0, -20.0], [20.0, 20.0]])
     v = np.asarray(tec_mod.tec(jnp.asarray(sol.m[0]), svc.grid, bundle))
     np.testing.assert_allclose(v, [25000.0, 26000.0], rtol=0.10)
+
+
+def test_service_anchor_restart_guard(tmp_path):
+    """A restart with different/missing anchors refuses the stale state
+    (anchors are part of the run's identity, like the config)."""
+    import pytest as _pytest
+    watch = tmp_path / "in"; watch.mkdir()
+    out = tmp_path / "out"
+    _epoch_files(str(watch), 1)
+    npz = tmp_path / "vtec.npz"
+    np.savez(npz, points_xy=np.array([[0.0, 0.0]]),
+             values_tecu=np.array([30.0]), noise_tecu=np.array(0.5))
+    svc = EpochService(str(watch), str(out), _cfg(),
+                       vtec_anchors_npz=str(npz))
+    assert svc.process_available() == 1
+    with _pytest.raises(ValueError, match="anchors"):
+        EpochService(str(watch), str(out), _cfg())      # anchors dropped
+    np.savez(npz, points_xy=np.array([[5.0, 5.0]]),     # anchors changed
+             values_tecu=np.array([30.0]), noise_tecu=np.array(0.5))
+    with _pytest.raises(ValueError, match="anchors"):
+        EpochService(str(watch), str(out), _cfg(),
+                     vtec_anchors_npz=str(npz))
+    # out-of-grid anchors are rejected up front
+    np.savez(npz, points_xy=np.array([[5000.0, 0.0]]),
+             values_tecu=np.array([30.0]), noise_tecu=np.array(0.5))
+    watch2 = tmp_path / "in2"; watch2.mkdir()
+    _epoch_files(str(watch2), 1)
+    svc3 = EpochService(str(watch2), str(tmp_path / "out2"), _cfg(),
+                        vtec_anchors_npz=str(npz))
+    with _pytest.raises(ValueError, match="outside the grid"):
+        svc3.process_available()
