@@ -12,6 +12,17 @@ import json
 import sys
 
 
+def _prior_length(values):
+    """Validate --prior-length arity: 1 (isotropic) or 3 (Lx Ly Lz).
+    Any other count would be silently truncated / crash deep inside
+    GPCovariance.create with an opaque IndexError (ADVICE r2)."""
+    if len(values) not in (1, 3):
+        raise SystemExit(
+            f"--prior-length takes 1 (isotropic) or 3 (Lx Ly Lz) values, "
+            f"got {len(values)}: {values}")
+    return tuple(values) if len(values) == 3 else values[0]
+
+
 def cmd_simulate(args):
     from .data.synth import generate_example_datapack
 
@@ -40,9 +51,7 @@ def cmd_serve(args):
         grid=GridConfig(shape=(args.grid,) * 3),
         rays=RayConfig(n_samples=args.samples),
         prior=PriorConfig(sigma=args.prior_sigma,
-                          length_scale_km=(tuple(args.prior_length)
-                                           if len(args.prior_length) > 1
-                                           else args.prior_length[0]),
+                          length_scale_km=_prior_length(args.prior_length),
                           kind=args.prior_kind),
         solver=SolverConfig(solver=args.solver, cg_iters=args.cg_iters),
     )
@@ -76,9 +85,7 @@ def cmd_invert(args):
                        n_steps=args.n_steps,
                        retrace_every=args.retrace_every),
         prior=PriorConfig(sigma=args.prior_sigma,
-                          length_scale_km=(tuple(args.prior_length)
-                                           if len(args.prior_length) > 1
-                                           else args.prior_length[0]),
+                          length_scale_km=_prior_length(args.prior_length),
                           kind=args.prior_kind,
                           auto_select=args.auto_prior),
         solver=SolverConfig(solver=args.solver, gn_iters=args.gn_iters,

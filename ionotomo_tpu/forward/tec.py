@@ -163,7 +163,8 @@ def tec_linear(ne_field: jax.Array, grid: Grid3D, rays: RayBundle
 def vtec_map(field_m: jax.Array, grid: Grid3D) -> jax.Array:
     """Vertical TEC map: ∫ n_e dz per (x, y) column, (nx, ny) in
     TEC_SCALE working units — the standard map product of a tomographic
-    reconstruction (divide by 10 for TECU at the default 1e13 scale).
+    reconstruction (divide by 1000 for TECU at the default 1e13 scale:
+    1 working unit = 1 mTECU).
     Simpson over the grid's own z axis; exact for the voxel model."""
     ne = constants.K_NE * jnp.exp(field_m)               # (nx, ny, nz)
     w = simpson_weights(grid.shape[2], ne.dtype)

@@ -81,12 +81,14 @@ class OnlineKalman:
 
     def state_dict(self):
         return {"m": np.asarray(self.m), "t": np.int64(self.t),
-                "wind_kmps": self.wind}
+                "wind_kmps": self.wind, "dt_s": np.float64(self.dt_s)}
 
     def load_state(self, state):
         self.m = jnp.asarray(state["m"])
         self.t = int(state["t"])
         self.wind = np.asarray(state["wind_kmps"])
+        if "dt_s" in state:        # pre-upgrade states keep their default
+            self.dt_s = float(state["dt_s"])
 
 
 class OnlineEnsembleKalman:
@@ -145,9 +147,11 @@ class OnlineEnsembleKalman:
 
     def state_dict(self):
         return {"ensemble": np.asarray(self.ens), "t": np.int64(self.t),
-                "wind_kmps": self.wind}
+                "wind_kmps": self.wind, "dt_s": np.float64(self.dt_s)}
 
     def load_state(self, state):
         self.ens = jnp.asarray(state["ensemble"])
         self.t = int(state["t"])
         self.wind = np.asarray(state["wind_kmps"])
+        if "dt_s" in state:        # pre-upgrade states keep their default
+            self.dt_s = float(state["dt_s"])

@@ -96,6 +96,10 @@ class GPCovariance:
         nx, ny, nz = grid.shape
         sp = np.asarray(jax.device_get(grid.spacing), np.float64)
         ls = np.asarray(length_scale, np.float64).reshape(-1)
+        if ls.size not in (1, 3):
+            raise ValueError(
+                f"length_scale must be scalar or 3-sequence (Lx, Ly, Lz), "
+                f"got {ls.size} values")
         ls_meta = (float(ls[0]) if ls.size == 1
                    else tuple(float(v) for v in ls))
         ls3 = np.full(3, ls[0]) if ls.size == 1 else ls

@@ -248,8 +248,15 @@ class EpochService:
                 # epoch (across files too; persisted for restarts)
                 if self.last_mjd is not None:
                     dt = (float(dp.times[t]) - self.last_mjd) * 86400.0
-                    if dt > 0:
-                        self.filter.dt_s = dt
+                    # out-of-order epoch (a later-arriving file that sorts
+                    # earlier): dt_s = 0 makes the frozen-flow advection
+                    # the identity — "assimilate without advection" per
+                    # the module contract. Setting it unconditionally
+                    # (not only when dt > 0) also keeps dt_s equal to the
+                    # real elapsed time rather than a stale previous
+                    # cadence (ADVICE r2); dt_s persists in the state
+                    # file so restarts reproduce the edge case exactly.
+                    self.filter.dt_s = max(dt, 0.0)
                 self.last_mjd = float(dp.times[t])
                 origins, dvecs = rays_mod.make_ray_batch(
                     dev["antennas_enu"], dev["directions_enu"][t])

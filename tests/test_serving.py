@@ -128,6 +128,50 @@ def test_service_cadence_config_guard_and_unreadable_files(tmp_path):
     assert svc2.last_mjd is not None
 
 
+def test_service_out_of_order_epoch_no_advection_and_restart(tmp_path):
+    """A later-arriving file whose time sorts BEFORE the last assimilated
+    epoch (allowed by the ingest contract) must assimilate without
+    advection (dt_s = 0, advect_periodic identity), not be advected by the
+    stale previous cadence — and a restart must reproduce the same dt_s
+    rather than resetting to the 30 s default (ADVICE r2)."""
+    watch = tmp_path / "in"; watch.mkdir()
+    out_a = tmp_path / "out_a"; out_b = tmp_path / "out_b"
+
+    def mk(i, mjd):
+        dp, _ = generate_example_datapack(
+            n_antennas=6, n_directions=4, n_times=1, mjd0=mjd,
+            grid_shape=(12, 12, 12), seed=i, n_samples=17)
+        dp.save(watch / f"z{i}.h5")
+
+    # files named so sorted order is z0, z1, z2 but z1's TIME precedes
+    # z0's (an out-of-order arrival) — needs nonzero wind to matter
+    mk(0, 58000.45)
+    mk(1, 58000.45 - 20.0 / 86400.0)
+    svc = EpochService(str(watch), str(out_a), _cfg(),
+                       wind_kmps=(0.5, 0.0, 0.0))
+    assert svc.process_available() == 2
+    assert svc.filter.dt_s == 0.0          # out-of-order: no advection
+    del svc
+
+    # restarted twin over the same stream, epoch-by-epoch
+    svc_b = EpochService(str(watch), str(out_b), _cfg(),
+                         wind_kmps=(0.5, 0.0, 0.0))
+    assert svc_b.process_available() == 2
+    del svc_b
+    svc_b2 = EpochService(str(watch), str(out_b), _cfg(),
+                          wind_kmps=(0.5, 0.0, 0.0))
+    assert svc_b2.filter.dt_s == 0.0       # persisted, not reset to 30 s
+    mk(2, 58000.45 + 40.0 / 86400.0)       # stream continues after restart
+    assert svc_b2.process_available() == 1
+    svc_a2 = EpochService(str(watch), str(out_a), _cfg(),
+                          wind_kmps=(0.5, 0.0, 0.0))
+    assert svc_a2.process_available() == 1
+    for i in range(3):
+        sa = Solution.load(out_a / f"epoch_{i:06d}.h5")
+        sb = Solution.load(out_b / f"epoch_{i:06d}.h5")
+        np.testing.assert_allclose(sa.m, sb.m, atol=0)
+
+
 def test_concat_times_rejects_position_mismatch():
     from ionotomo_tpu.data.datapack import DataPack
     dp1, _ = generate_example_datapack(n_antennas=4, n_directions=2,
