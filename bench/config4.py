@@ -40,7 +40,12 @@ def main():
                                   frequency_hz=150e6, n_steps=256,
                                   noise_frac=0.01)
     origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
-    n_samples = int(os.environ.get("BENCH_N_SAMPLES", "129"))
+    # round-3 default: Hermite (gradient-augmented) operator at 65
+    # samples — 12.1 s at held-out 1282 vs the r2 Simpson@129's 22.9 s at
+    # 1359 (uniform weights kill Simpson's Nyquist comb; the endpoint
+    # gradient correction is free — PRECISION.md round-3 study)
+    n_samples = int(os.environ.get("BENCH_N_SAMPLES", "65"))
+    quadrature = os.environ.get("BENCH_QUADRATURE", "hermite")
     rb = rays_mod.sample_straight_rays(origins, dvecs,
                                        n_samples=n_samples)
     ants_h, dirs_h = make_rays(20, 50, seed=99)   # held-out rays
@@ -51,7 +56,7 @@ def main():
     gn_iters, cg_iters = 2, 20
     f = jax.jit(lambda d: solvers.map_gauss_newton(
         grid, rb, d, noise, m_prior, cov, num_directions=100,
-        gn_iters=gn_iters, cg_iters=cg_iters))
+        gn_iters=gn_iters, cg_iters=cg_iters, quadrature=quadrature))
     res, secs = timed(f, jnp.asarray(d_obs), reps=1)
     err_pr = covered_rmse(m_prior, m_true, grid, rb)
     err_po = covered_rmse(res.m, m_true, grid, rb)
@@ -59,7 +64,7 @@ def main():
     ho_po = heldout_dtec_rms(res.m, grid, ants_h, dirs_h, d_h)
     emit("config4", "map_gn_seconds_to_solve", secs, "s",
          cg_iters_per_sec=gn_iters * cg_iters / secs,
-         n_samples=n_samples,
+         n_samples=n_samples, quadrature=quadrature,
          covered_rmse_prior=err_pr, covered_rmse_post=err_po,
          heldout_dtec_rms_prior=ho_pr, heldout_dtec_rms_post=ho_po,
          data="bent-tracer 2x quadrature + 1% noise, von Karman truth, "

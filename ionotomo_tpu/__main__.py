@@ -43,17 +43,20 @@ def cmd_simulate(args):
 
 
 def cmd_serve(args):
-    from .config import (EngineConfig, GridConfig, PriorConfig, RayConfig,
-                         SolverConfig)
+    from .config import (EngineConfig, GridConfig, PhysicsConfig,
+                         PriorConfig, RayConfig, SolverConfig)
     from .serving import EpochService
 
     cfg = EngineConfig(
+        physics=PhysicsConfig(time_varying_clim=args.time_varying_clim),
         grid=GridConfig(shape=(args.grid,) * 3),
-        rays=RayConfig(n_samples=args.samples),
+        rays=RayConfig(n_samples=args.samples,
+                       quadrature=args.quadrature),
         prior=PriorConfig(sigma=args.prior_sigma,
                           length_scale_km=_prior_length(args.prior_length),
                           kind=args.prior_kind),
-        solver=SolverConfig(solver=args.solver, cg_iters=args.cg_iters),
+        solver=SolverConfig(solver=args.solver, cg_iters=args.cg_iters,
+                            kalman_fade=args.fade),
     )
     svc = EpochService(args.watch_dir, args.out_dir, cfg,
                        wind_kmps=args.wind,
@@ -79,9 +82,11 @@ def cmd_invert(args):
               f"(threshold {args.auto_flag} median steps)")
     cfg = EngineConfig(
         physics=PhysicsConfig(apriori_model=args.apriori_model,
-                              curved_earth=args.curved_earth),
+                              curved_earth=args.curved_earth,
+                              time_varying_clim=args.time_varying_clim),
         grid=GridConfig(shape=(args.grid,) * 3),
         rays=RayConfig(bent=args.bent, n_samples=args.samples,
+                       quadrature=args.quadrature,
                        n_steps=args.n_steps,
                        retrace_every=args.retrace_every),
         prior=PriorConfig(sigma=args.prior_sigma,
@@ -281,6 +286,15 @@ def main(argv=None):
                             "kalman", "enkf"])
     i.add_argument("--gn-iters", type=int, default=2)
     i.add_argument("--cg-iters", type=int, default=40)
+    i.add_argument("--time-varying-clim", action="store_true",
+                   help="kalman/enkf: recompute the climatological "
+                        "fade-pull target per epoch from the epoch's "
+                        "solar zenith (day/night terminator tracking)")
+    i.add_argument("--quadrature", default="hermite",
+                   choices=["simpson", "hermite"],
+                   help="straight-ray operator quadrature rule (hermite: "
+                        "gradient-augmented, equal accuracy at ~half the "
+                        "samples)")
     i.add_argument("--prior-sigma", type=float, default=0.3)
     i.add_argument("--prior-length", type=float, nargs="+", default=[80.0],
                    metavar="L",
@@ -340,6 +354,14 @@ def main(argv=None):
     v.add_argument("--grid", type=int, default=64)
     v.add_argument("--samples", type=int, default=65)
     v.add_argument("--cg-iters", type=int, default=30)
+    v.add_argument("--quadrature", default="hermite",
+                   choices=["simpson", "hermite"])
+    v.add_argument("--fade", type=float, default=1.0,
+                   help="per-step pull toward the climatology (1.0 = "
+                        "pure frozen flow; <1 enables the clim pull)")
+    v.add_argument("--time-varying-clim", action="store_true",
+                   help="recompute the climatological fade-pull target "
+                        "per epoch from its solar zenith")
     v.add_argument("--prior-sigma", type=float, default=0.3)
     v.add_argument("--prior-length", type=float, nargs="+", default=[80.0],
                    metavar="L")

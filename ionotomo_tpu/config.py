@@ -26,6 +26,13 @@ class PhysicsConfig:
     apriori_model: str = "chapman"    # | "multi_chapman" (E/F1/F2 stack +
                                       # plasmasphere; models/chapman.py)
     plasmasphere_n0: float = 0.0      # multi_chapman topside tail density
+    time_varying_clim: bool = False   # recompute the climatological field
+                                      # (Chapman × solar-zenith factor) per
+                                      # epoch from the epoch timestamp in
+                                      # the filters/serving, so the fade
+                                      # pull tracks the day/night
+                                      # terminator instead of a background
+                                      # frozen at bootstrap
     curved_earth: bool = False        # evaluate the a-priori profile at true
                                       # altitude above the curved Earth (and
                                       # the solar factor per column) instead
@@ -44,6 +51,11 @@ class GridConfig:
 @dataclasses.dataclass(frozen=True)
 class RayConfig:
     n_samples: int = constants.DEFAULT_N_SAMPLES   # straight-ray quadrature
+    quadrature: str = "hermite"   # straight-ray operator rule: "hermite"
+                                  # (gradient-augmented, production default
+                                  # — equal-or-better skill at ~half the
+                                  # samples; PRECISION.md round-3 study)
+                                  # | "simpson" (the r2 operator)
     n_steps: int = 64     # bent-ray integrator; solver-grade per the
                           # PRECISION.md convergence study (128 buys nothing)
     method: str = "leapfrog"                       # "leapfrog" | "rk4"
@@ -81,6 +93,10 @@ class SolverConfig:
     enkf_spectrum_blend: float = 0.0  # >0: per-step adaptive spectral gain
                                       # (shell-fitted prediction covariance;
                                       # inversion/kalman.py)
+    enkf_anchor_update: str = "sqrt"  # anchored-EnKF member update:
+                                      # "sqrt" (deterministic square-root,
+                                      # no perturbed-anchor sampling noise)
+                                      # | "stochastic" (perturbed values)
     gn_iters: int = 3
     cg_iters: int = 40
     cg_tol: float = 1e-4

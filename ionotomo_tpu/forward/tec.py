@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from .. import constants
 from ..core import tricubic
 from ..core.grids import Grid3D
-from ..geometry.rays import RayBundle, simpson_weights
+from ..geometry.rays import RayBundle, simpson_weights, trapezoid_weights
 
 
 def _ref_row(arr: jax.Array, i0: int) -> jax.Array:
@@ -145,6 +145,99 @@ def dtec_paired(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
     """
     m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3))
     return dtec_paired_from_log_values(m, rays, num_directions, i0)
+
+
+def _endpoint_dne_ds(field_m: jax.Array, grid: Grid3D, rays: RayBundle):
+    """Path derivative of n_e at each ray's first and last sample.
+
+    dn_e/ds = n_e · (∇m · t̂) — the same identity the bent tracer's Hermite
+    TEC accumulation uses (geometry.fermat), here evaluated only at the 2R
+    endpoint samples (the only places the telescoped composite Hermite
+    rule has nonzero derivative weights; see rays.trapezoid_weights).
+    Tangents from the first/last path segments — exact for straight rays,
+    O(ds²)-accurate for stored bent paths (a second-order error on an
+    O(ds²) correction term). Returns (d_first (R,), d_last (R,)) in
+    m⁻³/km.
+    """
+    pts = rays.points
+    r = pts.shape[0]
+    seg0 = pts[:, 1] - pts[:, 0]
+    seg1 = pts[:, -1] - pts[:, -2]
+    t_hat = jnp.concatenate([seg0, seg1], axis=0)
+    t_hat = t_hat / jnp.linalg.norm(t_hat, axis=-1, keepdims=True)
+    ends = jnp.concatenate([pts[:, 0], pts[:, -1]], axis=0)   # (2R, 3)
+    nx, ny, nz = grid.shape
+    m, gm = tricubic.interp_rows_with_grad(field_m.reshape(nx * ny, nz),
+                                           grid, ends)
+    ne = constants.K_NE * jnp.exp(m)
+    dnds = ne * jnp.einsum("pd,pd->p", gm, t_hat)
+    return dnds[:r], dnds[r:]
+
+
+def tec_hermite(field_m: jax.Array, grid: Grid3D, rays: RayBundle
+                ) -> jax.Array:
+    """Gradient-augmented (composite cubic-Hermite) TEC per ray, (R,).
+
+    The integral of the C¹ cubic-Hermite spline through (n_e, dn_e/ds)
+    samples: trapezoid values + ds²/12·(f'_first − f'_last). Interior
+    derivative terms telescope exactly (the interpolant is C¹), so the
+    rule needs value gathers at all N samples plus value+gradient gathers
+    at the 2 endpoints only — cheaper than Simpson at equal N, 4th order
+    on smooth integrands, and with a flat (comb-free) response to
+    unresolved voxel-scale structure (see rays.trapezoid_weights and the
+    round-3 quadrature study in PRECISION.md).
+    """
+    r, n = rays.points.shape[:2]
+    m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3))
+    ne = constants.K_NE * jnp.exp(m).reshape(r, n)
+    w = trapezoid_weights(n, ne.dtype)
+    d0, d1 = _endpoint_dne_ds(field_m, grid, rays)
+    integral = (jnp.einsum("rn,n->r", ne, w) * rays.ds
+                + (d0 - d1) * (rays.ds * rays.ds) / 12.0)
+    return integral * (constants.KM_TO_M / constants.TEC_SCALE)
+
+
+def dtec_paired_hermite(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
+                        num_directions: int, i0: int = 0) -> jax.Array:
+    """Cancellation-free paired dTEC under the Hermite rule — the
+    quadrature of ``tec_hermite`` with the reference-antenna subtraction
+    commuted into the integrand sample-wise (see ``dtec_paired``), for
+    both the value and the endpoint-derivative terms.
+    """
+    r, n = rays.points.shape[:2]
+    na = r // num_directions
+    m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3))
+    ne = constants.K_NE * jnp.exp(m).reshape(na, num_directions, n)
+    dne = ne - _ref_row(ne, i0)[None, :, :]
+    w = trapezoid_weights(n, ne.dtype)
+    d0, d1 = _endpoint_dne_ds(field_m, grid, rays)
+    corr = (d0 - d1).reshape(na, num_directions)
+    corr = corr - _ref_row(corr, i0)[None, :]
+    ds = rays.ds.reshape(na, num_directions)
+    out = (jnp.einsum("akn,n->ak", dne, w) * ds + corr * ds * ds / 12.0)
+    return out * (constants.KM_TO_M / constants.TEC_SCALE)
+
+
+#: Operator quadrature registry: the production straight-ray TEC/dTEC
+#: forwards, selectable by name through the solver/pipeline ``quadrature``
+#: knob. "simpson" is the historical default; "hermite" reaches the same
+#: accuracy with ~half the samples on solver-relevant fields (round-3
+#: study, PRECISION.md) at lower cost per sample.
+def dtec_paired_q(field_m, grid, rays, num_directions, i0=0,
+                  quadrature: str = "simpson"):
+    if quadrature == "hermite":
+        return dtec_paired_hermite(field_m, grid, rays, num_directions, i0)
+    if quadrature != "simpson":
+        raise ValueError(f"unknown quadrature: {quadrature!r}")
+    return dtec_paired(field_m, grid, rays, num_directions, i0)
+
+
+def tec_q(field_m, grid, rays, quadrature: str = "simpson"):
+    if quadrature == "hermite":
+        return tec_hermite(field_m, grid, rays)
+    if quadrature != "simpson":
+        raise ValueError(f"unknown quadrature: {quadrature!r}")
+    return tec(field_m, grid, rays)
 
 
 def tec_linear(ne_field: jax.Array, grid: Grid3D, rays: RayBundle

@@ -100,6 +100,27 @@ def calc_rays(antennas_enu, directions_enu, ne_field_m=None, grid=None,
     return bundle
 
 
+def trapezoid_weights(n_samples: int, dtype=jnp.float32):
+    """Composite trapezoid weights [1/2, 1, ..., 1, 1/2].
+
+    Basis of the gradient-augmented (Hermite) TEC quadrature
+    (forward.tec.tec_hermite): integrating the C¹ cubic-Hermite spline of
+    (f, f') samples telescopes every interior derivative term, leaving
+    trapezoid values + an h²/12·(f'_first − f'_last) endpoint correction —
+    4th order for smooth integrands. Interior derivative data provably
+    cannot enter any reflection-symmetric linear rule (the weights would
+    have to be odd under reflection), so this *is* the full-information
+    Hermite rule, not a truncation of one. Uniform weights also have no
+    comb at the sample Nyquist frequency, unlike Simpson's alternating
+    4/3, 2/3 pattern whose (−1)^n component couples unresolved
+    voxel-scale structure straight into the integral.
+    """
+    if n_samples < 2:
+        raise ValueError("need >= 2 samples")
+    w = jnp.ones((n_samples,), dtype)
+    return w.at[0].set(0.5).at[-1].set(0.5)
+
+
 def simpson_weights(n_samples: int, dtype=jnp.float32):
     """Composite Simpson weights [1,4,2,...,4,1]/3 for odd n; trapezoid
     fallback on the last interval for even n (shouldn't happen in practice).

@@ -215,6 +215,59 @@ def anchor_map_step(grid: Grid3D, m_k: jax.Array, cov,
     return m_k + dm_prior + cov.apply_sqrt(u.reshape(grid.shape))
 
 
+def anchor_sqrt_update(grid: Grid3D, ens: jax.Array, cov,
+                       rays: RayBundle, values, inv_cd,
+                       cg_iters: int, cg_tol: float = 1e-5):
+    """Deterministic (square-root / ensemble-adjustment) anchored update
+    of an ensemble — the noise-free alternative to per-member perturbed
+    anchor values (VERDICT r2 weak #4).
+
+    With the fixed background-error covariance B (``cov``) and the
+    measurement operator H linearised at the ensemble mean, the gain
+    K = B Hᵀ (H B Hᵀ + R)⁻¹ is applied matrix-free through the same
+    C^{1/2}-preconditioned CG as ``anchor_map_step``:
+
+      mean:      m̄ ← m̄ + K (y − H m̄)           (unperturbed values)
+      anomalies: δᵢ ← (I − K H) δᵢ = δᵢ + K(0 − H δᵢ)
+
+    For tiny ensembles (8 members) this removes the O(1/√n) sampling
+    noise the stochastic perturbed-anchor update injects through K εᵢ.
+    The anomaly covariance becomes (I−KH) P_f (I−KH)ᵀ — the Joseph form
+    minus the (small) K R Kᵀ term, i.e. marginally tighter than the
+    exact posterior in the anchored directions, vs the stochastic form
+    which attains the exact posterior only in expectation over members.
+    Returns the updated (n_members, *grid.shape) ensemble.
+    """
+    from ..core import linalg
+
+    m_bar = ens.mean(0)
+
+    def fwd(m):
+        return tec_mod.tec(m, grid, rays)
+
+    g0, jvp = jax.linearize(fwd, m_bar)
+    vjp = jax.linear_transpose(jvp, m_bar)
+
+    def matvec(u):
+        v = cov.apply_sqrt(u.reshape(grid.shape))
+        (z,) = vjp(jvp(v) * inv_cd)
+        return u + cov.apply_sqrt(z).ravel()
+
+    def k_apply(r):
+        (z1,) = vjp(r * inv_cd)
+        rhs = cov.apply_sqrt(z1).ravel()
+        u, _ = linalg.cg(matvec, rhs, max_iters=cg_iters, tol=cg_tol)
+        return cov.apply_sqrt(u.reshape(grid.shape))
+
+    m_bar_a = m_bar + k_apply(values - g0)
+
+    def anom(m):
+        d = m - m_bar
+        return d + k_apply(-jvp(d))          # (I − K H) δ
+
+    return m_bar_a[None] + jax.vmap(anom)(ens)
+
+
 def assimilate_anchors(grid: Grid3D, m_prior: jax.Array, cov,
                        anchors: "TecAnchors", gn_iters: int = 2,
                        cg_iters: int = 30, cg_tol: float = 1e-5):

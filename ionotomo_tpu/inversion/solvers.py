@@ -41,7 +41,8 @@ class InversionResult(NamedTuple):
 
 
 def _dtec_operator(grid: Grid3D, rays: RayBundle, num_directions: int,
-                   i0: int, m0: jax.Array, anchors=None):
+                   i0: int, m0: jax.Array, anchors=None,
+                   quadrature: str = "hermite"):
     """Linearised dTEC operator about m0 and its exact transpose.
 
     J δm = dtec'(m0)[δm]; both directions via jax JVP/VJP of the paired
@@ -52,13 +53,18 @@ def _dtec_operator(grid: Grid3D, rays: RayBundle, num_directions: int,
     ``anchors`` (inversion.anchors.TecAnchors): absolute-TEC rows appended
     to the data space (Na*Nd + A,) — external VTEC constraints that pin
     the common-mode component dTEC cannot see.
+
+    ``quadrature``: "simpson" (historical default) or "hermite" — the
+    gradient-augmented rule reaching equal accuracy at ~half the samples
+    (forward.tec.tec_hermite; round-3 study in PRECISION.md).
     """
 
     def fwd(m):
-        g = tec_mod.dtec_paired(m, grid, rays, num_directions, i0).ravel()
+        g = tec_mod.dtec_paired_q(m, grid, rays, num_directions, i0,
+                                  quadrature).ravel()
         if anchors is None:
             return g
-        a = tec_mod.tec(m, grid, anchors.rays)
+        a = tec_mod.tec_q(m, grid, anchors.rays, quadrature)
         try:
             spec = jax.typeof(g).sharding.spec
             if any(s is not None for s in spec):
@@ -96,11 +102,12 @@ def _join_anchor_rows(d, cd_diag, anchors):
             jnp.concatenate([cd_diag, ca]))
 
 
-@partial(jax.jit, static_argnames=("num_directions", "i0", "max_iters"))
+@partial(jax.jit, static_argnames=("num_directions", "i0", "max_iters",
+                                   "quadrature"))
 def lsqr_smoothness(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                     m0, num_directions: int, i0: int = 0,
                     damp: float = 1e-2, smooth: float = 1.0,
-                    max_iters: int = 64):
+                    max_iters: int = 64, quadrature: str = "hermite"):
     """Config 3: single-snapshot linear inversion with smoothness prior.
 
     Solves min ‖W(J δm − r)‖² + damp²‖δm‖² + smooth²‖L δm‖² by LSQR on the
@@ -110,7 +117,7 @@ def lsqr_smoothness(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
     w = 1.0 / jnp.maximum(jnp.asarray(noise_std), 1e-12)
     w = jnp.broadcast_to(w, d_obs.shape).ravel()
     apply_j, apply_jt, g0 = _dtec_operator(grid, rays, num_directions, i0,
-                                           m0)
+                                           m0, quadrature=quadrature)
     r = (jnp.asarray(d_obs).ravel() - g0) * w
     nvox = grid.num_voxels
 
@@ -135,11 +142,12 @@ def lsqr_smoothness(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "gn_iters",
-                                   "cg_iters"))
+                                   "cg_iters", "quadrature"))
 def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                      m_prior, cov: GPCovariance, num_directions: int,
                      i0: int = 0, gn_iters: int = 3, cg_iters: int = 40,
-                     cg_tol: float = 1e-4, m0=None, anchors=None):
+                     cg_tol: float = 1e-4, m0=None, anchors=None,
+                     quadrature: str = "hermite"):
     """Config 4: Bayesian MAP with GP covariance prior.
 
     Minimises S(m) = ½‖g(m)−d‖²_{C_d⁻¹} + ½‖m−m_prior‖²_{C_m⁻¹}
@@ -171,7 +179,8 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
 
     def gn_step(m_k, _):
         apply_j, apply_jt, g0 = _dtec_operator(grid, rays, num_directions,
-                                               i0, m_k, anchors)
+                                               i0, m_k, anchors,
+                                               quadrature=quadrature)
         dm_prior = m_prior - m_k
         r_hat = d - g0 - apply_j(dm_prior)     # residual after prior pull
 
@@ -195,13 +204,14 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "gn_iters",
-                                   "cg_iters", "irls_iters"))
+                                   "cg_iters", "irls_iters", "quadrature"))
 def map_gauss_newton_robust(grid: Grid3D, rays: RayBundle, d_obs,
                             noise_std, m_prior, cov: GPCovariance,
                             num_directions: int, i0: int = 0,
                             gn_iters: int = 1, cg_iters: int = 30,
                             cg_tol: float = 1e-4, huber_k: float = 3.0,
-                            irls_iters: int = 3):
+                            irls_iters: int = 3,
+                            quadrature: str = "hermite"):
     """Outlier-robust MAP: Huber loss on the whitened data residual via
     IRLS — each round re-weights observations by w = min(1, k/|r/σ|) and
     runs Gauss-Newton with noise inflated to σ/√w, so unflagged corrupted
@@ -213,14 +223,16 @@ def map_gauss_newton_robust(grid: Grid3D, rays: RayBundle, d_obs,
     sigma = jnp.broadcast_to(jnp.asarray(noise_std), d.shape)
 
     def irls_round(m_k, _):
-        g = tec_mod.dtec_paired(m_k, grid, rays, num_directions, i0)
+        g = tec_mod.dtec_paired_q(m_k, grid, rays, num_directions, i0,
+                                  quadrature)
         r_w = jnp.abs(g - d) / sigma
         w = jnp.minimum(1.0, huber_k / jnp.maximum(r_w, 1e-12))
         noise_eff = sigma / jnp.sqrt(jnp.maximum(w, 1e-12))
         res = map_gauss_newton(grid, rays, d, noise_eff, m_prior, cov,
                                num_directions=num_directions, i0=i0,
                                gn_iters=gn_iters, cg_iters=cg_iters,
-                               cg_tol=cg_tol, m0=m_k)
+                               cg_tol=cg_tol, m0=m_k,
+                               quadrature=quadrature)
         return res.m, (res.residual_norm, jnp.sum(w < 1.0))
 
     m_final, (res_hist, n_down) = jax.lax.scan(
@@ -230,12 +242,12 @@ def map_gauss_newton_robust(grid: Grid3D, rays: RayBundle, d_obs,
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "n_samples",
-                                   "cg_iters"))
+                                   "cg_iters", "quadrature"))
 def posterior_samples(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                       m_prior, cov: GPCovariance, num_directions: int,
                       key, n_samples: int = 8, i0: int = 0,
                       cg_iters: int = 40, cg_tol: float = 1e-4,
-                      anchors=None):
+                      anchors=None, quadrature: str = "hermite"):
     """Randomise-then-optimise posterior sampling (uncertainty beyond MAP).
 
     Draws n_samples from the linearised Bayesian posterior by solving the
@@ -262,7 +274,8 @@ def posterior_samples(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
     d, cd_diag = _join_anchor_rows(d, cd_diag, anchors)
     inv_cd = 1.0 / cd_diag
     apply_j, apply_jt, g0 = _dtec_operator(grid, rays, num_directions, i0,
-                                           m_prior, anchors)
+                                           m_prior, anchors,
+                                           quadrature=quadrature)
     r0 = d - g0
 
     def matvec(u):
@@ -291,12 +304,13 @@ def posterior_samples(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "gn_iters",
-                                   "cg_iters"))
+                                   "cg_iters", "quadrature"))
 def map_gauss_newton_batched(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                              noise_std, m_prior, cov: GPCovariance,
                              num_directions: int, i0: int = 0,
                              gn_iters: int = 2, cg_iters: int = 30,
-                             cg_tol: float = 1e-4):
+                             cg_tol: float = 1e-4,
+                             quadrature: str = "hermite"):
     """Independent snapshots inverted as one vmapped batch (SURVEY.md §2.1
     P2 — the reference ran time-chunks on separate dask workers; here they
     are a leading batch axis over the same compiled Gauss-Newton program,
@@ -315,7 +329,7 @@ def map_gauss_newton_batched(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                                 noise_t, m_prior, cov,
                                 num_directions=num_directions, i0=i0,
                                 gn_iters=gn_iters, cg_iters=cg_iters,
-                                cg_tol=cg_tol)
+                                cg_tol=cg_tol, quadrature=quadrature)
 
     return jax.vmap(solve_one)(rays_seq.points, rays_seq.ds, d_seq,
                                noise_seq)

@@ -161,6 +161,56 @@ def multi_chapman_field(grid: Grid3D, layers=DEFAULT_LAYERS, cos_chi=None,
                             plasmasphere_scale_km)
 
 
+def background_ne_fn(n_peak=1.0e12, h_peak_km=350.0, scale_km=80.0,
+                     cos_chi=None, curved=False, earth_radius_km=None,
+                     site_height_km=0.0, layers=None,
+                     plasmasphere_n0=0.0, plasmasphere_scale_km=1200.0):
+    """Closed-form background field evaluator for the split-field tracer.
+
+    Returns ``fn(points (R, 3) ENU km) -> (n_e (R,) [m⁻³], ∇n_e (R, 3)
+    [m⁻³/km])`` with the gradient obtained by jax autodiff of the analytic
+    profile — exact, gather-free, pure VPU work. Supports the single
+    Chapman layer (default), a multi-Chapman stack (``layers`` as in
+    ``multi_chapman_ne``), scalar solar-zenith modulation, and the
+    curved-Earth altitude model (``altitude_field`` geometry evaluated
+    pointwise). Per-column (terminator) cos_chi maps are not supported
+    here — they are grid products; use the full-field tracer for
+    horizontally-modulated backgrounds.
+
+    This is the analytic half of ``geometry.fermat.trace_rays_split``:
+    the background needs ZERO grid gathers, so only the (smaller,
+    shallower-gradient) turbulent perturbation pays the tricubic gather,
+    which is what lets the split tracer halve the integrator step count
+    at solver-grade accuracy (round-3 study, PRECISION.md).
+    """
+    if cos_chi is not None and jnp.ndim(cos_chi) != 0:
+        raise ValueError("background_ne_fn needs scalar cos_chi; "
+                         "per-column terminator maps are grid products")
+    factor = (1.0 if cos_chi is None
+              else float(solar_zenith_factor(cos_chi)))
+    from .. import constants as _c
+    r_earth = (_c.EARTH_RADIUS_KM if earth_radius_km is None
+               else float(earth_radius_km))
+
+    def ne_point(x):
+        if curved:
+            zc = r_earth + site_height_km + x[2]
+            h = jnp.sqrt(x[0] * x[0] + x[1] * x[1] + zc * zc) - r_earth
+        else:
+            h = x[2]
+        if layers is not None:
+            return factor * multi_chapman_ne(
+                h, layers, None, plasmasphere_n0, plasmasphere_scale_km)
+        return factor * chapman_ne(h, n_peak, h_peak_km, scale_km)
+
+    grad_point = jax.value_and_grad(ne_point)
+
+    def fn(points):
+        return jax.vmap(grad_point)(points)
+
+    return fn
+
+
 def log_parametrize(n_e):
     """m = log(n_e / K_NE), clipped away from -inf for vanishing density."""
     return jnp.log(jnp.maximum(n_e, 1e-30) / constants.K_NE)

@@ -198,7 +198,8 @@ class EpochService:
                                   kind=c.prior.kind)
         kw = dict(cg_iters=c.solver.cg_iters, cg_tol=c.solver.cg_tol,
                   fade=c.solver.kalman_fade, anchors=self._anchors,
-                  anchor_cov=self._anchor_cov)
+                  anchor_cov=self._anchor_cov,
+                  quadrature=c.rays.quadrature)
         if c.solver.solver == "enkf":
             self.filter = OnlineEnsembleKalman(
                 self.grid, cov, m_prior, self._wind, dt_s=30.0,
@@ -206,11 +207,27 @@ class EpochService:
                 n_members=c.solver.enkf_members,
                 process_sigma=c.solver.enkf_process_sigma,
                 inflation=c.solver.enkf_inflation,
-                spectrum_blend=c.solver.enkf_spectrum_blend, **kw)
+                spectrum_blend=c.solver.enkf_spectrum_blend,
+                anchor_update=c.solver.enkf_anchor_update, **kw)
         else:
             self.filter = OnlineKalman(self.grid, cov, m_prior,
                                        self._wind, dt_s=30.0,
                                        num_directions=1, **kw)
+
+    def _epoch_clim(self, dp: DataPack, t: int):
+        """Climatological log-density field at epoch t's solar zenith —
+        the per-epoch fade-pull target for ``physics.time_varying_clim``
+        (scalar cos χ over the flat serving grid; the pipeline's
+        per-column terminator applies to wide curved-Earth grids)."""
+        from .geometry import frames
+        c = self.config.physics
+        cc = float(frames.solar_cos_zenith(float(dp.times[t]),
+                                           dp.array.enu_frame))
+        ne = chapman.chapman_field(self.grid, n_peak=c.chapman_n_peak,
+                                   h_peak_km=c.chapman_h_peak_km,
+                                   scale_km=c.chapman_scale_km,
+                                   cos_chi=cc, curved=c.curved_earth)
+        return chapman.log_parametrize(ne)
 
     # --- ingest --------------------------------------------------------
 
@@ -244,6 +261,13 @@ class EpochService:
             noise = np.where(dev["flags"], 1e6, dev["noise_std"])
             self.filter.nd = nd
             for t in range(nt):
+                # time-varying climatology: the fade-pull target follows
+                # the epoch's solar zenith (day/night terminator) instead
+                # of the bootstrap background. Depends only on the epoch
+                # file + config, so restarts stay bit-identical.
+                m_clim_t = (self._epoch_clim(dp, t)
+                            if self.config.physics.time_varying_clim
+                            else None)
                 # advection step = actual time since the last assimilated
                 # epoch (across files too; persisted for restarts)
                 if self.last_mjd is not None:
@@ -267,7 +291,8 @@ class EpochService:
                 t0 = time.perf_counter()
                 out = self.filter.step(rb,
                                        jnp.asarray(dev["dtec"][:, t, :]),
-                                       jnp.asarray(noise[:, t, :]))
+                                       jnp.asarray(noise[:, t, :]),
+                                       m_clim=m_clim_t)
                 secs = time.perf_counter() - t0
                 epoch = self.filter.t - 1
                 if len(out) == 3:          # ensemble: (mean, std, diag)

@@ -243,3 +243,49 @@ def test_service_anchor_restart_guard(tmp_path):
                         vtec_anchors_npz=str(npz))
     with _pytest.raises(ValueError, match="outside the grid"):
         svc3.process_available()
+
+
+def test_service_time_varying_climatology(tmp_path):
+    """physics.time_varying_clim: the per-epoch solar-modulated fade-pull
+    target is wired through the service (outputs differ from the static-
+    clim service across a multi-hour time span) and restarts stay
+    bit-identical (the per-epoch clim depends only on file + config)."""
+    import dataclasses
+    from ionotomo_tpu.config import PhysicsConfig, SolverConfig
+
+    watch = tmp_path / "in"; watch.mkdir()
+    for i in range(3):
+        dp, _ = generate_example_datapack(
+            n_antennas=6, n_directions=4, n_times=1,
+            mjd0=58000.45 + i * 3.0 / 24.0,        # 3-hour cadence
+            grid_shape=(12, 12, 12), seed=i, n_samples=17)
+        dp.save(watch / f"e{i}.h5")
+
+    base = _cfg()
+    cfg_tv = dataclasses.replace(
+        base, physics=PhysicsConfig(time_varying_clim=True),
+        solver=dataclasses.replace(base.solver, kalman_fade=0.6))
+    cfg_st = dataclasses.replace(
+        base, solver=dataclasses.replace(base.solver, kalman_fade=0.6))
+
+    out_tv = tmp_path / "tv"; out_st = tmp_path / "st"
+    assert EpochService(str(watch), str(out_tv),
+                        cfg_tv).process_available() == 3
+    assert EpochService(str(watch), str(out_st),
+                        cfg_st).process_available() == 3
+    m_tv = Solution.load(out_tv / "epoch_000002.h5").m
+    m_st = Solution.load(out_st / "epoch_000002.h5").m
+    assert np.abs(m_tv - m_st).max() > 1e-4     # the clim target moved
+
+    # restart identity: interrupted twin reproduces the tv stream exactly
+    out_b = tmp_path / "tv_b"
+    os.rename(watch / "e2.h5", tmp_path / "stash.h5")
+    assert EpochService(str(watch), str(out_b),
+                        cfg_tv).process_available() == 2
+    os.rename(tmp_path / "stash.h5", watch / "e2.h5")
+    assert EpochService(str(watch), str(out_b),
+                        cfg_tv).process_available() == 1
+    for i in range(3):
+        a = Solution.load(out_tv / f"epoch_{i:06d}.h5").m
+        b = Solution.load(out_b / f"epoch_{i:06d}.h5").m
+        np.testing.assert_array_equal(a, b)
