@@ -43,31 +43,47 @@ def refractive_index(ne, frequency_hz):
     return jnp.sqrt(jnp.maximum(1.0 - w * ne, 1e-6))
 
 
-def _rhs(interp_vg, x: jax.Array, p: jax.Array, inv_f2: jax.Array):
+def log_field_ne_vg(interp_vg):
+    """Adapt a log-density evaluator ``interp_vg(x) -> (m, ∇m)`` to the
+    integrator's native (n_e, ∇n_e) contract: n_e = K_NE·e^m,
+    ∇n_e = n_e·∇m [m⁻³/km]. The default full-field path (trace_rays) and
+    the halo-exchange sharded path both wrap through here; the split-field
+    tracer (trace_rays_split) supplies (n_e, ∇n_e) directly."""
+
+    def ne_vg(x):
+        m, gm = interp_vg(x)
+        ne = constants.K_NE * jnp.exp(m)
+        return ne, ne[:, None] * gm
+
+    return ne_vg
+
+
+def _rhs(ne_vg, x: jax.Array, p: jax.Array, inv_f2: jax.Array):
     """Batched ODE right-hand side.
 
     x, p: (R, 3). Returns (dx/ds (R,3), dp/ds (R,3), n_e (R,), dn_e/ds).
-    One tricubic value+gradient evaluation per stage serves all four.
-    ``interp_vg(x) -> (m, ∇m)`` is the field evaluator — the row-gather
-    fast path over a replicated grid by default (trace_rays), or the
-    shard_map halo-exchange path for x-sharded grids
-    (parallel.grid_sharding.trace_rays_sharded).
+    One field evaluation per stage serves all four.
+    ``ne_vg(x) -> (n_e, ∇n_e [m⁻³/km])`` is the field evaluator — the
+    row-gather fast path over a replicated log-density grid by default
+    (trace_rays, via ``log_field_ne_vg``), the shard_map halo-exchange
+    path for x-sharded grids (parallel.grid_sharding.trace_rays_sharded),
+    or the analytic-background + gathered-perturbation split field
+    (``trace_rays_split``).
     """
-    m, gm = interp_vg(x)
-    ne = constants.K_NE * jnp.exp(m)                      # (R,)
+    ne, gne = ne_vg(x)                                    # (R,), (R, 3)
     w = constants.KAPPA * inv_f2
     clipped = 1.0 - w * ne <= 1e-6                        # over-dense plasma
     n = jnp.sqrt(jnp.maximum(1.0 - w * ne, 1e-6))         # (R,)
-    # ∇n = -KAPPA/(2 n f²) · ∇n_e,  ∇n_e = n_e · ∇m  [1/km].  Where the
-    # over-dense clip is active n is held constant, so its gradient must be
-    # zeroed too — otherwise the 1/n≈1e-3 division manufactures huge
-    # unphysical forces at low frequency (ADVICE r1).
+    # ∇n = -KAPPA/(2 n f²) · ∇n_e.  Where the over-dense clip is active n
+    # is held constant, so its gradient must be zeroed too — otherwise the
+    # 1/n≈1e-3 division manufactures huge unphysical forces at low
+    # frequency (ADVICE r1).
     grad_n = jnp.where(clipped[:, None], 0.0,
-                       (-0.5 * w * ne / n)[:, None] * gm)  # (R, 3)
+                       (-0.5 * w / n)[:, None] * gne)      # (R, 3)
     tangent = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
-    # path derivative of n_e: dn_e/ds = n_e·(∇m·t̂) — free from the same
+    # path derivative of n_e: dn_e/ds = ∇n_e·t̂ — free from the same
     # gather; feeds the Hermite (4th-order) TEC quadrature in leapfrog
-    dne_ds = ne * jnp.einsum("rd,rd->r", gm, tangent)
+    dne_ds = jnp.einsum("rd,rd->r", gne, tangent)
     return tangent, grad_n, ne, dne_ds
 
 
@@ -104,20 +120,22 @@ def trace_rays(field_m: jax.Array, grid: Grid3D, origins: jax.Array,
     def interp_vg(x):
         return tricubic.interp_rows_with_grad(field2d, grid, x)
 
-    return _trace_impl(interp_vg, origins, directions, frequency_hz,
-                       max_length_km, n_steps, keep_path, method)
+    return _trace_impl(log_field_ne_vg(interp_vg), origins, directions,
+                       frequency_hz, max_length_km, n_steps, keep_path,
+                       method)
 
 
-def _trace_impl(interp_vg, origins, directions, frequency_hz,
+def _trace_impl(ne_vg, origins, directions, frequency_hz,
                 max_length_km, n_steps, keep_path, method):
-    """Integrator core over an arbitrary field evaluator (see _rhs)."""
+    """Integrator core over an arbitrary (n_e, ∇n_e) field evaluator
+    (see _rhs; log-density evaluators wrap via log_field_ne_vg)."""
     origins = jnp.asarray(origins, jnp.float32)
     directions = jnp.asarray(directions, jnp.float32)
     h = jnp.float32(max_length_km / n_steps)
     inv_f2 = jnp.float32(1.0 / (frequency_hz * frequency_hz))
     # initial momentum p0 = n(x0)·t̂0
-    m0, _ = interp_vg(origins)
-    n0 = refractive_index(constants.K_NE * jnp.exp(m0), frequency_hz)
+    ne0_init, _ = ne_vg(origins)
+    n0 = refractive_index(ne0_init, frequency_hz)
     p0 = n0[:, None] * directions
 
     tau0 = jnp.zeros(origins.shape[0], jnp.float32)
@@ -127,12 +145,12 @@ def _trace_impl(interp_vg, origins, directions, frequency_hz,
 
         def step(carry, _):
             x, p, tau = carry
-            k1x, k1p, ne1, _ = _rhs(interp_vg, x, p, inv_f2)
-            k2x, k2p, ne2, _ = _rhs(interp_vg, x + 0.5 * h * k1x,
+            k1x, k1p, ne1, _ = _rhs(ne_vg, x, p, inv_f2)
+            k2x, k2p, ne2, _ = _rhs(ne_vg, x + 0.5 * h * k1x,
                                     p + 0.5 * h * k1p, inv_f2)
-            k3x, k3p, ne3, _ = _rhs(interp_vg, x + 0.5 * h * k2x,
+            k3x, k3p, ne3, _ = _rhs(ne_vg, x + 0.5 * h * k2x,
                                     p + 0.5 * h * k2p, inv_f2)
-            k4x, k4p, ne4, _ = _rhs(interp_vg, x + h * k3x,
+            k4x, k4p, ne4, _ = _rhs(ne_vg, x + h * k3x,
                                     p + h * k3p, inv_f2)
             sixth = h / 6.0
             x_new = x + sixth * (k1x + 2 * k2x + 2 * k3x + k4x)
@@ -152,14 +170,14 @@ def _trace_impl(interp_vg, origins, directions, frequency_hz,
         # h²/12·(f₀′−f₁′), 4th-order using the path derivative the gather
         # already yields — two orders better than trapezoid at zero extra
         # gathers (convergence table in PRECISION.md).
-        _, gn0, ne0, dne0 = _rhs(interp_vg, origins, p0, inv_f2)
+        _, gn0, ne0, dne0 = _rhs(ne_vg, origins, p0, inv_f2)
 
         def step(carry, _):
             x, p, gn, ne, dne, tau = carry
             p_half = p + (0.5 * h) * gn
             x_new = x + h * (p_half / jnp.linalg.norm(p_half, axis=-1,
                                                       keepdims=True))
-            _, gn_new, ne_new, dne_new = _rhs(interp_vg, x_new, p_half,
+            _, gn_new, ne_new, dne_new = _rhs(ne_vg, x_new, p_half,
                                               inv_f2)
             p_new = p_half + (0.5 * h) * gn_new
             tau_new = tau + ((0.5 * h) * (ne + ne_new)
@@ -180,6 +198,59 @@ def _trace_impl(interp_vg, origins, directions, frequency_hz,
         pts = jnp.stack([origins, x_f], axis=1)
     ds = jnp.full((origins.shape[0],), h, jnp.float32)
     return RayBundle(points=pts, ds=ds), tau_f
+
+
+@partial(jax.jit, static_argnames=("n_steps", "keep_path", "method",
+                                   "background"))
+def trace_rays_split(field_m: jax.Array, grid: Grid3D, origins: jax.Array,
+                     directions: jax.Array, frequency_hz,
+                     background,
+                     max_length_km=constants.DEFAULT_MAX_LENGTH_KM,
+                     n_steps: int = 32, keep_path: bool = True,
+                     method: str = "leapfrog"):
+    """Split-field bent trace: n_e = analytic background + gathered
+    perturbation (VERDICT r2 "split-field tracer" experiment, shipped).
+
+    ``background`` is a closed-form evaluator from
+    ``models.chapman.background_ne_fn`` (hashable/static — build it once
+    per configuration). The perturbation grid δ = K_NE·e^{m} −
+    n_e_bg(grid points) is formed once per call; each integrator step
+    then pays the same 16 row gathers as the full-field tracer for δ
+    only, while the background profile is evaluated in closed form with
+    its exact gradient.
+
+    **What this buys (measured — DESIGN.md §9):** exactness in the
+    background — the profile no longer passes through the grid at all,
+    so coarse grids cost nothing where the field is smooth (the
+    zero-perturbation test traces exactly on an 8³ grid), and parametric
+    backgrounds (h_peak, N_peak, H as solve unknowns) get exact
+    gather-free physics. **What it does NOT buy:** fewer integrator
+    steps on turbulent fields — the round-3 step-count study measured
+    split@N ≈ full@N error at every N, grid and frequency tried, because
+    fixed-step error is dominated by the turbulent perturbation's
+    gradients, which both tracers resolve identically. The step-count
+    contract (leapfrog@64, PRECISION.md) carries over unchanged.
+
+    The field model differs from the full-field tracer's (tricubic of
+    log n_e vs analytic + tricubic of δn_e): both are C¹ models of the
+    same grid data; each has its own f64 oracle parity test.
+    """
+    nx, ny, nz = grid.shape
+    ax, ay, az = grid.axes()                      # jnp — traceable
+    pts = jnp.stack(jnp.meshgrid(ax, ay, az, indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+    ne_bg_grid, _ = background(pts)
+    pert = (constants.K_NE * jnp.exp(field_m)
+            - ne_bg_grid.reshape(grid.shape))
+    pert2d = pert.reshape(nx * ny, nz)
+
+    def ne_vg(x):
+        d, gd = tricubic.interp_rows_with_grad(pert2d, grid, x)
+        nb, gb = background(x)
+        return nb + d, gb + gd
+
+    return _trace_impl(ne_vg, origins, directions, frequency_hz,
+                       max_length_km, n_steps, keep_path, method)
 
 
 def straight_line_limit_error(field_m, grid, origins, directions,

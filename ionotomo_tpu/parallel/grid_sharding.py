@@ -214,5 +214,6 @@ def trace_rays_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
         return interp_sharded_with_grad(mesh, field_sharded, grid, x,
                                         points_sharded=rays_sharded)
 
-    return fermat._trace_impl(interp_vg, origins, directions, frequency_hz,
-                              max_length_km, n_steps, keep_path, method)
+    return fermat._trace_impl(fermat.log_field_ne_vg(interp_vg), origins,
+                              directions, frequency_hz, max_length_km,
+                              n_steps, keep_path, method)

@@ -19,13 +19,38 @@ TEC_SCALE = 1e13
 
 def trace_ray_ref(field_m, origin, spacing, x0, d0, frequency_hz,
                   max_length_km, rtol=1e-10, atol=1e-12):
-    """Trace one ray; returns (endpoint (3,), tec_working_units)."""
-    inv_f2 = 1.0 / (frequency_hz * frequency_hz)
+    """Trace one ray through the log-density tricubic field model;
+    returns (endpoint (3,), tec_working_units)."""
 
     def ne_and_grad(x):
         m, gm = interp_grad_ref(field_m, origin, spacing, x[None, :])
         ne = K_NE * np.exp(m[0])
         return ne, ne * gm[0]
+
+    return trace_ray_callable_ref(ne_and_grad, x0, d0, frequency_hz,
+                                  max_length_km, rtol, atol)
+
+
+def trace_ray_split_ref(pert_field, origin, spacing, bg_ne_and_grad, x0,
+                        d0, frequency_hz, max_length_km, rtol=1e-10,
+                        atol=1e-12):
+    """Oracle for the split field model: n_e = analytic background +
+    tricubic perturbation (oracle twin of fermat.trace_rays_split).
+    ``bg_ne_and_grad(x (3,)) -> (ne, grad (3,))`` in f64 numpy."""
+
+    def ne_and_grad(x):
+        d, gd = interp_grad_ref(pert_field, origin, spacing, x[None, :])
+        nb, gb = bg_ne_and_grad(x)
+        return nb + d[0], gb + gd[0]
+
+    return trace_ray_callable_ref(ne_and_grad, x0, d0, frequency_hz,
+                                  max_length_km, rtol, atol)
+
+
+def trace_ray_callable_ref(ne_and_grad, x0, d0, frequency_hz,
+                           max_length_km, rtol=1e-10, atol=1e-12):
+    """Adaptive f64 trace over an arbitrary ne/grad field evaluator."""
+    inv_f2 = 1.0 / (frequency_hz * frequency_hz)
 
     def rhs(_s, y):
         x, p = y[:3], y[3:6]

@@ -154,3 +154,141 @@ def test_overdense_clip_zeroes_bending_force():
     b2, t2 = fermat.trace_rays(m, grid, origins, dirs, 5e6, 1000.0,
                                n_steps=64, method="rk4")
     assert np.isfinite(np.asarray(b2.points)).all()
+
+
+def _split_oracle(m, grid, bg_params, origins, dirs, freq, i,
+                  rtol=1e-9, atol=1e-11):
+    """f64 oracle trace of ray i through the SPLIT field model (analytic
+    Chapman background + tricubic perturbation grid)."""
+    n_peak, h_peak, scale = bg_params
+    pts = np.asarray(grid.meshgrid(), np.float64).reshape(-1, 3)
+    ne_bg = np.asarray(
+        1e11 * np.exp(np.asarray(chapman.log_parametrize(
+            chapman.chapman_ne(pts[:, 2], n_peak, h_peak, scale)),
+            np.float64)))
+    # perturbation grid in f64: K exp(m) - bg(gridpoints)
+    pert = (1e11 * np.exp(np.asarray(m, np.float64))
+            - chapman_ne_np(pts[:, 2], n_peak, h_peak,
+                            scale).reshape(grid.shape))
+
+    def bg_fn(x):
+        h = x[2]
+        ne = chapman_ne_np(h, n_peak, h_peak, scale)
+        z = (h - h_peak) / scale
+        dne_dh = ne * 0.5 * (-1.0 + np.exp(-z)) / scale
+        return ne, np.array([0.0, 0.0, dne_dh])
+
+    return fermat_ref.trace_ray_split_ref(
+        pert, np.asarray(grid.origin), np.asarray(grid.spacing), bg_fn,
+        np.asarray(origins[i]), np.asarray(dirs[i]), freq, 1000.0,
+        rtol=rtol, atol=atol)
+
+
+def chapman_ne_np(h, n_peak, h_peak, scale):
+    z = (np.asarray(h, np.float64) - h_peak) / scale
+    return n_peak * np.exp(0.5 * (1.0 - z - np.exp(-z)))
+
+
+def turbulent_world(nx=32, amp=0.3, seed=3):
+    from ionotomo_tpu.models.turbulence import turbulent_log_perturbation
+    grid = Grid3D.from_bounds((-400, -400, 0.0), (400, 400, 1100.0),
+                              (nx, nx, nx))
+    m = chapman.log_parametrize(chapman.chapman_field(grid))
+    m = m + turbulent_log_perturbation(grid, amplitude=amp,
+                                       outer_scale_km=120.0, seed=seed)
+    return grid, m
+
+
+def test_split_tracer_matches_its_f64_oracle():
+    """Device split-field tracer vs the adaptive f64 oracle on the SAME
+    split model (analytic Chapman + tricubic perturbation), turbulent
+    world, 60 MHz (worst-case bending)."""
+    grid, m = turbulent_world()
+    bg_params = (1e12, 350.0, 80.0)
+    bg = chapman.background_ne_fn(*bg_params)
+    origins, dirs = slanted_rays(3, seed=2)
+    b, t = fermat.trace_rays_split(m, grid, origins, dirs, 60e6, bg,
+                                   1000.0, n_steps=64, method="leapfrog")
+    b2, t2 = fermat.trace_rays_split(m, grid, origins, dirs, 60e6, bg,
+                                     1000.0, n_steps=256,
+                                     method="leapfrog")
+    for i in range(3):
+        end_ref, tec_ref_v = _split_oracle(m, grid, bg_params, origins,
+                                           dirs, 60e6, i)
+        # turbulent 25-km-voxel world at worst-case 60 MHz: the
+        # perturbation-dominated step error is ~10-30 m at 64 steps
+        # (measured; same ballpark as the full-field tracer on this
+        # world) and CONVERGES to the oracle — ≤3 m at 256 steps
+        assert np.linalg.norm(np.asarray(b.points[i, -1]) - end_ref) \
+            < 5e-2, i
+        assert np.linalg.norm(np.asarray(b2.points[i, -1]) - end_ref) \
+            < 5e-3, i
+        assert abs(float(t[i]) - tec_ref_v) / tec_ref_v < 3e-4
+
+
+def test_split_tracer_error_is_perturbation_dominated():
+    """The measured REJECTION of the split-field step-halving hypothesis
+    (VERDICT r2 #2; full tables in DESIGN.md §9): at equal step count the
+    split and full tracers have the same-ballpark error on turbulent
+    worlds — removing the analytic background from the integration does
+    NOT shrink the step error, because the turbulent perturbation's
+    gradients dominate it. This test pins that conclusion: if split@32
+    ever becomes decisively more accurate than full@32 here, the
+    rejection should be revisited."""
+    grid, m = turbulent_world()
+    bg_params = (1e12, 350.0, 80.0)
+    bg = chapman.background_ne_fn(*bg_params)
+    origins, dirs = slanted_rays(4, seed=9)
+
+    b_s, t_s = fermat.trace_rays_split(m, grid, origins, dirs, 60e6, bg,
+                                       1000.0, n_steps=32,
+                                       method="leapfrog")
+    b_f, t_f = fermat.trace_rays(m, grid, origins, dirs, 60e6, 1000.0,
+                                 n_steps=32, method="leapfrog")
+    m64 = np.asarray(m, np.float64)
+    e_split, e_full = [], []
+    for i in range(4):
+        end_s, _ = _split_oracle(m, grid, bg_params, origins, dirs,
+                                 60e6, i)
+        end_f, _ = fermat_ref.trace_ray_ref(
+            m64, np.asarray(grid.origin), np.asarray(grid.spacing),
+            np.asarray(origins[i]), np.asarray(dirs[i]), 60e6, 1000.0,
+            rtol=1e-9, atol=1e-11)
+        e_split.append(np.linalg.norm(np.asarray(b_s.points[i, -1])
+                                      - end_s))
+        e_full.append(np.linalg.norm(np.asarray(b_f.points[i, -1])
+                                     - end_f))
+    # same ballpark at equal steps (measured 283 m vs 250 m worst-ray):
+    # neither decisively better — the perturbation dominates
+    assert max(e_split) < 3.0 * max(e_full), (e_split, e_full)
+    assert max(e_full) < 3.0 * max(e_split), (e_split, e_full)
+
+
+def test_split_tracer_zero_perturbation_is_exact_background():
+    """With m exactly the log of the analytic background, the
+    perturbation grid vanishes and the split tracer integrates the pure
+    closed-form profile — endpoints match the analytic-background oracle
+    to the integrator floor even on an absurdly coarse grid (the grid no
+    longer matters)."""
+    grid = Grid3D.from_bounds((-400, -400, 0.0), (400, 400, 1100.0),
+                              (8, 8, 8))                  # 100+ km voxels
+    m = chapman.log_parametrize(chapman.chapman_field(grid))
+    bg_params = (1e12, 350.0, 80.0)
+    bg = chapman.background_ne_fn(*bg_params)
+    origins, dirs = slanted_rays(2, seed=4)
+    b, t = fermat.trace_rays_split(m, grid, origins, dirs, 60e6, bg,
+                                   1000.0, n_steps=64, method="leapfrog")
+
+    def bg_fn(x):
+        ne = chapman_ne_np(x[2], *bg_params)
+        z = (x[2] - bg_params[1]) / bg_params[2]
+        dne = ne * 0.5 * (-1.0 + np.exp(-z)) / bg_params[2]
+        return ne, np.array([0.0, 0.0, dne])
+
+    for i in range(2):
+        end_ref, tec_ref_v = fermat_ref.trace_ray_callable_ref(
+            bg_fn, np.asarray(origins[i]), np.asarray(dirs[i]), 60e6,
+            1000.0, rtol=1e-9, atol=1e-11)
+        assert np.linalg.norm(np.asarray(b.points[i, -1]) - end_ref) \
+            < 5e-2, i          # coarse-grid pert interp of ~0 stays ~0
+        assert abs(float(t[i]) - tec_ref_v) / tec_ref_v < 2e-4
