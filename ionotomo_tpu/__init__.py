@@ -27,7 +27,7 @@ from .forward.tec import vtec_map                             # noqa: F401
 from .utils.diagnostics import (phase_structure_function,     # noqa: F401
                                 structure_function,
                                 fit_structure_exponent)
-from .geometry.fermat import trace_rays                       # noqa: F401
+from .geometry.fermat import trace_rays, trace_rays_split     # noqa: F401
 from .geometry.rays import (RayBundle, calc_rays,             # noqa: F401
                             sample_straight_rays, make_ray_batch)
 from .inversion.kalman import (kalman_filter,                 # noqa: F401
@@ -42,10 +42,14 @@ from .inversion.priors import (GPCovariance, fit_shell_spectrum,  # noqa: F401
 from .inversion.anchors import (TecAnchors,                   # noqa: F401
                                 vertical_anchor_bundle,
                                 anchors_from_field)
+from .inversion.profile import (ProfileParams,                # noqa: F401
+                                map_gauss_newton_profile,
+                                chapman_log_field, log_profile_rms)
 from .inversion.solution import Solution                      # noqa: F401
 from .inversion import solvers                                # noqa: F401
 from .inversion.solvers import map_gauss_newton_robust        # noqa: F401
 from .models.chapman import (chapman_field, chapman_ne,       # noqa: F401
+                             background_ne_fn,
                              altitude_field, multi_chapman_field,
                              log_parametrize, ne_from_log,
                              grid_enclosing_rays)

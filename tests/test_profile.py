@@ -1,0 +1,150 @@
+"""Parametric profile estimation (inversion/profile.py): recovering the
+Chapman (N_peak, h_peak, H) from multi-elevation slant absolute TEC +
+dTEC — the capability that closes dTEC's measured profile null space
+(VERDICT r2 #3; STATUS.md null-result study)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ionotomo_tpu.forward import tec as tec_mod
+from ionotomo_tpu.geometry import rays as rays_mod
+from ionotomo_tpu.inversion import anchors as anch
+from ionotomo_tpu.inversion.priors import GPCovariance
+from ionotomo_tpu.inversion.profile import (ProfileParams,
+                                            chapman_log_field,
+                                            log_profile_rms,
+                                            map_gauss_newton_profile)
+from ionotomo_tpu.models import chapman
+
+
+def wrong_profile_world(nx=28, seed=0, turb_amp=0.1):
+    """Truth profile well off the prior guess (N_peak 1.6x, h_peak +30 km,
+    H -10 km) + mild turbulence — the real-world case the round-2 study
+    measured dTEC to be blind to."""
+    rng = np.random.default_rng(seed)
+    ants = np.concatenate([rng.uniform(-40, 40, (6, 2)),
+                           np.zeros((6, 1))], -1)
+    zen = rng.uniform(0.05, 0.45, 4)
+    az = rng.uniform(0, 2 * np.pi, 4)
+    dirs = np.stack([np.sin(zen) * np.sin(az), np.sin(zen) * np.cos(az),
+                     np.cos(zen)], -1)
+    grid = chapman.grid_enclosing_rays(ants, dirs, shape=(nx, nx, nx),
+                                       h_min_km=0.0)
+    theta_true = ProfileParams.create(n_peak=1.6e12, h_peak_km=380.0,
+                                      scale_km=70.0)
+    m_true = chapman_log_field(grid, theta_true)
+    if turb_amp:
+        from ionotomo_tpu.models.turbulence import turbulent_log_perturbation
+        m_true = m_true + turbulent_log_perturbation(
+            grid, amplitude=turb_amp, outer_scale_km=120.0, seed=seed)
+    return grid, ants, dirs, theta_true, m_true
+
+
+def slant_anchor_set(grid, m_true, noise_frac=0.005, seed=1):
+    """Multi-elevation slant absolute-TEC observations: 3 receivers x
+    5 elevations (15-75 deg) x alternating azimuths."""
+    rng = np.random.default_rng(seed)
+    rec = np.array([[-30.0, -20.0], [10.0, 30.0], [25.0, -15.0]])
+    els = np.deg2rad([15.0, 25.0, 40.0, 60.0, 75.0])
+    xy, az, el = [], [], []
+    for r in rec:
+        for j, e in enumerate(els):
+            xy.append(r)
+            el.append(e)
+            az.append(rng.uniform(0, 2 * np.pi))
+    bundle = anch.slant_bundle(grid, np.asarray(xy), np.asarray(az),
+                               np.asarray(el), n_samples=65)
+    v = tec_mod.tec(m_true, grid, bundle)
+    noise = float(noise_frac * jnp.mean(v))
+    v = v + noise * jax.random.normal(jax.random.key(seed), v.shape)
+    return anch.TecAnchors(rays=bundle, values=v,
+                           noise_std=jnp.float32(noise))
+
+
+def test_profile_solve_recovers_peak_height_and_cuts_profile_rms():
+    grid, ants, dirs, theta_true, m_true = wrong_profile_world()
+    nd = dirs.shape[0]
+    origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
+    rb = rays_mod.sample_straight_rays(origins, dvecs, n_samples=65)
+    # dTEC data from the truth (simpson generator vs hermite operator —
+    # no inverse crime in the quadrature either)
+    d = tec_mod.dtec_paired(m_true, grid, rb, nd, 0)
+    noise_d = 0.01 * float(jnp.std(d)) + 1e-3
+    d = d + noise_d * jax.random.normal(jax.random.key(3), d.shape)
+    anchors = slant_anchor_set(grid, m_true)
+
+    theta0 = ProfileParams.create()          # the (wrong) prior guess
+    cov = GPCovariance.create(grid, sigma=0.3, length_scale=80.0,
+                              kind="exponential")
+    res = map_gauss_newton_profile(
+        grid, rb, d, noise_d, theta0, (0.7, 50.0, 30.0), cov,
+        num_directions=nd, anchors=anchors, gn_iters=6, cg_iters=40)
+
+    # --- the VERDICT "done" criteria -----------------------------------
+    h_err = abs(float(res.theta.h_peak_km) - 380.0)
+    assert h_err < 10.0, (float(res.theta.h_peak_km), h_err)
+    # N_peak to ~15% (log-space error < 0.15)
+    assert abs(float(res.theta.log_n_peak) - float(
+        theta_true.log_n_peak)) < 0.15
+    # horizontally-averaged log-profile rms: the component dTEC cannot
+    # see. Compare against (a) the prior profile and (b) the fixed-
+    # profile solve with the same anchors (sequential assimilation — the
+    # shipped r2 design, which pins the column but not the shape).
+    m_prior = chapman_log_field(grid, theta0)
+    rms_prior = float(log_profile_rms(m_prior, m_true, grid))
+    bg_cov = anch.background_covariance(grid)
+    m_anch = anch.assimilate_anchors(grid, m_prior, bg_cov, anchors)
+    from ionotomo_tpu.inversion.solvers import map_gauss_newton
+    res_fixed = map_gauss_newton(grid, rb, d, noise_d, m_anch, cov,
+                                 num_directions=nd, gn_iters=2,
+                                 cg_iters=25)
+    rms_fixed = float(log_profile_rms(res_fixed.m, m_true, grid))
+    rms_param = float(log_profile_rms(res.m, m_true, grid))
+    # measured: prior 0.587, fixed-profile anchored solve 0.586 (the r2
+    # null result reproduced — anchors pin the column, not the shape),
+    # parametric 0.337 (−43%)
+    assert rms_param < 0.7 * rms_prior, (rms_param, rms_prior)
+    assert rms_param < 0.7 * rms_fixed, (rms_param, rms_fixed)
+
+
+def test_profile_solve_is_neutral_when_prior_profile_is_right():
+    """With the truth profile AT the prior guess, the parametric solve
+    must not wander off: θ stays near θ0 (the data give it no reason to
+    move beyond noise)."""
+    grid, ants, dirs, _, _ = wrong_profile_world(turb_amp=0.0)
+    theta0 = ProfileParams.create()
+    m_true = chapman_log_field(grid, theta0)
+    nd = dirs.shape[0]
+    origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
+    rb = rays_mod.sample_straight_rays(origins, dvecs, n_samples=65)
+    d = tec_mod.dtec_paired(m_true, grid, rb, nd, 0)
+    anchors = slant_anchor_set(grid, m_true, noise_frac=0.005, seed=5)
+    cov = GPCovariance.create(grid, sigma=0.3, length_scale=80.0,
+                              kind="exponential")
+    res = map_gauss_newton_profile(
+        grid, rb, d, 1.0, theta0, (0.7, 50.0, 30.0), cov,
+        num_directions=nd, anchors=anchors, gn_iters=3, cg_iters=20)
+    assert abs(float(res.theta.h_peak_km) - 350.0) < 8.0
+    assert abs(float(res.theta.scale_km) - 80.0) < 8.0
+    assert abs(float(res.theta.log_n_peak)
+               - float(theta0.log_n_peak)) < 0.1
+
+
+def test_chapman_log_field_matches_model_builder():
+    """The differentiable profile field equals models.chapman's builder
+    at the same parameters (single source of profile physics)."""
+    from ionotomo_tpu.core.grids import Grid3D
+    grid = Grid3D.from_bounds((-50, -50, 0.0), (50, 50, 1200.0),
+                              (6, 6, 48))
+    theta = ProfileParams.create(n_peak=8e11, h_peak_km=340.0,
+                                 scale_km=65.0)
+    got = np.asarray(chapman_log_field(grid, theta))
+    want = np.asarray(chapman.log_parametrize(chapman.chapman_field(
+        grid, n_peak=8e11, h_peak_km=340.0, scale_km=65.0)))
+    # compare where the density is representable; in the deep-vacuum
+    # bottomside the model builder's exp() underflows at slightly
+    # different levels than the direct-log form — both are floored
+    # near log(1e-30/K_NE) either way
+    mask = want > -85.0
+    np.testing.assert_allclose(got[mask], want[mask], rtol=0, atol=1e-4)
+    assert got.min() >= np.log(1e-30 / 1e11) - 1e-3
