@@ -96,6 +96,7 @@ def cmd_invert(args):
         solver=SolverConfig(solver=args.solver, gn_iters=args.gn_iters,
                             cg_iters=args.cg_iters,
                             kalman_chunk=args.kalman_chunk,
+                            estimate_profile=args.estimate_profile,
                             enkf_spectrum_blend=args.enkf_spectrum_blend),
         runtime=RuntimeConfig(checkpoint_dir=args.checkpoint_dir,
                               metrics_path=args.metrics),
@@ -286,6 +287,11 @@ def main(argv=None):
                             "kalman", "enkf"])
     i.add_argument("--gn-iters", type=int, default=2)
     i.add_argument("--cg-iters", type=int, default=40)
+    i.add_argument("--estimate-profile", action="store_true",
+                   help="MAP-estimate the Chapman (N_peak, h_peak, H) "
+                        "from timestep-0 data + the --vtec-anchors rows "
+                        "before solving (anchors required; slant "
+                        "geometry recommended)")
     i.add_argument("--time-varying-clim", action="store_true",
                    help="kalman/enkf: recompute the climatological "
                         "fade-pull target per epoch from the epoch's "

@@ -97,6 +97,15 @@ class SolverConfig:
                                       # "sqrt" (deterministic square-root,
                                       # no perturbed-anchor sampling noise)
                                       # | "stochastic" (perturbed values)
+    estimate_profile: bool = False    # MAP-estimate the Chapman profile
+                                      # parameters (N_peak, h_peak, H) from
+                                      # timestep-0 data + slant anchors
+                                      # before the run (inversion/profile);
+                                      # requires anchors — the profile is
+                                      # measured unobservable without them
+    profile_sigma: Tuple[float, float, float] = (0.7, 50.0, 30.0)
+                                      # prior std of (log N_peak, h_peak
+                                      # [km], H [km]) for the profile solve
     gn_iters: int = 3
     cg_iters: int = 40
     cg_tol: float = 1e-4
@@ -140,6 +149,9 @@ class EngineConfig:
                             **raw["grid"]),
             rays=RayConfig(**raw["rays"]),
             prior=PriorConfig(**raw["prior"]),
-            solver=SolverConfig(**raw["solver"]),
+            solver=SolverConfig(
+                **{**raw["solver"],
+                   "profile_sigma": tuple(raw["solver"].get(
+                       "profile_sigma", (0.7, 50.0, 30.0)))}),
             runtime=RuntimeConfig(**raw["runtime"]),
         )

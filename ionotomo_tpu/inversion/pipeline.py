@@ -114,6 +114,32 @@ class InversionPipeline:
         return jnp.stack([self._clim_field(float(self.datapack.times[t]))
                           for t in range(c0, c1)])
 
+    def _estimate_profile(self, anchors):
+        """Run the joint (θ, δm) MAP solve on timestep-0 data + anchors
+        and install the estimated Chapman profile as the run's prior
+        mean. θ and diagnostics go to the metrics stream."""
+        from .profile import (ProfileParams, chapman_log_field,
+                              map_gauss_newton_profile)
+        p, sc = self.config.physics, self.config.solver
+        nd = self.directions.shape[1]
+        ants, d0, noise0, _ = self._padded_data(0)
+        rb = self._shard(self.rays_for_time(0, antennas=ants))
+        theta0 = ProfileParams.create(n_peak=p.chapman_n_peak,
+                                      h_peak_km=p.chapman_h_peak_km,
+                                      scale_km=p.chapman_scale_km)
+        res = map_gauss_newton_profile(
+            self.grid, rb, d0, noise0, theta0, sc.profile_sigma,
+            self.cov, num_directions=nd, anchors=anchors, i0=self.i0,
+            gn_iters=max(sc.gn_iters, 4), cg_iters=sc.cg_iters,
+            quadrature=self.config.rays.quadrature)
+        self.m_prior = chapman_log_field(self.grid, res.theta)
+        self.metrics.write(dict(
+            event="profile_estimated",
+            n_peak=float(res.theta.n_peak),
+            h_peak_km=float(res.theta.h_peak_km),
+            scale_km=float(res.theta.scale_km),
+            residual=float(res.residual_norm)))
+
     def _auto_select_prior(self):
         """GCV over a candidate grid around the configured (σ, L) plus the
         physically-motivated kernel families, scored on timestep-0 data
@@ -392,14 +418,30 @@ class InversionPipeline:
                                     n=int(anchors.values.shape[0])))
             self.anchor_cov = anchor_cov or self.anchor_background_cov()
             if anchor_mode == "sequential":
-                self.m_prior = anchors_mod.assimilate_anchors(
-                    self.grid, self.m_prior, self.anchor_cov, anchors)
+                if self.config.solver.estimate_profile:
+                    # parametric profile estimation REPLACES the fixed-
+                    # profile anchor assimilation: theta is solved from
+                    # timestep-0 data + the anchors, and the estimated
+                    # profile becomes the run's prior mean
+                    # (inversion/profile.py; slant anchors recommended —
+                    # vertical columns pin the column, not the shape)
+                    self._estimate_profile(anchors)
+                else:
+                    self.m_prior = anchors_mod.assimilate_anchors(
+                        self.grid, self.m_prior, self.anchor_cov, anchors)
                 if solver_name in ("kalman", "enkf"):
                     # time-evolving runs re-anchor every epoch (the state
                     # drifts; the filters' per-step anchor sub-update)
                     self.anchors = anchors
             else:
                 self.anchors = anchors
+        elif self.config.solver.estimate_profile:
+            raise ValueError(
+                "solver.estimate_profile needs absolute-TEC anchors "
+                "(run(anchors=...)): the profile shape is measured to be "
+                "unobservable from dTEC alone (STATUS.md null-result "
+                "study); provide multi-elevation slant anchors "
+                "(inversion.anchors.slant_bundle)")
         rt = self.config.runtime
         if rt.profile_dir:
             from ..utils.metrics import profile_to

@@ -133,6 +133,19 @@ def map_gauss_newton_profile(grid: Grid3D, rays: RayBundle, d_obs,
         if anchors is None:
             return g
         a = tec_mod.tec_q(m, grid, anchors.rays, quadrature)
+        try:
+            sh_g = jax.typeof(g).sharding
+            if any(s is not None for s in sh_g.spec):
+                # rays-sharded dTEC + replicated anchor rows (see
+                # solvers._dtec_operator): gather the small dTEC vector
+                # so the stacked data space is replicated — target built
+                # from g's OWN mesh (the anchor bundle may carry an
+                # empty-mesh sharding)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                g = jax.sharding.reshard(
+                    g, NamedSharding(sh_g.mesh, P(None)))
+        except Exception:
+            pass
         return jnp.concatenate([g, a])
 
     def gn_step(carry, _):

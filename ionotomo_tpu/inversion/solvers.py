@@ -66,13 +66,17 @@ def _dtec_operator(grid: Grid3D, rays: RayBundle, num_directions: int,
             return g
         a = tec_mod.tec_q(m, grid, anchors.rays, quadrature)
         try:
-            spec = jax.typeof(g).sharding.spec
-            if any(s is not None for s in spec):
+            sh_g = jax.typeof(g).sharding
+            if any(s is not None for s in sh_g.spec):
                 # rays-sharded dTEC + replicated anchor rows: gather the
                 # (small) dTEC vector so the stacked data space is
-                # replicated — concatenate cannot mix shardings
+                # replicated — concatenate cannot mix shardings. The
+                # replicated target is built from g's OWN mesh: the
+                # anchor rows may carry an empty-mesh sharding when the
+                # bundle was never device_put onto the ray mesh.
                 g = jax.sharding.reshard(
-                    g, jax.typeof(a).sharding)
+                    g, jax.sharding.NamedSharding(
+                        sh_g.mesh, jax.sharding.PartitionSpec(None)))
         except Exception:
             pass
         return jnp.concatenate([g, a])

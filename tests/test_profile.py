@@ -148,3 +148,63 @@ def test_chapman_log_field_matches_model_builder():
     mask = want > -85.0
     np.testing.assert_allclose(got[mask], want[mask], rtol=0, atol=1e-4)
     assert got.min() >= np.log(1e-30 / 1e11) - 1e-3
+
+
+def test_pipeline_estimate_profile_mode(tmp_path):
+    """--estimate-profile through the pipeline: with the configured
+    Chapman parameters deliberately wrong, the profile solve (timestep-0
+    data + slant anchors) recovers the truth's parameters, installs the
+    estimated profile as the run prior, and logs theta to metrics; the
+    flag without anchors raises."""
+    import dataclasses
+    import json as _json
+    import pytest
+    from ionotomo_tpu.config import (EngineConfig, GridConfig,
+                                     PhysicsConfig, PriorConfig,
+                                     RayConfig, RuntimeConfig,
+                                     SolverConfig)
+    from ionotomo_tpu.data.synth import generate_example_datapack
+    from ionotomo_tpu.inversion.pipeline import InversionPipeline
+
+    # truth generated at the DEFAULT Chapman (1e12, 350, 80); the
+    # pipeline is configured with a wrong guess (6e11, 310, 100)
+    dp, truth = generate_example_datapack(
+        n_antennas=6, n_directions=4, n_times=1,
+        grid_shape=(20, 20, 20), turbulence_amp=0.1, seed=2,
+        n_samples=33)
+    cfg = EngineConfig(
+        physics=PhysicsConfig(chapman_n_peak=6e11, chapman_h_peak_km=310.0,
+                              chapman_scale_km=100.0),
+        grid=GridConfig(shape=(20, 20, 20)),
+        rays=RayConfig(n_samples=33),
+        prior=PriorConfig(kind="sqexp", length_scale_km=90.0),
+        solver=SolverConfig(solver="map_gauss_newton", gn_iters=2,
+                            cg_iters=25, estimate_profile=True),
+        runtime=RuntimeConfig(checkpoint_dir=str(tmp_path / "ck"),
+                              metrics_path=str(tmp_path / "m.jsonl")))
+    pipe = InversionPipeline(dp, cfg)
+
+    with pytest.raises(ValueError, match="anchors"):
+        pipe.run(resume=False)                  # flag without anchors
+
+    m_true = jnp.asarray(truth["m"][0])
+    anchors = slant_anchor_set(pipe.grid, m_true, noise_frac=0.005,
+                               seed=9)
+    sol = pipe.run(resume=False, anchors=anchors)
+    recs = [_json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    est = next(r for r in recs if r.get("event") == "profile_estimated")
+    assert abs(est["h_peak_km"] - 350.0) < 25.0, est
+    # the synth truth applies the solar-zenith factor to N_peak: the
+    # observable quantity is the EFFECTIVE peak density
+    from ionotomo_tpu.geometry import frames
+    cc = frames.solar_cos_zenith(float(dp.times.mean()),
+                                 dp.array.enu_frame)
+    n_eff = 1e12 * float(chapman.solar_zenith_factor(jnp.float32(cc)))
+    assert 0.5 * n_eff < est["n_peak"] < 2.0 * n_eff, (est, n_eff)
+    # the run prior was replaced by the estimated profile
+    from ionotomo_tpu.inversion.profile import log_profile_rms
+    wrong = chapman.log_parametrize(chapman.chapman_field(
+        pipe.grid, n_peak=6e11, h_peak_km=310.0, scale_km=100.0))
+    assert float(log_profile_rms(jnp.asarray(sol.m[0]), m_true,
+                                 pipe.grid)) < 0.8 * float(
+        log_profile_rms(wrong, m_true, pipe.grid))
