@@ -70,20 +70,57 @@ class ProfileParams(NamedTuple):
         return jnp.exp(self.log_n_peak)
 
 
-def chapman_log_field(grid: Grid3D, theta: ProfileParams) -> jax.Array:
+def _altitude(grid: Grid3D, curved: bool):
+    """Altitude coordinate the profile is evaluated at: the grid's z axis
+    (flat ENU, (nz,)) or each voxel's true altitude above the curved
+    Earth ((nx,ny,nz); models.chapman.altitude_field geometry). θ-free,
+    so curvature costs the solve nothing extra."""
+    if curved:
+        from ..models.chapman import altitude_field
+        return altitude_field(grid)
+    return grid.origin[2] + grid.spacing[2] * jnp.arange(grid.shape[2])
+
+
+def chapman_log_field(grid: Grid3D, theta: ProfileParams,
+                      curved: bool = False) -> jax.Array:
     """Differentiable log-density field m(x) = log(n_e(x; θ)/K_NE) of the
-    Chapman profile over the grid's (flat-ENU) z axis — the parametric
-    background of the joint solve. Kept in pure jnp so jax.linearize
-    yields the exact ∂field/∂θ Jacobian columns."""
-    z = grid.origin[2] + grid.spacing[2] * jnp.arange(grid.shape[2])
-    zt = (z - theta.h_peak_km) / theta.scale_km
+    Chapman profile — the parametric background of the joint solve. Kept
+    in pure jnp so jax.linearize yields the exact ∂field/∂θ Jacobian
+    columns. ``curved=True`` evaluates the profile at true altitudes
+    above the curved Earth (flat ENU planes are 12–25 km low at ±400 km;
+    models/chapman.py)."""
+    h = _altitude(grid, curved)
+    zt = (h - theta.h_peak_km) / theta.scale_km
     log_ne = theta.log_n_peak + 0.5 * (1.0 - zt - jnp.exp(-zt))
     # same vacuum floor as models.chapman.log_parametrize — the steep
     # bottomside otherwise reaches log-densities of -100s (physically
     # all zero) that would dominate norms and stiffen the solve
     log_ne = jnp.maximum(log_ne, jnp.log(1e-30))
     prof = log_ne - jnp.log(constants.K_NE)
+    if curved:
+        return prof
     return jnp.broadcast_to(prof[None, None, :], grid.shape)
+
+
+def multi_chapman_log_field(grid: Grid3D, theta_arr: jax.Array,
+                            curved: bool = False) -> jax.Array:
+    """Differentiable multi-layer log-density field from a flat parameter
+    vector ``theta_arr`` = (log N₁, h₁, H₁, log N₂, h₂, H₂, …) — the
+    multi-layer (E/F1/F2…) analogue of ``chapman_log_field`` for the
+    joint solve. Layers sum in density; logsumexp keeps the log-space
+    form stable through the vacuum tails."""
+    n_layers = theta_arr.shape[0] // 3
+    h = _altitude(grid, curved)
+    hh = h if curved else h[None, None, :]
+    logs = []
+    for l in range(n_layers):
+        ln, hp, sc = theta_arr[3 * l], theta_arr[3 * l + 1],             theta_arr[3 * l + 2]
+        zt = (hh - hp) / sc
+        logs.append(ln + 0.5 * (1.0 - zt - jnp.exp(-zt)))
+    log_ne = jax.scipy.special.logsumexp(jnp.stack(logs, axis=0), axis=0)
+    log_ne = jnp.maximum(log_ne, jnp.log(1e-30))
+    prof = log_ne - jnp.log(constants.K_NE)
+    return jnp.broadcast_to(prof, grid.shape)
 
 
 class ProfileResult(NamedTuple):
@@ -95,14 +132,16 @@ class ProfileResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "gn_iters",
-                                   "cg_iters", "quadrature"))
+                                   "cg_iters", "quadrature",
+                                   "field_builder"))
 def map_gauss_newton_profile(grid: Grid3D, rays: RayBundle, d_obs,
-                             noise_std, theta0: ProfileParams,
-                             theta_sigma, cov: GPCovariance,
+                             noise_std, theta0, theta_sigma,
+                             cov: GPCovariance,
                              num_directions: int, anchors=None,
                              i0: int = 0, gn_iters: int = 4,
                              cg_iters: int = 20, cg_tol: float = 1e-4,
-                             quadrature: str = "hermite"):
+                             quadrature: str = "hermite",
+                             field_builder=None):
     """Joint MAP over (profile parameters θ, voxel perturbation δm).
 
     ``theta0``: prior mean of θ (the climatological guess);
@@ -114,6 +153,16 @@ def map_gauss_newton_profile(grid: Grid3D, rays: RayBundle, d_obs,
     dTEC rows keep constraining the 3-D turbulent structure exactly as in
     `solvers.map_gauss_newton`; θ rides along as 3 extra preconditioned
     unknowns whose Jacobian columns AD extracts from the analytic field.
+
+    ``field_builder`` (static; build once per configuration): optional
+    ``theta_arr → log-density field`` replacing the default single
+    flat-Earth Chapman — e.g.
+    ``lambda t: chapman_log_field(grid, ProfileParams(t[0], t[1], t[2]),
+    curved=True)`` or ``lambda t: multi_chapman_log_field(grid, t)``
+    with a 3·n_layers ``theta0``/``theta_sigma`` vector (tighten the
+    prior std on layers that should stay put). ``theta0`` may be a
+    ProfileParams (default builder) or a flat parameter vector; the
+    result's ``theta`` mirrors the input form.
     """
     d = jnp.asarray(d_obs).ravel()
     cd_diag = jnp.broadcast_to(jnp.asarray(noise_std),
@@ -122,12 +171,15 @@ def map_gauss_newton_profile(grid: Grid3D, rays: RayBundle, d_obs,
     d, cd_diag = _join_anchor_rows(d, cd_diag, anchors)
     inv_cd = 1.0 / cd_diag
     s_theta = jnp.asarray(theta_sigma, jnp.float32)
-    t0 = jnp.stack([theta0.log_n_peak, theta0.h_peak_km, theta0.scale_km]
-                   ).astype(jnp.float32)
+    as_params = isinstance(theta0, ProfileParams)
+    t0 = (jnp.stack([theta0.log_n_peak, theta0.h_peak_km,
+                     theta0.scale_km]).astype(jnp.float32)
+          if as_params else jnp.asarray(theta0, jnp.float32))
+    build = field_builder or (lambda t: chapman_log_field(
+        grid, ProfileParams(t[0], t[1], t[2])))
 
     def fwd(theta_arr, dm):
-        theta = ProfileParams(theta_arr[0], theta_arr[1], theta_arr[2])
-        m = chapman_log_field(grid, theta) + dm
+        m = build(theta_arr) + dm
         g = tec_mod.dtec_paired_q(m, grid, rays, num_directions, i0,
                                   quadrature).ravel()
         if anchors is None:
@@ -176,8 +228,9 @@ def map_gauss_newton_profile(grid: Grid3D, rays: RayBundle, d_obs,
     init = (t0, jnp.zeros(grid.shape, jnp.float32))
     (theta_f, dm_f), diags = jax.lax.scan(gn_step, init, None,
                                           length=gn_iters)
-    theta = ProfileParams(theta_f[0], theta_f[1], theta_f[2])
-    m = chapman_log_field(grid, theta) + dm_f
+    theta = (ProfileParams(theta_f[0], theta_f[1], theta_f[2])
+             if as_params else theta_f)
+    m = build(theta_f) + dm_f
     return ProfileResult(theta=theta, m=m, delta_m=dm_f,
                          residual_norm=diags[0][-1], info=diags)
 

@@ -208,3 +208,70 @@ def test_pipeline_estimate_profile_mode(tmp_path):
     assert float(log_profile_rms(jnp.asarray(sol.m[0]), m_true,
                                  pipe.grid)) < 0.8 * float(
         log_profile_rms(wrong, m_true, pipe.grid))
+
+
+def test_profile_solve_multi_layer_and_curved_builders():
+    """Generalised field builders: (a) multi-layer — free F2 triple with
+    tightly-priored E layer recovers the F2 peak from slant anchors;
+    (b) curved-Earth single-layer builder round-trips against the model
+    builder's curved field."""
+    from ionotomo_tpu.inversion.profile import multi_chapman_log_field
+
+    # (b) curved builder parity with models.chapman
+    from ionotomo_tpu.core.grids import Grid3D
+    g2 = Grid3D.from_bounds((-300, -300, 0.0), (300, 300, 1000.0),
+                            (10, 10, 24))
+    th = ProfileParams.create(n_peak=9e11, h_peak_km=355.0, scale_km=75.0)
+    got = np.asarray(chapman_log_field(g2, th, curved=True))
+    want = np.asarray(chapman.log_parametrize(chapman.chapman_field(
+        g2, n_peak=9e11, h_peak_km=355.0, scale_km=75.0, curved=True)))
+    mask = want > -85.0
+    np.testing.assert_allclose(got[mask], want[mask], rtol=0, atol=1e-3)
+
+    # (a) multi-layer recovery: E layer (known, tight prior) + F2 layer
+    # (wrong guess, loose prior)
+    rng = np.random.default_rng(0)
+    ants = np.concatenate([rng.uniform(-40, 40, (6, 2)),
+                           np.zeros((6, 1))], -1)
+    zen = rng.uniform(0.05, 0.45, 4)
+    az = rng.uniform(0, 2 * np.pi, 4)
+    dirs = np.stack([np.sin(zen) * np.sin(az), np.sin(zen) * np.cos(az),
+                     np.cos(zen)], -1)
+    grid = chapman.grid_enclosing_rays(ants, dirs, shape=(24, 24, 24),
+                                       h_min_km=0.0)
+    t_true = jnp.asarray([np.log(1.2e11), 110.0, 10.0,     # E (known)
+                          np.log(1.5e12), 385.0, 70.0],    # F2 (off)
+                         jnp.float32)
+    from ionotomo_tpu.models.turbulence import turbulent_log_perturbation
+    m_true = multi_chapman_log_field(grid, t_true) \
+        + turbulent_log_perturbation(grid, amplitude=0.1,
+                                     outer_scale_km=120.0, seed=3)
+    nd = dirs.shape[0]
+    origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
+    rb = rays_mod.sample_straight_rays(origins, dvecs, n_samples=65)
+    d = tec_mod.dtec_paired(m_true, grid, rb, nd, 0)
+    noise_d = 0.01 * float(jnp.std(d)) + 1e-3
+    d = d + noise_d * jax.random.normal(jax.random.key(7), d.shape)
+    anchors = slant_anchor_set(grid, m_true, noise_frac=0.005, seed=11)
+
+    t0 = jnp.asarray([np.log(1.2e11), 110.0, 10.0,
+                      np.log(1.0e12), 350.0, 80.0], jnp.float32)
+    sig = (0.05, 3.0, 2.0,           # E pinned by its prior
+           0.7, 50.0, 30.0)          # F2 free
+    cov = GPCovariance.create(grid, sigma=0.3, length_scale=80.0,
+                              kind="exponential")
+    builder = (lambda t: multi_chapman_log_field(grid, t))
+    res = map_gauss_newton_profile(
+        grid, rb, d, noise_d, t0, sig, cov, num_directions=nd,
+        anchors=anchors, gn_iters=10, cg_iters=40,
+        field_builder=builder)
+    t_est = np.asarray(res.theta)
+    # measured identifiability in the multi-layer + free-voxel-field
+    # setting: h_peak to ~25 km (the delta-m field absorbs part of the
+    # height shift; single-layer recovery is ~5 km) — assert a decisive
+    # move toward the truth, N_peak and H essentially recovered, E
+    # pinned by its prior
+    assert t_est[4] > 355.0 and abs(t_est[4] - 385.0) < 30.0, t_est
+    assert abs(t_est[3] - np.log(1.5e12)) < 0.1, t_est
+    assert abs(t_est[5] - 70.0) < 5.0, t_est
+    assert abs(t_est[1] - 110.0) < 6.0, t_est        # E stayed put
