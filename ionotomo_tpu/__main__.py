@@ -168,7 +168,8 @@ def cmd_predict(args):
                 origins, dvecs, max_length_km=args.max_length,
                 n_samples=args.samples)
         pred[:, t, :] = np.asarray(
-            tec_mod.dtec_paired(m_t, grid, rb, nd, i0))
+            tec_mod.dtec_paired_q(m_t, grid, rb, nd, i0,
+                                  args.quadrature))
         if args.rm:
             # same bundle as the dTEC — bent RM along bent paths
             drm_out[:, t, :] = np.asarray(
@@ -340,6 +341,10 @@ def main(argv=None):
     q.add_argument("datapack")
     q.add_argument("--out", required=True)
     q.add_argument("--samples", type=int, default=129)
+    q.add_argument("--quadrature", default="hermite",
+                   choices=["simpson", "hermite"],
+                   help="straight-ray prediction quadrature (matches the "
+                        "inversion operator default)")
     q.add_argument("--max-length", type=float, default=1000.0)
     q.add_argument("--bent", action="store_true")
     q.add_argument("--n-steps", type=int, default=64)

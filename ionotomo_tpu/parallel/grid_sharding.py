@@ -195,6 +195,14 @@ def dtec_paired_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
 
 @partial(jax.jit, static_argnames=("mesh", "n_steps", "keep_path",
                                    "method", "rays_sharded"))
+# NOTE on quadrature: the sharded TEC operators below use the Simpson
+# rule (the r2 operator). The production replicated-grid path defaults to
+# the Hermite rule (forward/tec.py; PRECISION.md round-3 study); porting
+# it here needs endpoint value+gradient evaluations through
+# interp_sharded_with_grad — mechanical, deferred until the >HBM
+# grid-sharded path is promoted beyond prototype.
+
+
 def trace_rays_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
                        origins: jax.Array, directions: jax.Array,
                        frequency_hz, max_length_km=1000.0,
