@@ -147,6 +147,51 @@ def dtec_paired(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
     return dtec_paired_from_log_values(m, rays, num_directions, i0)
 
 
+def _endpoint_tangents(points: jax.Array):
+    """(ends (2R,3), unit tangents (2R,3)) at each ray's first and last
+    sample — first/last path segments (exact for straight rays,
+    O(ds²)-accurate for stored bent paths). Shared by the replicated and
+    sharded Hermite operators."""
+    seg0 = points[:, 1] - points[:, 0]
+    seg1 = points[:, -1] - points[:, -2]
+    t_hat = jnp.concatenate([seg0, seg1], axis=0)
+    t_hat = t_hat / jnp.linalg.norm(t_hat, axis=-1, keepdims=True)
+    ends = jnp.concatenate([points[:, 0], points[:, -1]], axis=0)
+    return ends, t_hat
+
+
+def tec_hermite_from_values(m_values: jax.Array, d0: jax.Array,
+                            d1: jax.Array, rays: RayBundle) -> jax.Array:
+    """Hermite TEC quadrature from log-density samples m (R·N,) and the
+    n_e path derivatives at the first/last samples (R,) each [m⁻³/km] —
+    the single home of the weights/units chain, shared by the replicated
+    path and the sharded twin (parallel.grid_sharding)."""
+    r, n = rays.points.shape[:2]
+    ne = constants.K_NE * jnp.exp(m_values).reshape(r, n)
+    w = trapezoid_weights(n, ne.dtype)
+    integral = (jnp.einsum("rn,n->r", ne, w) * rays.ds
+                + (d0 - d1) * (rays.ds * rays.ds) / 12.0)
+    return integral * (constants.KM_TO_M / constants.TEC_SCALE)
+
+
+def dtec_paired_hermite_from_values(m_values: jax.Array, d0: jax.Array,
+                                    d1: jax.Array, rays: RayBundle,
+                                    num_directions: int, i0: int = 0
+                                    ) -> jax.Array:
+    """Paired-dTEC twin of ``tec_hermite_from_values`` (sample-wise
+    reference-antenna subtraction of values AND endpoint derivatives)."""
+    r, n = rays.points.shape[:2]
+    na = r // num_directions
+    ne = constants.K_NE * jnp.exp(m_values).reshape(na, num_directions, n)
+    dne = ne - _ref_row(ne, i0)[None, :, :]
+    w = trapezoid_weights(n, ne.dtype)
+    corr = (d0 - d1).reshape(na, num_directions)
+    corr = corr - _ref_row(corr, i0)[None, :]
+    ds = rays.ds.reshape(na, num_directions)
+    out = (jnp.einsum("akn,n->ak", dne, w) * ds + corr * ds * ds / 12.0)
+    return out * (constants.KM_TO_M / constants.TEC_SCALE)
+
+
 def _endpoint_dne_ds(field_m: jax.Array, grid: Grid3D, rays: RayBundle):
     """Path derivative of n_e at each ray's first and last sample.
 
@@ -159,13 +204,8 @@ def _endpoint_dne_ds(field_m: jax.Array, grid: Grid3D, rays: RayBundle):
     O(ds²) correction term). Returns (d_first (R,), d_last (R,)) in
     m⁻³/km.
     """
-    pts = rays.points
-    r = pts.shape[0]
-    seg0 = pts[:, 1] - pts[:, 0]
-    seg1 = pts[:, -1] - pts[:, -2]
-    t_hat = jnp.concatenate([seg0, seg1], axis=0)
-    t_hat = t_hat / jnp.linalg.norm(t_hat, axis=-1, keepdims=True)
-    ends = jnp.concatenate([pts[:, 0], pts[:, -1]], axis=0)   # (2R, 3)
+    r = rays.points.shape[0]
+    ends, t_hat = _endpoint_tangents(rays.points)             # (2R, 3)
     nx, ny, nz = grid.shape
     m, gm = tricubic.interp_rows_with_grad(field_m.reshape(nx * ny, nz),
                                            grid, ends)
@@ -187,14 +227,9 @@ def tec_hermite(field_m: jax.Array, grid: Grid3D, rays: RayBundle
     unresolved voxel-scale structure (see rays.trapezoid_weights and the
     round-3 quadrature study in PRECISION.md).
     """
-    r, n = rays.points.shape[:2]
     m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3))
-    ne = constants.K_NE * jnp.exp(m).reshape(r, n)
-    w = trapezoid_weights(n, ne.dtype)
     d0, d1 = _endpoint_dne_ds(field_m, grid, rays)
-    integral = (jnp.einsum("rn,n->r", ne, w) * rays.ds
-                + (d0 - d1) * (rays.ds * rays.ds) / 12.0)
-    return integral * (constants.KM_TO_M / constants.TEC_SCALE)
+    return tec_hermite_from_values(m, d0, d1, rays)
 
 
 def dtec_paired_hermite(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
@@ -204,18 +239,10 @@ def dtec_paired_hermite(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
     commuted into the integrand sample-wise (see ``dtec_paired``), for
     both the value and the endpoint-derivative terms.
     """
-    r, n = rays.points.shape[:2]
-    na = r // num_directions
     m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3))
-    ne = constants.K_NE * jnp.exp(m).reshape(na, num_directions, n)
-    dne = ne - _ref_row(ne, i0)[None, :, :]
-    w = trapezoid_weights(n, ne.dtype)
     d0, d1 = _endpoint_dne_ds(field_m, grid, rays)
-    corr = (d0 - d1).reshape(na, num_directions)
-    corr = corr - _ref_row(corr, i0)[None, :]
-    ds = rays.ds.reshape(na, num_directions)
-    out = (jnp.einsum("akn,n->ak", dne, w) * ds + corr * ds * ds / 12.0)
-    return out * (constants.KM_TO_M / constants.TEC_SCALE)
+    return dtec_paired_hermite_from_values(m, d0, d1, rays,
+                                           num_directions, i0)
 
 
 #: Operator quadrature registry: the production straight-ray TEC/dTEC

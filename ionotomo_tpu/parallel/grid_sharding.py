@@ -193,16 +193,51 @@ def dtec_paired_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
     return dtec_paired_from_log_values(m, rays, num_directions, i0)
 
 
+@partial(jax.jit, static_argnames=("mesh",))
+def tec_hermite_sharded(mesh: Mesh, field_sharded: jax.Array,
+                        grid: Grid3D, rays) -> jax.Array:
+    """Hermite (gradient-augmented) TEC over an x-sharded field — the
+    production quadrature (forward/tec.py, PRECISION.md round-3 study)
+    on sharded grids: value gathers at all samples via the halo-exchange
+    interpolator, value+gradient at the 2R endpoints via
+    ``interp_sharded_with_grad``; weights/units shared with the
+    replicated path (``tec_hermite_from_values``)."""
+    from ..forward.tec import _endpoint_tangents, tec_hermite_from_values
+    from .. import constants
+
+    m = interp_sharded(mesh, field_sharded, grid,
+                       rays.points.reshape(-1, 3))
+    r = rays.points.shape[0]
+    ends, t_hat = _endpoint_tangents(rays.points)
+    me, gm = interp_sharded_with_grad(mesh, field_sharded, grid, ends)
+    ne = constants.K_NE * jnp.exp(me)
+    dnds = ne * jnp.einsum("pd,pd->p", gm, t_hat)
+    return tec_hermite_from_values(m, dnds[:r], dnds[r:], rays)
+
+
+@partial(jax.jit, static_argnames=("mesh", "num_directions", "i0"))
+def dtec_paired_hermite_sharded(mesh: Mesh, field_sharded: jax.Array,
+                                grid: Grid3D, rays, num_directions: int,
+                                i0: int = 0) -> jax.Array:
+    """Paired-dTEC twin of ``tec_hermite_sharded`` (see
+    forward.tec.dtec_paired_hermite)."""
+    from ..forward.tec import (_endpoint_tangents,
+                               dtec_paired_hermite_from_values)
+    from .. import constants
+
+    m = interp_sharded(mesh, field_sharded, grid,
+                       rays.points.reshape(-1, 3))
+    r = rays.points.shape[0]
+    ends, t_hat = _endpoint_tangents(rays.points)
+    me, gm = interp_sharded_with_grad(mesh, field_sharded, grid, ends)
+    ne = constants.K_NE * jnp.exp(me)
+    dnds = ne * jnp.einsum("pd,pd->p", gm, t_hat)
+    return dtec_paired_hermite_from_values(m, dnds[:r], dnds[r:], rays,
+                                           num_directions, i0)
+
+
 @partial(jax.jit, static_argnames=("mesh", "n_steps", "keep_path",
                                    "method", "rays_sharded"))
-# NOTE on quadrature: the sharded TEC operators below use the Simpson
-# rule (the r2 operator). The production replicated-grid path defaults to
-# the Hermite rule (forward/tec.py; PRECISION.md round-3 study); porting
-# it here needs endpoint value+gradient evaluations through
-# interp_sharded_with_grad — mechanical, deferred until the >HBM
-# grid-sharded path is promoted beyond prototype.
-
-
 def trace_rays_sharded(mesh: Mesh, field_sharded: jax.Array, grid: Grid3D,
                        origins: jax.Array, directions: jax.Array,
                        frequency_hz, max_length_km=1000.0,

@@ -230,3 +230,47 @@ def test_lsqr_inversion_on_sharded_grid_matches_replicated():
             lambda f: gs.tec_sharded(mesh, f, grid, rb), f_sh))
     scale = np.abs(dm_rep).max()
     assert np.abs(dm_sh - dm_rep).max() < 2e-3 * scale
+
+
+def test_sharded_hermite_tec_matches_replicated():
+    """The production (Hermite) quadrature on an x-sharded grid equals
+    the replicated-path result — values + the endpoint-gradient
+    correction both served by the halo-exchange interpolator, and the
+    AD transpose matches too (solvers run hermite on sharded grids)."""
+    from ionotomo_tpu.forward import tec as tec_mod
+    from ionotomo_tpu.geometry import rays as rays_mod
+    from ionotomo_tpu.models import chapman
+
+    grid = Grid3D.from_bounds((-300, -300, 0.0), (300, 300, 1000.0),
+                              (16, 16, 16))
+    m = chapman.log_parametrize(chapman.chapman_field(grid))
+    rng = np.random.default_rng(9)
+    n = 24
+    o = np.concatenate([rng.uniform(-30, 30, (n, 2)), np.zeros((n, 1))],
+                       -1).astype(np.float32)
+    zen = rng.uniform(0.1, 0.5, n)
+    az = rng.uniform(0, 2 * np.pi, n)
+    d = np.stack([np.sin(zen) * np.sin(az), np.sin(zen) * np.cos(az),
+                  np.cos(zen)], -1).astype(np.float32)
+    rb = rays_mod.sample_straight_rays(jnp.asarray(o), jnp.asarray(d),
+                                       n_samples=17)
+    mesh = gs.grid_mesh()
+    f_sh = gs.shard_field(mesh, m)
+    got_t = np.asarray(gs.tec_hermite_sharded(mesh, f_sh, grid, rb))
+    want_t = np.asarray(tec_mod.tec_hermite(m, grid, rb))
+    np.testing.assert_allclose(got_t, want_t, rtol=3e-6)
+    got_d = np.asarray(gs.dtec_paired_hermite_sharded(
+        mesh, f_sh, grid, rb, 2, 0))
+    want_d = np.asarray(tec_mod.dtec_paired_hermite(m, grid, rb, 2, 0))
+    np.testing.assert_allclose(got_d, want_d, rtol=3e-6,
+                               atol=2e-6 * np.abs(want_t).max())
+
+    y = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    g_rep = np.asarray(jax.grad(
+        lambda f: jnp.vdot(tec_mod.tec_hermite(f, grid, rb), y))(m))
+    with jax.set_mesh(mesh):
+        g_sh = np.asarray(jax.grad(
+            lambda f: jnp.vdot(gs.tec_hermite_sharded(mesh, f, grid, rb),
+                               y))(f_sh))
+    np.testing.assert_allclose(g_sh, g_rep,
+                               atol=2e-5 * np.abs(g_rep).max())
