@@ -96,6 +96,7 @@ def cmd_invert(args):
         solver=SolverConfig(solver=args.solver, gn_iters=args.gn_iters,
                             cg_iters=args.cg_iters,
                             kalman_chunk=args.kalman_chunk,
+                            kalman_fade=args.fade,
                             estimate_profile=args.estimate_profile,
                             enkf_spectrum_blend=args.enkf_spectrum_blend),
         runtime=RuntimeConfig(checkpoint_dir=args.checkpoint_dir,
@@ -293,10 +294,16 @@ def main(argv=None):
                         "from timestep-0 data + the --vtec-anchors rows "
                         "before solving (anchors required; slant "
                         "geometry recommended)")
+    i.add_argument("--fade", type=float, default=1.0,
+                   help="kalman/enkf: per-step pull toward the "
+                        "climatology (1.0 = pure frozen flow; <1 "
+                        "enables the clim pull — required for "
+                        "--time-varying-clim to have any effect)")
     i.add_argument("--time-varying-clim", action="store_true",
                    help="kalman/enkf: recompute the climatological "
                         "fade-pull target per epoch from the epoch's "
-                        "solar zenith (day/night terminator tracking)")
+                        "solar zenith (day/night terminator tracking); "
+                        "needs --fade < 1")
     i.add_argument("--quadrature", default="hermite",
                    choices=["simpson", "hermite"],
                    help="straight-ray operator quadrature rule (hermite: "

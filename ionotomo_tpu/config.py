@@ -151,7 +151,8 @@ class EngineConfig:
             prior=PriorConfig(**raw["prior"]),
             solver=SolverConfig(
                 **{**raw["solver"],
-                   "profile_sigma": tuple(raw["solver"].get(
-                       "profile_sigma", (0.7, 50.0, 30.0)))}),
+                   **({"profile_sigma":
+                       tuple(raw["solver"]["profile_sigma"])}
+                      if "profile_sigma" in raw["solver"] else {})}),
             runtime=RuntimeConfig(**raw["runtime"]),
         )

@@ -160,6 +160,19 @@ def _endpoint_tangents(points: jax.Array):
     return ends, t_hat
 
 
+def endpoint_dne_ds_from(m_ends: jax.Array, gm_ends: jax.Array,
+                         t_hat: jax.Array):
+    """dn_e/ds at the 2R endpoint samples from interpolated (m, ∇m) and
+    unit tangents: dn_e/ds = K_NE·e^m · (∇m·t̂) [m⁻³/km] — the single
+    home of the derivative identity, shared by the replicated path and
+    the sharded twins (parallel.grid_sharding). Returns (d_first (R,),
+    d_last (R,))."""
+    r = m_ends.shape[0] // 2
+    ne = constants.K_NE * jnp.exp(m_ends)
+    dnds = ne * jnp.einsum("pd,pd->p", gm_ends, t_hat)
+    return dnds[:r], dnds[r:]
+
+
 def tec_hermite_from_values(m_values: jax.Array, d0: jax.Array,
                             d1: jax.Array, rays: RayBundle) -> jax.Array:
     """Hermite TEC quadrature from log-density samples m (R·N,) and the
@@ -204,14 +217,11 @@ def _endpoint_dne_ds(field_m: jax.Array, grid: Grid3D, rays: RayBundle):
     O(ds²) correction term). Returns (d_first (R,), d_last (R,)) in
     m⁻³/km.
     """
-    r = rays.points.shape[0]
     ends, t_hat = _endpoint_tangents(rays.points)             # (2R, 3)
     nx, ny, nz = grid.shape
     m, gm = tricubic.interp_rows_with_grad(field_m.reshape(nx * ny, nz),
                                            grid, ends)
-    ne = constants.K_NE * jnp.exp(m)
-    dnds = ne * jnp.einsum("pd,pd->p", gm, t_hat)
-    return dnds[:r], dnds[r:]
+    return endpoint_dne_ds_from(m, gm, t_hat)
 
 
 def tec_hermite(field_m: jax.Array, grid: Grid3D, rays: RayBundle

@@ -67,6 +67,7 @@ class InversionPipeline:
                                        kind=pr.kind)
         self.anchors = None            # TecAnchors via run(anchors=...)
         self.anchor_cov = None         # background-error covariance
+        self._profile_theta = None     # θ̂ from estimate_profile, per run
         self.mesh = (shard_mod.ray_mesh()
                      if len(jax.devices()) > 1 else None)
         self._na_padded = None        # lazy; see _padded_na
@@ -108,31 +109,70 @@ class InversionPipeline:
 
     def _clim_seq(self, c0: int, c1: int):
         """(c1-c0, *grid.shape) per-epoch climatological fields for the
-        time-domain solvers, or None when ``time_varying_clim`` is off."""
+        time-domain solvers, or None when ``time_varying_clim`` is off.
+
+        When a profile was estimated this run (``estimate_profile``), the
+        per-epoch target is the ESTIMATED profile modulated by the solar
+        factor relative to the estimation epoch (timestep 0) — otherwise
+        the fade pull would drag the state back toward the unestimated
+        configured climatology, undoing the estimate."""
         if not self.config.physics.time_varying_clim:
             return None
+        if self._profile_theta is not None:
+            from ..geometry import frames
+            from ..models.chapman import solar_zenith_factor
+            from .profile import chapman_log_field
+            enu_frame = self.datapack.array.enu_frame
+            base = chapman_log_field(self.grid, self._profile_theta,
+                                     curved=self.config.physics.curved_earth)
+            f_ref = float(solar_zenith_factor(jnp.float32(
+                frames.solar_cos_zenith(float(self.datapack.times[0]),
+                                        enu_frame))))
+            out = []
+            for t in range(c0, c1):
+                f_t = float(solar_zenith_factor(jnp.float32(
+                    frames.solar_cos_zenith(
+                        float(self.datapack.times[t]), enu_frame))))
+                out.append(base + jnp.log(jnp.float32(f_t / f_ref)))
+            return jnp.stack(out)
         return jnp.stack([self._clim_field(float(self.datapack.times[t]))
                           for t in range(c0, c1)])
 
     def _estimate_profile(self, anchors):
         """Run the joint (θ, δm) MAP solve on timestep-0 data + anchors
         and install the estimated Chapman profile as the run's prior
-        mean. θ and diagnostics go to the metrics stream."""
+        mean (honouring ``physics.curved_earth``). θ and diagnostics go
+        to the metrics stream; ``self._profile_theta`` records θ̂ so the
+        time-varying climatology modulates the *estimated* profile, not
+        the configured one."""
         from .profile import (ProfileParams, chapman_log_field,
                               map_gauss_newton_profile)
         p, sc = self.config.physics, self.config.solver
+        if p.apriori_model != "chapman":
+            raise ValueError(
+                "solver.estimate_profile supports the single-Chapman "
+                "a-priori model; for multi-layer estimation use the API "
+                "directly (inversion.profile.multi_chapman_log_field as "
+                "a field_builder with a per-layer theta vector)")
         nd = self.directions.shape[1]
         ants, d0, noise0, _ = self._padded_data(0)
         rb = self._shard(self.rays_for_time(0, antennas=ants))
         theta0 = ProfileParams.create(n_peak=p.chapman_n_peak,
                                       h_peak_km=p.chapman_h_peak_km,
                                       scale_km=p.chapman_scale_km)
+        curved = bool(p.curved_earth)
+        builder = ((lambda t: chapman_log_field(
+            self.grid, ProfileParams(t[0], t[1], t[2]), curved=True))
+            if curved else None)
         res = map_gauss_newton_profile(
             self.grid, rb, d0, noise0, theta0, sc.profile_sigma,
             self.cov, num_directions=nd, anchors=anchors, i0=self.i0,
             gn_iters=max(sc.gn_iters, 4), cg_iters=sc.cg_iters,
-            quadrature=self.config.rays.quadrature)
-        self.m_prior = chapman_log_field(self.grid, res.theta)
+            quadrature=self.config.rays.quadrature,
+            field_builder=builder)
+        self.m_prior = chapman_log_field(self.grid, res.theta,
+                                         curved=curved)
+        self._profile_theta = res.theta
         self.metrics.write(dict(
             event="profile_estimated",
             n_peak=float(res.theta.n_peak),
@@ -403,6 +443,7 @@ class InversionPipeline:
         # anchor state never leaks between run() calls: a later
         # run(anchors=None) must be identical to a fresh pipeline's run
         self.anchors, self.anchor_cov = None, None
+        self._profile_theta = None
         self.m_prior = self._m_prior0
         if anchors is not None:
             from . import anchors as anchors_mod
@@ -414,6 +455,13 @@ class InversionPipeline:
                     "other modes would silently ignore the anchors — use "
                     "anchor_mode='sequential', which works with every "
                     "solver (and re-anchors per epoch in kalman mode)")
+            if anchor_mode == "joint" and self.config.solver.estimate_profile:
+                raise ValueError(
+                    "solver.estimate_profile requires "
+                    "anchor_mode='sequential': the profile solve consumes "
+                    "the anchors up front and installs the estimated "
+                    "profile as the prior; with 'joint' it would be "
+                    "silently skipped")
             self.metrics.write(dict(event="tec_anchors", mode=anchor_mode,
                                     n=int(anchors.values.shape[0])))
             self.anchor_cov = anchor_cov or self.anchor_background_cov()

@@ -178,27 +178,12 @@ def map_gauss_newton_profile(grid: Grid3D, rays: RayBundle, d_obs,
     build = field_builder or (lambda t: chapman_log_field(
         grid, ProfileParams(t[0], t[1], t[2])))
 
+    from .solvers import anchored_forward
+    field_fwd = anchored_forward(grid, rays, num_directions, i0, anchors,
+                                 quadrature)
+
     def fwd(theta_arr, dm):
-        m = build(theta_arr) + dm
-        g = tec_mod.dtec_paired_q(m, grid, rays, num_directions, i0,
-                                  quadrature).ravel()
-        if anchors is None:
-            return g
-        a = tec_mod.tec_q(m, grid, anchors.rays, quadrature)
-        try:
-            sh_g = jax.typeof(g).sharding
-            if any(s is not None for s in sh_g.spec):
-                # rays-sharded dTEC + replicated anchor rows (see
-                # solvers._dtec_operator): gather the small dTEC vector
-                # so the stacked data space is replicated — target built
-                # from g's OWN mesh (the anchor bundle may carry an
-                # empty-mesh sharding)
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                g = jax.sharding.reshard(
-                    g, NamedSharding(sh_g.mesh, P(None)))
-        except Exception:
-            pass
-        return jnp.concatenate([g, a])
+        return field_fwd(build(theta_arr) + dm)
 
     def gn_step(carry, _):
         theta_k, dm_k = carry

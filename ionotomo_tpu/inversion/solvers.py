@@ -40,24 +40,12 @@ class InversionResult(NamedTuple):
     info: tuple                # solver-specific diagnostics
 
 
-def _dtec_operator(grid: Grid3D, rays: RayBundle, num_directions: int,
-                   i0: int, m0: jax.Array, anchors=None,
-                   quadrature: str = "hermite"):
-    """Linearised dTEC operator about m0 and its exact transpose.
-
-    J δm = dtec'(m0)[δm]; both directions via jax JVP/VJP of the paired
-    forward — XLA turns the gather into the scatter-add adjoint
-    automatically, which matches the hand adjoint (tested).
-    Returns (apply, applyT, g0) with data space flattened to (Na*Nd,).
-
-    ``anchors`` (inversion.anchors.TecAnchors): absolute-TEC rows appended
-    to the data space (Na*Nd + A,) — external VTEC constraints that pin
-    the common-mode component dTEC cannot see.
-
-    ``quadrature``: "simpson" (historical default) or "hermite" — the
-    gradient-augmented rule reaching equal accuracy at ~half the samples
-    (forward.tec.tec_hermite; round-3 study in PRECISION.md).
-    """
+def anchored_forward(grid: Grid3D, rays: RayBundle, num_directions: int,
+                     i0: int, anchors=None, quadrature: str = "hermite"):
+    """``fwd(m) → stacked data vector`` — paired dTEC rows plus optional
+    absolute-TEC anchor rows, with the sharded-rays/replicated-anchors
+    concat handling in one place (shared by ``_dtec_operator`` and the
+    parametric profile solve, inversion/profile.py)."""
 
     def fwd(m):
         g = tec_mod.dtec_paired_q(m, grid, rays, num_directions, i0,
@@ -81,6 +69,30 @@ def _dtec_operator(grid: Grid3D, rays: RayBundle, num_directions: int,
             pass
         return jnp.concatenate([g, a])
 
+    return fwd
+
+
+def _dtec_operator(grid: Grid3D, rays: RayBundle, num_directions: int,
+                   i0: int, m0: jax.Array, anchors=None,
+                   quadrature: str = "hermite"):
+    """Linearised dTEC operator about m0 and its exact transpose.
+
+    J δm = dtec'(m0)[δm]; both directions via jax JVP/VJP of the paired
+    forward — XLA turns the gather into the scatter-add adjoint
+    automatically, which matches the hand adjoint (tested).
+    Returns (apply, applyT, g0) with data space flattened to (Na*Nd,).
+
+    ``anchors`` (inversion.anchors.TecAnchors): absolute-TEC rows appended
+    to the data space (Na*Nd + A,) — external VTEC constraints that pin
+    the common-mode component dTEC cannot see.
+
+    ``quadrature``: "simpson" (historical default) or "hermite" — the
+    gradient-augmented rule reaching equal accuracy at ~half the samples
+    (forward.tec.tec_hermite; round-3 study in PRECISION.md).
+    """
+
+    fwd = anchored_forward(grid, rays, num_directions, i0, anchors,
+                           quadrature)
     g0, jvp_lin = jax.linearize(fwd, m0)
     applyT = jax.linear_transpose(jvp_lin, m0)
 

@@ -186,8 +186,13 @@ def background_ne_fn(n_peak=1.0e12, h_peak_km=350.0, scale_km=80.0,
     if cos_chi is not None and jnp.ndim(cos_chi) != 0:
         raise ValueError("background_ne_fn needs scalar cos_chi; "
                          "per-column terminator maps are grid products")
+    # single-layer: scalar solar factor on N_peak (as chapman_field does);
+    # multi-layer: per-layer factor**sensitivity with the plasmasphere
+    # tail unmodulated — delegated to multi_chapman_ne so the split
+    # background matches multi_chapman_field exactly
     factor = (1.0 if cos_chi is None
               else float(solar_zenith_factor(cos_chi)))
+    cc = None if cos_chi is None else float(cos_chi)
     from .. import constants as _c
     r_earth = (_c.EARTH_RADIUS_KM if earth_radius_km is None
                else float(earth_radius_km))
@@ -199,8 +204,8 @@ def background_ne_fn(n_peak=1.0e12, h_peak_km=350.0, scale_km=80.0,
         else:
             h = x[2]
         if layers is not None:
-            return factor * multi_chapman_ne(
-                h, layers, None, plasmasphere_n0, plasmasphere_scale_km)
+            return multi_chapman_ne(
+                h, layers, cc, plasmasphere_n0, plasmasphere_scale_km)
         return factor * chapman_ne(h, n_peak, h_peak_km, scale_km)
 
     grad_point = jax.value_and_grad(ne_point)

@@ -202,17 +202,15 @@ def tec_hermite_sharded(mesh: Mesh, field_sharded: jax.Array,
     interpolator, value+gradient at the 2R endpoints via
     ``interp_sharded_with_grad``; weights/units shared with the
     replicated path (``tec_hermite_from_values``)."""
-    from ..forward.tec import _endpoint_tangents, tec_hermite_from_values
-    from .. import constants
+    from ..forward.tec import (_endpoint_tangents, endpoint_dne_ds_from,
+                               tec_hermite_from_values)
 
     m = interp_sharded(mesh, field_sharded, grid,
                        rays.points.reshape(-1, 3))
-    r = rays.points.shape[0]
     ends, t_hat = _endpoint_tangents(rays.points)
     me, gm = interp_sharded_with_grad(mesh, field_sharded, grid, ends)
-    ne = constants.K_NE * jnp.exp(me)
-    dnds = ne * jnp.einsum("pd,pd->p", gm, t_hat)
-    return tec_hermite_from_values(m, dnds[:r], dnds[r:], rays)
+    d0, d1 = endpoint_dne_ds_from(me, gm, t_hat)
+    return tec_hermite_from_values(m, d0, d1, rays)
 
 
 @partial(jax.jit, static_argnames=("mesh", "num_directions", "i0"))
@@ -221,18 +219,15 @@ def dtec_paired_hermite_sharded(mesh: Mesh, field_sharded: jax.Array,
                                 i0: int = 0) -> jax.Array:
     """Paired-dTEC twin of ``tec_hermite_sharded`` (see
     forward.tec.dtec_paired_hermite)."""
-    from ..forward.tec import (_endpoint_tangents,
+    from ..forward.tec import (_endpoint_tangents, endpoint_dne_ds_from,
                                dtec_paired_hermite_from_values)
-    from .. import constants
 
     m = interp_sharded(mesh, field_sharded, grid,
                        rays.points.reshape(-1, 3))
-    r = rays.points.shape[0]
     ends, t_hat = _endpoint_tangents(rays.points)
     me, gm = interp_sharded_with_grad(mesh, field_sharded, grid, ends)
-    ne = constants.K_NE * jnp.exp(me)
-    dnds = ne * jnp.einsum("pd,pd->p", gm, t_hat)
-    return dtec_paired_hermite_from_values(m, dnds[:r], dnds[r:], rays,
+    d0, d1 = endpoint_dne_ds_from(me, gm, t_hat)
+    return dtec_paired_hermite_from_values(m, d0, d1, rays,
                                            num_directions, i0)
 
 

