@@ -19,6 +19,8 @@ from .data.datapack import DataPack                           # noqa: F401
 from .data.radio_array import (RadioArray,                    # noqa: F401
                                generate_lofar_like_array)
 from .data.synth import generate_example_datapack             # noqa: F401
+from .data.ionosonde import (NeProbes, bottomside_probes,     # noqa: F401
+                             probes_from_arrays)
 from .forward.tec import (tec, dtec, dtec_paired,             # noqa: F401
                           tec_linear, tec_linear_adjoint,
                           ray_coverage)
@@ -41,7 +43,8 @@ from .inversion.priors import (GPCovariance, fit_shell_spectrum,  # noqa: F401
                                laplacian)
 from .inversion.anchors import (TecAnchors,                   # noqa: F401
                                 vertical_anchor_bundle,
-                                anchors_from_field)
+                                anchors_from_field,
+                                assimilate_probes)
 from .inversion.profile import (ProfileParams,                # noqa: F401
                                 map_gauss_newton_profile,
                                 chapman_log_field, log_profile_rms)

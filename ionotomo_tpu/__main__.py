@@ -107,8 +107,12 @@ def cmd_invert(args):
     if args.vtec_anchors:
         from .inversion.anchors import anchors_from_npz
         anchors = anchors_from_npz(pipe.grid, args.vtec_anchors)
+    probes = None
+    if args.ionosonde:
+        from .data.ionosonde import probes_from_npz
+        probes = probes_from_npz(pipe.grid, args.ionosonde)
     sol = pipe.run(resume=args.resume, anchors=anchors,
-                   anchor_mode=args.anchor_mode)
+                   anchor_mode=args.anchor_mode, probes=probes)
     sol.save(args.out)
     print(f"wrote {args.out}: {sol.num_times} timestep(s), "
           f"grid {sol.grid.shape}")
@@ -329,6 +333,13 @@ def main(argv=None):
                         "assimilated before the dTEC solves")
     i.add_argument("--anchor-mode", default="sequential",
                    choices=["sequential", "joint"])
+    i.add_argument("--ionosonde", default=None,
+                   help="npz with points_enu (P,3; ENU km), ne_m3 (P,), "
+                        "noise_frac (scalar): ionosonde point-density "
+                        "observations — the direct profile-shape "
+                        "channel; joins the --estimate-profile solve or "
+                        "is assimilated into the prior mean "
+                        "(data/ionosonde.py)")
     i.add_argument("--curved-earth", action="store_true",
                    help="evaluate the a-priori profile at true altitude "
                         "above the curved Earth with a per-column solar "

@@ -77,6 +77,19 @@ def ne_at(field_m: jax.Array, grid: Grid3D, points: jax.Array) -> jax.Array:
     return constants.K_NE * jnp.exp(m).reshape(shape)
 
 
+def log_ne_at(field_m: jax.Array, grid: Grid3D, points: jax.Array
+              ) -> jax.Array:
+    """Log-density m = log(n_e/K_NE) at points (..., 3) — the forward
+    operator of point density observations (data/ionosonde.py). Because
+    the solve unknown IS m, this observation is exactly *linear* in the
+    model (tricubic interpolation), so probe rows join any Gauss-Newton /
+    Krylov solve with the operator's own machinery and no extra
+    linearisation error."""
+    shape = points.shape[:-1]
+    m = _interp_fast(field_m, grid, points.reshape(-1, 3))
+    return m.reshape(shape)
+
+
 def tec_from_log_values(m_values: jax.Array, rays: RayBundle) -> jax.Array:
     """Simpson TEC quadrature from log-density samples m (R·N,) or (R, N)
     along the bundle — the single home of the weights/unit chain, shared

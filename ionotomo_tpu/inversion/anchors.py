@@ -184,18 +184,16 @@ def background_covariance(grid: Grid3D, sigma: float = 1.0,
                                kind="sqexp")
 
 
-def anchor_map_step(grid: Grid3D, m_k: jax.Array, cov,
-                    rays: RayBundle, values, inv_cd,
-                    cg_iters: int, cg_tol: float = 1e-5, m_pull=None):
-    """One Gauss-Newton step of the anchors-only MAP update about ``m_k``
-    (C^{1/2}-preconditioned CG, as in solvers.map_gauss_newton), with the
-    prior pull anchored at ``m_pull`` (None = pull at ``m_k`` itself — the
-    pure regularised update used per filter step). Shared core of
-    ``assimilate_anchors`` and ``kalman_filter``'s anchor sub-update."""
+def linear_map_step(grid: Grid3D, m_k: jax.Array, cov, fwd, values,
+                    inv_cd, cg_iters: int, cg_tol: float = 1e-5,
+                    m_pull=None):
+    """One Gauss-Newton step of a MAP update about ``m_k`` for an
+    arbitrary field→data forward (C^{1/2}-preconditioned CG, as in
+    solvers.map_gauss_newton), with the prior pull anchored at ``m_pull``
+    (None = pull at ``m_k`` itself — the pure regularised update used per
+    filter step). Shared core of the absolute-TEC anchor updates below
+    and the point-density probe assimilation (``assimilate_probes``)."""
     from ..core import linalg
-
-    def fwd(m):
-        return tec_mod.tec(m, grid, rays)
 
     g0, jvp = jax.linearize(fwd, m_k)
     vjp = jax.linear_transpose(jvp, m_k)
@@ -213,6 +211,17 @@ def anchor_map_step(grid: Grid3D, m_k: jax.Array, cov,
     rhs = cov.apply_sqrt(z1).ravel()
     u, _ = linalg.cg(matvec, rhs, max_iters=cg_iters, tol=cg_tol)
     return m_k + dm_prior + cov.apply_sqrt(u.reshape(grid.shape))
+
+
+def anchor_map_step(grid: Grid3D, m_k: jax.Array, cov,
+                    rays: RayBundle, values, inv_cd,
+                    cg_iters: int, cg_tol: float = 1e-5, m_pull=None):
+    """Anchors-only MAP step: ``linear_map_step`` with the absolute-TEC
+    forward. Shared by ``assimilate_anchors`` and ``kalman_filter``'s
+    anchor sub-update."""
+    return linear_map_step(grid, m_k, cov,
+                           lambda m: tec_mod.tec(m, grid, rays),
+                           values, inv_cd, cg_iters, cg_tol, m_pull)
 
 
 def anchor_sqrt_update(grid: Grid3D, ens: jax.Array, cov,
@@ -296,6 +305,50 @@ def assimilate_anchors(grid: Grid3D, m_prior: jax.Array, cov,
         return anchor_map_step(grid, m_k, cov, anchors.rays, values,
                                inv_cd, cg_iters, cg_tol,
                                m_pull=m_prior), None
+
+    m, _ = jax.lax.scan(gn_step, m_prior, None, length=gn_iters)
+    return m
+
+
+def assimilate_probes(grid: Grid3D, m_prior: jax.Array, probes,
+                      cov=None, gn_iters: int = 2, cg_iters: int = 30,
+                      cg_tol: float = 1e-5):
+    """MAP-update the prior mean from point-density probes alone
+    (data.ionosonde.NeProbes — ionosonde bottomside soundings).
+
+    The probe analogue of ``assimilate_anchors``: probe rows are few and
+    observe the profile *shape* dTEC is blind to, so assimilating them
+    into the prior mean first sidesteps the truncated-CG direction
+    competition of a joint solve (DESIGN.md §8). The observation is
+    exactly linear in m (tricubic interpolation), so one Gauss-Newton
+    step is exact up to CG truncation; ``gn_iters`` > 1 polishes the
+    truncation.
+
+    ``cov`` (None = ``background_covariance(grid,
+    vertical_scale_km=80)``): use long *horizontal* correlation — a few
+    sounder columns must correct the profile across the whole grid — but
+    a **short vertical scale of ~one scale height**. Profile-error
+    corrections flip sign across ~H (too-low peak ⇒ negative bottomside
+    correction, positive topside); measured on a wrong-profile world
+    (tests/test_ionosonde.py): the anchor default of 150 km vertical
+    bleeds the bottomside correction into the topside and makes the
+    log-profile rms WORSE (0.77 → 0.86), while 80 km cuts it to 0.23
+    (50 km: 0.24; 30 km: 0.27)."""
+    from ..forward.tec import log_ne_at
+
+    if cov is None:
+        cov = background_covariance(grid, vertical_scale_km=80.0)
+
+    values = probes.values
+    inv_cd = 1.0 / jnp.broadcast_to(
+        jnp.asarray(probes.noise_std), values.shape).ravel() ** 2
+
+    def fwd(m):
+        return log_ne_at(m, grid, probes.points)
+
+    def gn_step(m_k, _):
+        return linear_map_step(grid, m_k, cov, fwd, values, inv_cd,
+                               cg_iters, cg_tol, m_pull=m_prior), None
 
     m, _ = jax.lax.scan(gn_step, m_prior, None, length=gn_iters)
     return m

@@ -138,13 +138,14 @@ class InversionPipeline:
         return jnp.stack([self._clim_field(float(self.datapack.times[t]))
                           for t in range(c0, c1)])
 
-    def _estimate_profile(self, anchors):
+    def _estimate_profile(self, anchors, probes=None):
         """Run the joint (θ, δm) MAP solve on timestep-0 data + anchors
-        and install the estimated Chapman profile as the run's prior
-        mean (honouring ``physics.curved_earth``). θ and diagnostics go
-        to the metrics stream; ``self._profile_theta`` records θ̂ so the
-        time-varying climatology modulates the *estimated* profile, not
-        the configured one."""
+        (+ optional ionosonde probe rows) and install the estimated
+        Chapman profile as the run's prior mean (honouring
+        ``physics.curved_earth``). θ and diagnostics go to the metrics
+        stream; ``self._profile_theta`` records θ̂ so the time-varying
+        climatology modulates the *estimated* profile, not the
+        configured one."""
         from .profile import (ProfileParams, chapman_log_field,
                               map_gauss_newton_profile)
         p, sc = self.config.physics, self.config.solver
@@ -169,7 +170,7 @@ class InversionPipeline:
             self.cov, num_directions=nd, anchors=anchors, i0=self.i0,
             gn_iters=max(sc.gn_iters, 4), cg_iters=sc.cg_iters,
             quadrature=self.config.rays.quadrature,
-            field_builder=builder)
+            field_builder=builder, probes=probes)
         self.m_prior = chapman_log_field(self.grid, res.theta,
                                          curved=curved)
         self._profile_theta = res.theta
@@ -422,7 +423,8 @@ class InversionPipeline:
                                      vertical_scale_km=vertical_scale_km)
 
     def run(self, resume: bool = True, anchors=None,
-            anchor_mode: str = "sequential", anchor_cov=None) -> Solution:
+            anchor_mode: str = "sequential", anchor_cov=None,
+            probes=None) -> Solution:
         """Full run: all timesteps, checkpointed, metrics-logged.
         With ``runtime.profile_dir`` set, the whole run is captured as a
         jax.profiler device trace (SURVEY §5.1).
@@ -439,6 +441,15 @@ class InversionPipeline:
         ``anchor_cov``: covariance of the background error the anchors
         correct (default: ``anchor_background_cov()`` — long-horizontal ×
         150 km-vertical, NOT the turbulence prior).
+
+        ``probes`` (data.ionosonde.NeProbes): ionosonde point-density
+        observations — the direct profile-*shape* channel (anchors pin
+        only the column integral). With ``estimate_profile`` they join
+        the joint (θ, δm) solve as extra rows (measured: multi-layer
+        h_peak identifiability ~25 km → <2 km with two sounder
+        stations); otherwise they are sequentially assimilated into the
+        prior mean after the anchors, through a short-vertical-scale
+        background covariance (inversion.anchors.assimilate_probes).
         """
         # anchor state never leaks between run() calls: a later
         # run(anchors=None) must be identical to a fresh pipeline's run
@@ -473,7 +484,7 @@ class InversionPipeline:
                     # profile becomes the run's prior mean
                     # (inversion/profile.py; slant anchors recommended —
                     # vertical columns pin the column, not the shape)
-                    self._estimate_profile(anchors)
+                    self._estimate_profile(anchors, probes)
                 else:
                     self.m_prior = anchors_mod.assimilate_anchors(
                         self.grid, self.m_prior, self.anchor_cov, anchors)
@@ -490,6 +501,17 @@ class InversionPipeline:
                 "unobservable from dTEC alone (STATUS.md null-result "
                 "study); provide multi-elevation slant anchors "
                 "(inversion.anchors.slant_bundle)")
+        if probes is not None:
+            self.metrics.write(dict(event="ionosonde_probes",
+                                    n=int(probes.values.shape[0])))
+            if not self.config.solver.estimate_profile:
+                # sequential probe assimilation into the prior mean,
+                # after the anchors (the profile-shape correction gets
+                # the last word); with estimate_profile the probes were
+                # already consumed by the joint (θ, δm) solve above
+                from .anchors import assimilate_probes
+                self.m_prior = assimilate_probes(self.grid, self.m_prior,
+                                                 probes)
         rt = self.config.runtime
         if rt.profile_dir:
             from ..utils.metrics import profile_to

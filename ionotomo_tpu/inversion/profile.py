@@ -141,7 +141,7 @@ def map_gauss_newton_profile(grid: Grid3D, rays: RayBundle, d_obs,
                              i0: int = 0, gn_iters: int = 4,
                              cg_iters: int = 20, cg_tol: float = 1e-4,
                              quadrature: str = "hermite",
-                             field_builder=None):
+                             field_builder=None, probes=None):
     """Joint MAP over (profile parameters θ, voxel perturbation δm).
 
     ``theta0``: prior mean of θ (the climatological guess);
@@ -153,6 +153,14 @@ def map_gauss_newton_profile(grid: Grid3D, rays: RayBundle, d_obs,
     dTEC rows keep constraining the 3-D turbulent structure exactly as in
     `solvers.map_gauss_newton`; θ rides along as 3 extra preconditioned
     unknowns whose Jacobian columns AD extracts from the analytic field.
+
+    ``probes`` (data.ionosonde.NeProbes): optional point log-density rows
+    (ionosonde bottomside profiles) — the direct profile-shape
+    observation, linear in the total field m(θ, δm). Slant anchors
+    constrain the profile only through a mild Abel-type transform; probe
+    rows observe n_e(h) itself, so they dominate the θ update wherever a
+    sounder exists (measured: tests/test_ionosonde.py — multi-layer
+    h_peak identifiability tightens from ~25 km to a few km).
 
     ``field_builder`` (static; build once per configuration): optional
     ``theta_arr → log-density field`` replacing the default single
@@ -168,7 +176,7 @@ def map_gauss_newton_profile(grid: Grid3D, rays: RayBundle, d_obs,
     cd_diag = jnp.broadcast_to(jnp.asarray(noise_std),
                                jnp.asarray(d_obs).shape).ravel() ** 2
     from .solvers import _join_anchor_rows
-    d, cd_diag = _join_anchor_rows(d, cd_diag, anchors)
+    d, cd_diag = _join_anchor_rows(d, cd_diag, anchors, probes)
     inv_cd = 1.0 / cd_diag
     s_theta = jnp.asarray(theta_sigma, jnp.float32)
     as_params = isinstance(theta0, ProfileParams)
@@ -180,7 +188,7 @@ def map_gauss_newton_profile(grid: Grid3D, rays: RayBundle, d_obs,
 
     from .solvers import anchored_forward
     field_fwd = anchored_forward(grid, rays, num_directions, i0, anchors,
-                                 quadrature)
+                                 quadrature, probes)
 
     def fwd(theta_arr, dm):
         return field_fwd(build(theta_arr) + dm)

@@ -41,18 +41,25 @@ class InversionResult(NamedTuple):
 
 
 def anchored_forward(grid: Grid3D, rays: RayBundle, num_directions: int,
-                     i0: int, anchors=None, quadrature: str = "hermite"):
+                     i0: int, anchors=None, quadrature: str = "hermite",
+                     probes=None):
     """``fwd(m) → stacked data vector`` — paired dTEC rows plus optional
-    absolute-TEC anchor rows, with the sharded-rays/replicated-anchors
-    concat handling in one place (shared by ``_dtec_operator`` and the
-    parametric profile solve, inversion/profile.py)."""
+    absolute-TEC anchor rows plus optional point-density probe rows
+    (data/ionosonde.py; linear in m), with the sharded-rays/replicated-
+    extras concat handling in one place (shared by ``_dtec_operator`` and
+    the parametric profile solve, inversion/profile.py). Row order is
+    [dTEC, anchors, probes] — ``_join_anchor_rows`` must match."""
 
     def fwd(m):
         g = tec_mod.dtec_paired_q(m, grid, rays, num_directions, i0,
                                   quadrature).ravel()
-        if anchors is None:
+        if anchors is None and probes is None:
             return g
-        a = tec_mod.tec_q(m, grid, anchors.rays, quadrature)
+        extra = []
+        if anchors is not None:
+            extra.append(tec_mod.tec_q(m, grid, anchors.rays, quadrature))
+        if probes is not None:
+            extra.append(tec_mod.log_ne_at(m, grid, probes.points))
         try:
             sh_g = jax.typeof(g).sharding
             if any(s is not None for s in sh_g.spec):
@@ -67,14 +74,14 @@ def anchored_forward(grid: Grid3D, rays: RayBundle, num_directions: int,
                         sh_g.mesh, jax.sharding.PartitionSpec(None)))
         except Exception:
             pass
-        return jnp.concatenate([g, a])
+        return jnp.concatenate([g, *extra])
 
     return fwd
 
 
 def _dtec_operator(grid: Grid3D, rays: RayBundle, num_directions: int,
                    i0: int, m0: jax.Array, anchors=None,
-                   quadrature: str = "hermite"):
+                   quadrature: str = "hermite", probes=None):
     """Linearised dTEC operator about m0 and its exact transpose.
 
     J δm = dtec'(m0)[δm]; both directions via jax JVP/VJP of the paired
@@ -92,7 +99,7 @@ def _dtec_operator(grid: Grid3D, rays: RayBundle, num_directions: int,
     """
 
     fwd = anchored_forward(grid, rays, num_directions, i0, anchors,
-                           quadrature)
+                           quadrature, probes)
     g0, jvp_lin = jax.linearize(fwd, m0)
     applyT = jax.linear_transpose(jvp_lin, m0)
 
@@ -106,16 +113,23 @@ def _dtec_operator(grid: Grid3D, rays: RayBundle, num_directions: int,
     return apply, applyt, g0
 
 
-def _join_anchor_rows(d, cd_diag, anchors):
-    """Append absolute-TEC anchor rows to a flattened data vector and its
-    noise-variance diagonal (shared by map_gauss_newton and
-    posterior_samples)."""
-    if anchors is None:
-        return d, cd_diag
-    ca = jnp.broadcast_to(jnp.asarray(anchors.noise_std),
-                          anchors.values.shape).ravel() ** 2
-    return (jnp.concatenate([d, anchors.values]),
-            jnp.concatenate([cd_diag, ca]))
+def _join_anchor_rows(d, cd_diag, anchors, probes=None):
+    """Append absolute-TEC anchor rows and point-density probe rows
+    (data/ionosonde.py) to a flattened data vector and its noise-variance
+    diagonal — same [dTEC, anchors, probes] row order as
+    ``anchored_forward`` (shared by map_gauss_newton, posterior_samples
+    and the parametric profile solve)."""
+    if anchors is not None:
+        ca = jnp.broadcast_to(jnp.asarray(anchors.noise_std),
+                              anchors.values.shape).ravel() ** 2
+        d = jnp.concatenate([d, anchors.values])
+        cd_diag = jnp.concatenate([cd_diag, ca])
+    if probes is not None:
+        cp = jnp.broadcast_to(jnp.asarray(probes.noise_std),
+                              probes.values.shape).ravel() ** 2
+        d = jnp.concatenate([d, probes.values])
+        cd_diag = jnp.concatenate([cd_diag, cp])
+    return d, cd_diag
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "max_iters",
@@ -163,7 +177,7 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                      m_prior, cov: GPCovariance, num_directions: int,
                      i0: int = 0, gn_iters: int = 3, cg_iters: int = 40,
                      cg_tol: float = 1e-4, m0=None, anchors=None,
-                     quadrature: str = "hermite"):
+                     quadrature: str = "hermite", probes=None):
     """Config 4: Bayesian MAP with GP covariance prior.
 
     Minimises S(m) = ½‖g(m)−d‖²_{C_d⁻¹} + ½‖m−m_prior‖²_{C_m⁻¹}
@@ -186,17 +200,22 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
     constraints (e.g. a GNSS VTEC map) appended as extra data rows —
     they observe the common-mode component that dTEC cannot, shrinking
     the null space that dominates model-space error.
+
+    ``probes`` (data.ionosonde.NeProbes): optional point log-density rows
+    (ionosonde bottomside profiles) — exactly linear in m, they observe
+    the profile *shape* that neither dTEC nor column anchors can.
     """
     d = jnp.asarray(d_obs).ravel()
     cd_diag = jnp.broadcast_to(jnp.asarray(noise_std),
                                jnp.asarray(d_obs).shape).ravel() ** 2
-    d, cd_diag = _join_anchor_rows(d, cd_diag, anchors)
+    d, cd_diag = _join_anchor_rows(d, cd_diag, anchors, probes)
     inv_cd = 1.0 / cd_diag
 
     def gn_step(m_k, _):
         apply_j, apply_jt, g0 = _dtec_operator(grid, rays, num_directions,
                                                i0, m_k, anchors,
-                                               quadrature=quadrature)
+                                               quadrature=quadrature,
+                                               probes=probes)
         dm_prior = m_prior - m_k
         r_hat = d - g0 - apply_j(dm_prior)     # residual after prior pull
 

@@ -46,6 +46,7 @@ FAST_TESTS = {
     "test_frames.py::test_icrs_to_enu_zenith_source",
     "test_fuzz.py::test_fuzz_constant_field_and_row_path_agree",
     "test_gp.py::test_gp_predict_interpolates_clean_data",
+    "test_ionosonde.py::test_probe_forward_npz_roundtrip_and_validation",
     "test_grid_sharding.py::test_sharded_interp_matches_replicated",
     "test_kalman.py::test_kalman_tracks_moving_structure",
     "test_linalg.py::test_cg_solves_spd_system",
