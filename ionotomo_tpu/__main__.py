@@ -294,10 +294,14 @@ def main(argv=None):
     i.add_argument("--gn-iters", type=int, default=2)
     i.add_argument("--cg-iters", type=int, default=40)
     i.add_argument("--estimate-profile", action="store_true",
-                   help="MAP-estimate the Chapman (N_peak, h_peak, H) "
-                        "from timestep-0 data + the --vtec-anchors rows "
+                   help="MAP-estimate the profile parameters from "
+                        "timestep-0 data + the --vtec-anchors rows "
                         "before solving (anchors required; slant "
-                        "geometry recommended)")
+                        "geometry recommended): the Chapman (N_peak, "
+                        "h_peak, H), or with --apriori-model "
+                        "multi_chapman the per-layer E/F1/F2 parameters "
+                        "(thickness-scaled priors; --ionosonde probes "
+                        "recommended for km-level layer heights)")
     i.add_argument("--fade", type=float, default=1.0,
                    help="kalman/enkf: per-step pull toward the "
                         "climatology (1.0 = pure frozen flow; <1 "

@@ -97,15 +97,19 @@ class SolverConfig:
                                       # "sqrt" (deterministic square-root,
                                       # no perturbed-anchor sampling noise)
                                       # | "stochastic" (perturbed values)
-    estimate_profile: bool = False    # MAP-estimate the Chapman profile
-                                      # parameters (N_peak, h_peak, H) from
-                                      # timestep-0 data + slant anchors
-                                      # before the run (inversion/profile);
-                                      # requires anchors — the profile is
+    estimate_profile: bool = False    # MAP-estimate the profile parameters
+                                      # from timestep-0 data + slant anchors
+                                      # before the run (inversion/profile):
+                                      # the Chapman (N_peak, h_peak, H), or
+                                      # per-layer over the E/F1/F2 stack
+                                      # when apriori_model="multi_chapman".
+                                      # Requires anchors — the profile is
                                       # measured unobservable without them
     profile_sigma: Tuple[float, float, float] = (0.7, 50.0, 30.0)
                                       # prior std of (log N_peak, h_peak
-                                      # [km], H [km]) for the profile solve
+                                      # [km], H [km]) for the profile solve;
+                                      # multi_chapman scales it per layer by
+                                      # thickness (H_l / max H)
     gn_iters: int = 3
     cg_iters: int = 40
     cg_tol: float = 1e-4

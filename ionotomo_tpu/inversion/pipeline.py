@@ -68,6 +68,8 @@ class InversionPipeline:
         self.anchors = None            # TecAnchors via run(anchors=...)
         self.anchor_cov = None         # background-error covariance
         self._profile_theta = None     # θ̂ from estimate_profile, per run
+        self._profile_build = None     # its θ→field builder (single or
+                                       # multi-layer, flat or curved)
         self.mesh = (shard_mod.ray_mesh()
                      if len(jax.devices()) > 1 else None)
         self._na_padded = None        # lazy; see _padded_na
@@ -121,10 +123,8 @@ class InversionPipeline:
         if self._profile_theta is not None:
             from ..geometry import frames
             from ..models.chapman import solar_zenith_factor
-            from .profile import chapman_log_field
             enu_frame = self.datapack.array.enu_frame
-            base = chapman_log_field(self.grid, self._profile_theta,
-                                     curved=self.config.physics.curved_earth)
+            base = self._profile_build(self._profile_theta)
             f_ref = float(solar_zenith_factor(jnp.float32(
                 frames.solar_cos_zenith(float(self.datapack.times[0]),
                                         enu_frame))))
@@ -141,45 +141,81 @@ class InversionPipeline:
     def _estimate_profile(self, anchors, probes=None):
         """Run the joint (θ, δm) MAP solve on timestep-0 data + anchors
         (+ optional ionosonde probe rows) and install the estimated
-        Chapman profile as the run's prior mean (honouring
-        ``physics.curved_earth``). θ and diagnostics go to the metrics
-        stream; ``self._profile_theta`` records θ̂ so the time-varying
-        climatology modulates the *estimated* profile, not the
-        configured one."""
+        profile as the run's prior mean (honouring
+        ``physics.curved_earth``). With ``apriori_model="chapman"`` θ is
+        the single-layer (log N_peak, h_peak, H); with ``"multi_chapman"``
+        θ is the flat per-layer vector over the E/F1/F2 stack
+        (models.chapman.DEFAULT_LAYERS), each layer's prior std scaled by
+        its thickness relative to the thickest layer — thin
+        photochemical layers (E) are allowed proportionally small
+        excursions, so the data's profile information lands on the
+        transport-dominated F2 layer where the climatology is genuinely
+        uncertain. Multi-layer estimation is only ~km-identifiable with
+        ionosonde probe rows (measured, tests/test_ionosonde.py);
+        without probes expect ~25 km on h_peak. θ and diagnostics go to
+        the metrics stream; ``self._profile_theta``/``_profile_build``
+        record θ̂ and its field builder so the time-varying climatology
+        modulates the *estimated* profile, not the configured one."""
         from .profile import (ProfileParams, chapman_log_field,
-                              map_gauss_newton_profile)
+                              map_gauss_newton_profile,
+                              multi_chapman_log_field)
         p, sc = self.config.physics, self.config.solver
-        if p.apriori_model != "chapman":
-            raise ValueError(
-                "solver.estimate_profile supports the single-Chapman "
-                "a-priori model; for multi-layer estimation use the API "
-                "directly (inversion.profile.multi_chapman_log_field as "
-                "a field_builder with a per-layer theta vector)")
+        curved = bool(p.curved_earth)
+        grid = self.grid
+        if p.apriori_model == "multi_chapman":
+            if p.plasmasphere_n0:
+                raise ValueError(
+                    "estimate_profile with a plasmasphere tail is not "
+                    "supported (the tail is not part of the θ "
+                    "parametrization); set plasmasphere_n0=0 or call "
+                    "inversion.profile.map_gauss_newton_profile with a "
+                    "custom field_builder")
+            from ..models.chapman import DEFAULT_LAYERS
+            theta0 = jnp.asarray(
+                [v for (_, n, h, s, _) in DEFAULT_LAYERS
+                 for v in (float(np.log(n)), h, s)], jnp.float32)
+            scales = [s for (_, _, _, s, _) in DEFAULT_LAYERS]
+            s_max = max(scales)
+            sigma = tuple(base * s / s_max
+                          for s in scales for base in sc.profile_sigma)
+            build = (lambda t: multi_chapman_log_field(grid, t,
+                                                       curved=curved))
+        else:
+            theta0 = ProfileParams.create(n_peak=p.chapman_n_peak,
+                                          h_peak_km=p.chapman_h_peak_km,
+                                          scale_km=p.chapman_scale_km)
+            sigma = sc.profile_sigma
+            build = (lambda t: chapman_log_field(
+                grid, ProfileParams(t[0], t[1], t[2]), curved=curved))
         nd = self.directions.shape[1]
         ants, d0, noise0, _ = self._padded_data(0)
         rb = self._shard(self.rays_for_time(0, antennas=ants))
-        theta0 = ProfileParams.create(n_peak=p.chapman_n_peak,
-                                      h_peak_km=p.chapman_h_peak_km,
-                                      scale_km=p.chapman_scale_km)
-        curved = bool(p.curved_earth)
-        builder = ((lambda t: chapman_log_field(
-            self.grid, ProfileParams(t[0], t[1], t[2]), curved=True))
-            if curved else None)
         res = map_gauss_newton_profile(
-            self.grid, rb, d0, noise0, theta0, sc.profile_sigma,
+            grid, rb, d0, noise0, theta0, sigma,
             self.cov, num_directions=nd, anchors=anchors, i0=self.i0,
             gn_iters=max(sc.gn_iters, 4), cg_iters=sc.cg_iters,
             quadrature=self.config.rays.quadrature,
-            field_builder=builder, probes=probes)
-        self.m_prior = chapman_log_field(self.grid, res.theta,
-                                         curved=curved)
-        self._profile_theta = res.theta
-        self.metrics.write(dict(
-            event="profile_estimated",
-            n_peak=float(res.theta.n_peak),
-            h_peak_km=float(res.theta.h_peak_km),
-            scale_km=float(res.theta.scale_km),
-            residual=float(res.residual_norm)))
+            field_builder=build, probes=probes)
+        theta_flat = (jnp.stack([res.theta.log_n_peak,
+                                 res.theta.h_peak_km, res.theta.scale_km])
+                      if isinstance(res.theta, ProfileParams)
+                      else res.theta)
+        self.m_prior = build(theta_flat)
+        self._profile_theta = theta_flat
+        self._profile_build = build
+        ev = dict(event="profile_estimated",
+                  residual=float(res.residual_norm))
+        if isinstance(res.theta, ProfileParams):
+            ev.update(n_peak=float(res.theta.n_peak),
+                      h_peak_km=float(res.theta.h_peak_km),
+                      scale_km=float(res.theta.scale_km))
+        else:
+            t = np.asarray(theta_flat, np.float64)
+            ev["layers"] = [dict(n_peak=float(np.exp(t[3 * l])),
+                                 h_peak_km=float(t[3 * l + 1]),
+                                 scale_km=float(t[3 * l + 2]))
+                            for l in range(t.size // 3)]
+        self.metrics.write(ev)
 
     def _auto_select_prior(self):
         """GCV over a candidate grid around the configured (σ, L) plus the
@@ -454,7 +490,7 @@ class InversionPipeline:
         # anchor state never leaks between run() calls: a later
         # run(anchors=None) must be identical to a fresh pipeline's run
         self.anchors, self.anchor_cov = None, None
-        self._profile_theta = None
+        self._profile_theta, self._profile_build = None, None
         self.m_prior = self._m_prior0
         if anchors is not None:
             from . import anchors as anchors_mod

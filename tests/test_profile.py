@@ -275,3 +275,90 @@ def test_profile_solve_multi_layer_and_curved_builders():
     assert abs(t_est[3] - np.log(1.5e12)) < 0.1, t_est
     assert abs(t_est[5] - 70.0) < 5.0, t_est
     assert abs(t_est[1] - 110.0) < 6.0, t_est        # E stayed put
+
+
+def test_pipeline_multilayer_estimate_profile(tmp_path):
+    """apriori_model="multi_chapman" + estimate_profile through the
+    pipeline: theta is the flat per-layer vector over DEFAULT_LAYERS with
+    thickness-scaled priors; ionosonde probes make the F2 peak
+    km-identifiable; the metrics event carries per-layer parameters; a
+    plasmasphere tail is refused with a clear error."""
+    import json as _json
+    import pytest
+    from ionotomo_tpu.config import (EngineConfig, GridConfig,
+                                     PhysicsConfig, PriorConfig,
+                                     RayConfig, RuntimeConfig,
+                                     SolverConfig)
+    from ionotomo_tpu.data.synth import generate_example_datapack
+    from ionotomo_tpu.data.ionosonde import bottomside_probes
+    from ionotomo_tpu.inversion.pipeline import InversionPipeline
+    from ionotomo_tpu.inversion.profile import multi_chapman_log_field
+    from ionotomo_tpu.models.turbulence import turbulent_log_perturbation
+
+    dp, _ = generate_example_datapack(
+        n_antennas=6, n_directions=4, n_times=1, grid_shape=(20, 20, 20),
+        turbulence_amp=0.1, seed=6, n_samples=33)
+    cfg = EngineConfig(
+        physics=PhysicsConfig(apriori_model="multi_chapman"),
+        grid=GridConfig(shape=(20, 20, 20)),
+        rays=RayConfig(n_samples=33),
+        prior=PriorConfig(kind="sqexp", length_scale_km=90.0),
+        solver=SolverConfig(solver="map_gauss_newton", gn_iters=2,
+                            cg_iters=25, estimate_profile=True),
+        runtime=RuntimeConfig(checkpoint_dir=str(tmp_path / "ck"),
+                              metrics_path=str(tmp_path / "m.jsonl")))
+    # replace the synth single-Chapman observations with a multi-layer
+    # truth (E/F1 at the climatology, F2 well off: 1.5e12 / 385 / 70 vs
+    # the DEFAULT_LAYERS guess 1e12 / 350 / 80) on the pipeline's own
+    # grid, which depends only on geometry + config
+    grid = InversionPipeline(dp, cfg).grid
+    t_true = jnp.asarray([np.log(1.2e11), 110.0, 10.0,
+                          np.log(2.5e11), 180.0, 40.0,
+                          np.log(1.5e12), 385.0, 70.0], jnp.float32)
+    m_true = multi_chapman_log_field(grid, t_true) \
+        + turbulent_log_perturbation(grid, amplitude=0.1,
+                                     outer_scale_km=120.0, seed=8)
+    dirs_enu = dp.directions_enu()
+    origins, dvecs = rays_mod.make_ray_batch(dp.array.enu, dirs_enu[0])
+    rb = rays_mod.sample_straight_rays(origins, dvecs, n_samples=33)
+    g = tec_mod.dtec_paired(m_true, grid, rb, num_directions=4, i0=0)
+    dp.dtec = np.asarray(g)[:, None, :] + np.random.default_rng(9).normal(
+        scale=dp.noise_std, size=dp.shape)
+
+    pipe = InversionPipeline(dp, cfg)
+    anchors = slant_anchor_set(pipe.grid, m_true, noise_frac=0.005,
+                               seed=13)
+    probes = bottomside_probes(m_true, pipe.grid,
+                               [[-25.0, 15.0], [20.0, -20.0]],
+                               n_per_station=12, noise_log=0.05, seed=5)
+    sol = pipe.run(resume=False, anchors=anchors, probes=probes)
+    recs = [_json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    est = next(r for r in recs if r.get("event") == "profile_estimated")
+    layers = est["layers"]
+    assert len(layers) == 3
+    # F2 recovered to a few km (probe-rows regime); E pinned by its
+    # thickness-scaled prior
+    assert abs(layers[2]["h_peak_km"] - 385.0) < 8.0, layers
+    assert 1.1e12 < layers[2]["n_peak"] < 2.0e12, layers
+    assert abs(layers[0]["h_peak_km"] - 110.0) < 3.0, layers
+    # the estimated multi-layer profile became the run prior
+    assert float(log_profile_rms(pipe.m_prior, m_true, pipe.grid)) < 0.25
+
+    # the time-varying climatology path rebuilds per-epoch targets from
+    # the ESTIMATED builder; at the estimation epoch (timestep 0) the
+    # solar offset is exactly zero, so the target equals the run prior
+    import dataclasses
+    pipe.config = dataclasses.replace(
+        pipe.config, physics=dataclasses.replace(
+            pipe.config.physics, time_varying_clim=True))
+    seq = pipe._clim_seq(0, 1)
+    np.testing.assert_allclose(np.asarray(seq[0]),
+                               np.asarray(pipe.m_prior), atol=1e-6)
+
+    cfg_ps = EngineConfig(
+        physics=PhysicsConfig(apriori_model="multi_chapman",
+                              plasmasphere_n0=1e10),
+        grid=cfg.grid, rays=cfg.rays, prior=cfg.prior, solver=cfg.solver,
+        runtime=cfg.runtime)
+    with pytest.raises(ValueError, match="plasmasphere"):
+        InversionPipeline(dp, cfg_ps).run(resume=False, anchors=anchors)
