@@ -46,8 +46,12 @@ def main():
     # gradient correction is free — PRECISION.md round-3 study)
     n_samples = int(os.environ.get("BENCH_N_SAMPLES", "65"))
     quadrature = os.environ.get("BENCH_QUADRATURE", "hermite")
+    inner = int(os.environ.get("BENCH_INNER_SAMPLES", "0"))
     rb = rays_mod.sample_straight_rays(origins, dvecs,
                                        n_samples=n_samples)
+    rb_inner = (rays_mod.sample_straight_rays(origins, dvecs,
+                                              n_samples=inner)
+                if inner else None)
     ants_h, dirs_h = make_rays(20, 50, seed=99)   # held-out rays
     d_h, _ = bent_dtec_data(m_true, grid, ants_h, dirs_h,
                             frequency_hz=150e6, n_steps=256,
@@ -56,7 +60,8 @@ def main():
     gn_iters, cg_iters = 2, 20
     f = jax.jit(lambda d: solvers.map_gauss_newton(
         grid, rb, d, noise, m_prior, cov, num_directions=100,
-        gn_iters=gn_iters, cg_iters=cg_iters, quadrature=quadrature))
+        gn_iters=gn_iters, cg_iters=cg_iters, quadrature=quadrature,
+        rays_inner=rb_inner))
     res, secs = timed(f, jnp.asarray(d_obs), reps=1)
     err_pr = covered_rmse(m_prior, m_true, grid, rb)
     err_po = covered_rmse(res.m, m_true, grid, rb)
@@ -65,6 +70,7 @@ def main():
     emit("config4", "map_gn_seconds_to_solve", secs, "s",
          cg_iters_per_sec=gn_iters * cg_iters / secs,
          n_samples=n_samples, quadrature=quadrature,
+         inner_samples=inner,
          covered_rmse_prior=err_pr, covered_rmse_post=err_po,
          heldout_dtec_rms_prior=ho_pr, heldout_dtec_rms_post=ho_po,
          data="bent-tracer 2x quadrature + 1% noise, von Karman truth, "

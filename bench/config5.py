@@ -26,7 +26,13 @@ from ionotomo_tpu.inversion.priors import GPCovariance
 from ionotomo_tpu.models.frozen_flow import advect_periodic
 
 
-def main():
+def main(n_samples=65, cg_iters=10, inner_samples=49):
+    # inner_samples=49 (mixed-fidelity update, kalman_filter
+    # rays_inner_seq) is the measured default: 35.1 s at held-out 699
+    # vs 42.0 s at 706 full-fidelity — strictly dominant (faster AND
+    # better skill; the coarse Jacobian mildly extra-regularises the
+    # truncated-CG step). inner@33 is the latency option: 27.2 s at
+    # 716.5 (+1.5%). BENCH_LOCAL.md round-3 study.
     nt, chunk = 30, 6
     ants, dirs = make_rays(100, 100)  # 10k rays per step
     grid = chapman.grid_enclosing_rays(ants, dirs, shape=(128, 128, 128),
@@ -40,7 +46,8 @@ def main():
     wind = jnp.asarray([0.3, 0.1, 0.0])
     dt_s = 30.0
     origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
-    rb = rays_mod.sample_straight_rays(origins, dvecs, n_samples=65)
+    rb = rays_mod.sample_straight_rays(origins, dvecs,
+                                       n_samples=n_samples)
 
     # observations: bent tracer through the advected true field, 2× quad
     def obs(t):
@@ -54,17 +61,25 @@ def main():
     noise = jnp.float32(0.01 * float(jnp.std(d_seq)))
     d_seq = d_seq + noise * jax.random.normal(jax.random.key(0),
                                               d_seq.shape)
-    rays_seq = rays_mod.RayBundle(
-        points=jnp.broadcast_to(rb.points, (chunk,) + rb.points.shape),
-        ds=jnp.broadcast_to(rb.ds, (chunk,) + rb.ds.shape))
+    def stack(b):
+        return rays_mod.RayBundle(
+            points=jnp.broadcast_to(b.points, (chunk,) + b.points.shape),
+            ds=jnp.broadcast_to(b.ds, (chunk,) + b.ds.shape))
+
+    rays_seq = stack(rb)
+    inner_seq = None
+    if inner_samples is not None:
+        inner_seq = stack(rays_mod.sample_straight_rays(
+            origins, dvecs, n_samples=inner_samples))
 
     def run_chunked(d):
         m_cur, pre, post, m_last = m_bg, [], [], None
         for c0 in range(0, nt, chunk):
             res = kalman_filter(
                 grid, rays_seq, d[c0:c0 + chunk], noise, m_cur, cov, wind,
-                dt_s, num_directions=100, cg_iters=10,
-                advect_first=(c0 > 0), m_clim=m_bg)
+                dt_s, num_directions=100, cg_iters=cg_iters,
+                advect_first=(c0 > 0), m_clim=m_bg,
+                rays_inner_seq=inner_seq)
             m_cur = res.m_seq[-1]
             pre.append(res.residuals)
             post.append(res.post_residuals)
@@ -90,8 +105,10 @@ def main():
          covered_rmse_prior=covered_rmse(m_bg, m_true_f, grid, rb),
          covered_rmse_post=covered_rmse(m_f, m_true_f, grid, rb),
          heldout_dtec_rms_prior=ho_pr, heldout_dtec_rms_post=ho_po,
-         data="bent-tracer 2x quadrature + 1% noise, von Karman truth, "
-              "chunked filter (5 chunks x 6 steps)")
+         data=f"bent-tracer 2x quadrature + 1% noise, von Karman "
+              f"truth, chunked filter (5 chunks x 6 steps), "
+              f"hermite@{n_samples}{f'/inner@{inner_samples}' if inner_samples else ''}, "
+              f"cg_iters={cg_iters}")
 
 
 if __name__ == "__main__":

@@ -62,7 +62,8 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
                   anchors=None, anchor_values_seq=None,
                   anchor_cov: GPCovariance = None,
                   anchor_cg_iters: int = 8,
-                  quadrature: str = "hermite", m_clim_seq=None):
+                  quadrature: str = "hermite", m_clim_seq=None,
+                  rays_inner_seq: RayBundle = None):
     """Run the filter over Nt timesteps.
 
     rays_seq: RayBundle with leading time axis — points (Nt, R, N, 3),
@@ -94,6 +95,17 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
     pass the solar-zenith-modulated Chapman field per epoch and the fade
     pull tracks the diurnal cycle. None (default) keeps the static
     ``m_clim``.
+
+    ``rays_inner_seq``: optional coarser-sampled bundle over the SAME
+    geometry (e.g. hermite@33 vs the fine @65) for the linear solve —
+    mixed-fidelity (inexact Gauss-Newton) updates. The data misfit and
+    all residuals are evaluated with the full-fidelity forward on
+    ``rays_seq`` (the coarse rule's systematic quadrature bias never
+    enters them); the update's Jacobian — rhs and matvec both, which is
+    what keeps the step a contraction — is the coarse operator's.
+    Measured (config 5, BENCH_LOCAL.md) vs the full-fidelity filter:
+    ~1.55× faster (42.0 → 27.1 s) at ~1.5% held-out cost, where running
+    *everything* coarse (the residuals too) loses ~4%.
     """
     m_clim = m0 if m_clim is None else m_clim
     d_seq = jnp.asarray(d_obs_seq)
@@ -103,27 +115,47 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
     cd_seq = (jnp.broadcast_to(jnp.asarray(noise_std), d_seq.shape)
               .reshape(nt, -1) ** 2)
     shift = jnp.asarray(wind_kmps, jnp.float32) * dt_s
+    mixed = rays_inner_seq is not None
 
-    def update(m_pred, rays_t, d_t, cd_diag):
+    def update(m_pred, rays_t, rays_inner_t, d_t, cd_diag):
         inv_cd = 1.0 / cd_diag
         def fwd(m):
             return tec_mod.dtec_paired_q(m, grid, rays_t, num_directions,
                                          i0, quadrature).ravel()
 
         g0, jvp = jax.linearize(fwd, m_pred)
-        vjp = jax.linear_transpose(jvp, m_pred)
         r = d_t.ravel() - g0
+        if mixed:
+            # mixed-fidelity (inexact Gauss-Newton; measured design,
+            # BENCH_LOCAL.md config 5): the data misfit r is evaluated
+            # with the full-fidelity forward — the coarse rule's
+            # systematic quadrature bias never enters it — while the
+            # Jacobian of the whole linear solve (rhs AND matvec) is the
+            # coarser-sampled operator's. Using the coarse J on BOTH
+            # sides is what keeps the step a contraction: a fine-J rhs
+            # over a coarse-J system gives modes the coarse operator
+            # cannot see an unregularised gradient step, which amplifies
+            # over a long filter sequence (measured: NaN by step ~30 at
+            # config-5 scale).
+            def fwd_c(m):
+                return tec_mod.dtec_paired_q(m, grid, rays_inner_t,
+                                             num_directions, i0,
+                                             quadrature).ravel()
+            _, jvp_c = jax.linearize(fwd_c, m_pred)
+        else:
+            jvp_c = jvp
+        vjp_c = jax.linear_transpose(jvp_c, m_pred)
 
         # C^{1/2}-preconditioned model-space CG (see solvers.map_gauss_
         # newton): identity-plus-PSD system, truncated iterates are
         # regularised updates
         def matvec(u):
             v = cov.apply_sqrt(u.reshape(grid.shape))
-            w = jvp(v) * inv_cd
-            (z,) = vjp(w)
+            w = jvp_c(v) * inv_cd
+            (z,) = vjp_c(w)
             return u + cov.apply_sqrt(z).ravel()
 
-        rhs = cov.apply_sqrt(vjp(r * inv_cd)[0]).ravel()
+        rhs = cov.apply_sqrt(vjp_c(r * inv_cd)[0]).ravel()
         u, _ = linalg.cg(matvec, rhs, max_iters=cg_iters, tol=cg_tol)
         m_new = m_pred + cov.apply_sqrt(u.reshape(grid.shape))
         pre = jnp.linalg.norm(r / jnp.sqrt(cd_diag))
@@ -157,22 +189,27 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
                else jnp.zeros((nt,), jnp.float32))   # scan-xs placeholder
 
     def step(m_t, inputs):
-        rays_pts, rays_ds, d_t, cd_t, a_t, is_first, clim_t = inputs
+        (rays_pts, rays_ds, inner_pts, inner_ds, d_t, cd_t, a_t,
+         is_first, clim_t) = inputs
         clim = clim_t if has_clim_seq else m_clim
         rays_t = RayBundle(points=rays_pts, ds=rays_ds)
+        rays_inner_t = (RayBundle(points=inner_pts, ds=inner_ds)
+                        if mixed else None)
         # predict: advect except at t=0 (state already at t=0)
         m_adv = advect_periodic(m_t, grid, shift)
         m_pred = jnp.where(is_first, m_t,
                            fade * m_adv + (1 - fade) * clim)
         if anchors is not None:
             m_pred = anchor_update(m_pred, a_t)
-        m_new, pre, post = update(m_pred, rays_t, d_t, cd_t)
+        m_new, pre, post = update(m_pred, rays_t, rays_inner_t, d_t, cd_t)
         return m_new, (m_new, pre, post)
 
     is_first = jnp.zeros((nt,), bool).at[0].set(not advect_first)
+    inner_xs = ((rays_inner_seq.points, rays_inner_seq.ds) if mixed
+                else (jnp.zeros((nt,), jnp.float32),) * 2)
     _, (m_seq, pre, post) = jax.lax.scan(
-        step, m0, (rays_seq.points, rays_seq.ds, d_seq, cd_seq,
-                   a_vals_seq, is_first, clim_xs))
+        step, m0, (rays_seq.points, rays_seq.ds, *inner_xs, d_seq,
+                   cd_seq, a_vals_seq, is_first, clim_xs))
     return KalmanResult(m_seq=m_seq, residuals=pre, post_residuals=post)
 
 
@@ -204,7 +241,8 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                            anchor_cov: GPCovariance = None,
                            anchor_cg_iters: int = 8,
                            anchor_update: str = "sqrt",
-                           quadrature: str = "hermite", m_clim_seq=None):
+                           quadrature: str = "hermite", m_clim_seq=None,
+                           rays_inner_seq: RayBundle = None):
     """Ensemble variant: time-propagated posterior uncertainty.
 
     Goes beyond the reference's point-estimate filter: an ensemble of
@@ -261,6 +299,10 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     sampling noise that dominates at 8 members;
     ``anchor_update="stochastic"`` keeps the per-member perturbed-value
     RTO form (exact posterior covariance, but only in expectation).
+
+    ``rays_inner_seq``: mixed-fidelity member updates — misfit and
+    linearisation point at full fidelity, the solve's Jacobian (rhs and
+    matvec) the coarser bundle's; see ``kalman_filter``.
     """
     m_clim = m0 if m_clim is None else m_clim
     d_seq = jnp.asarray(d_obs_seq)
@@ -291,7 +333,10 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                 jax.random.split(init_key, n_members))
         ens0 = m0[None] + init_noise
 
-    def member_update(m_pred, rays_t, d_t, cd_diag, eps, cov_t):
+    mixed = rays_inner_seq is not None
+
+    def member_update(m_pred, rays_t, rays_inner_t, d_t, cd_diag, eps,
+                      cov_t):
         inv_cd = 1.0 / cd_diag
 
         def fwd(m):
@@ -299,16 +344,27 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                                          i0, quadrature).ravel()
 
         g0, jvp = jax.linearize(fwd, m_pred)
-        vjp = jax.linear_transpose(jvp, m_pred)
+        if mixed:
+            # mixed-fidelity inexact Gauss-Newton — see kalman_filter:
+            # misfit full-fidelity, the solve's Jacobian (rhs AND
+            # matvec) coarse
+            def fwd_c(m):
+                return tec_mod.dtec_paired_q(m, grid, rays_inner_t,
+                                             num_directions, i0,
+                                             quadrature).ravel()
+            _, jvp_c = jax.linearize(fwd_c, m_pred)
+        else:
+            jvp_c = jvp
+        vjp_c = jax.linear_transpose(jvp_c, m_pred)
         r = d_t.ravel() + eps - g0
 
         def matvec(u):
             v = cov_t.apply_sqrt(u.reshape(grid.shape))
-            w = jvp(v) * inv_cd
-            (z,) = vjp(w)
+            w = jvp_c(v) * inv_cd
+            (z,) = vjp_c(w)
             return u + cov_t.apply_sqrt(z).ravel()
 
-        rhs = cov_t.apply_sqrt(vjp(r * inv_cd)[0]).ravel()
+        rhs = cov_t.apply_sqrt(vjp_c(r * inv_cd)[0]).ravel()
         u, _ = linalg.cg(matvec, rhs, max_iters=cg_iters, tol=cg_tol)
         pre = jnp.linalg.norm((d_t.ravel() - g0) / jnp.sqrt(cd_diag))
         return m_pred + cov_t.apply_sqrt(u.reshape(grid.shape)), pre
@@ -318,10 +374,12 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                else jnp.zeros((nt,), jnp.float32))   # scan-xs placeholder
 
     def step(ens, inputs):
-        (rays_pts, rays_ds, d_t, cd_t, a_t, is_first, t_global,
-         clim_t) = inputs
+        (rays_pts, rays_ds, inner_pts, inner_ds, d_t, cd_t, a_t,
+         is_first, t_global, clim_t) = inputs
         clim = clim_t if has_clim_seq else m_clim
         rays_t = RayBundle(points=rays_pts, ds=rays_ds)
+        rays_inner_t = (RayBundle(points=inner_pts, ds=inner_ds)
+                        if mixed else None)
         k_t = jax.random.fold_in(key, t_global)
         k_adv, k_obs = jax.random.split(k_t)
 
@@ -378,16 +436,19 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
         eps = (jax.random.normal(k_obs, (n_members, d_t.size))
                * jnp.sqrt(cd_t)[None, :])
         ens_new, pres = jax.vmap(
-            lambda m, e: member_update(m, rays_t, d_t, cd_t, e, cov_t))(
+            lambda m, e: member_update(m, rays_t, rays_inner_t, d_t,
+                                       cd_t, e, cov_t))(
                 ens_pred, eps)
         out = (ens_new.mean(0), ens_new.std(0), pres.mean())
         return ens_new, out
 
     is_first = jnp.zeros((nt,), bool).at[0].set(not advect_first)
     t_global = step_offset + jnp.arange(nt, dtype=jnp.int32)
+    inner_xs = ((rays_inner_seq.points, rays_inner_seq.ds) if mixed
+                else (jnp.zeros((nt,), jnp.float32),) * 2)
     ens_f, (mean_seq, std_seq, pre) = jax.lax.scan(
         step, ens0,
-        (rays_seq.points, rays_seq.ds, d_seq, cd_seq, a_vals_seq,
-         is_first, t_global, clim_xs))
+        (rays_seq.points, rays_seq.ds, *inner_xs, d_seq, cd_seq,
+         a_vals_seq, is_first, t_global, clim_xs))
     return EnsembleKalmanResult(mean_seq=mean_seq, std_seq=std_seq,
                                 residuals=pre, ensemble=ens_f)

@@ -177,7 +177,8 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                      m_prior, cov: GPCovariance, num_directions: int,
                      i0: int = 0, gn_iters: int = 3, cg_iters: int = 40,
                      cg_tol: float = 1e-4, m0=None, anchors=None,
-                     quadrature: str = "hermite", probes=None):
+                     quadrature: str = "hermite", probes=None,
+                     rays_inner: RayBundle = None):
     """Config 4: Bayesian MAP with GP covariance prior.
 
     Minimises S(m) = ½‖g(m)−d‖²_{C_d⁻¹} + ½‖m−m_prior‖²_{C_m⁻¹}
@@ -204,6 +205,12 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
     ``probes`` (data.ionosonde.NeProbes): optional point log-density rows
     (ionosonde bottomside profiles) — exactly linear in m, they observe
     the profile *shape* that neither dTEC nor column anchors can.
+
+    ``rays_inner``: optional coarser-sampled bundle over the same
+    geometry (e.g. hermite@33 vs @65) supplying the linear solve's
+    Jacobian (rhs and matvec) — mixed-fidelity inexact Gauss-Newton;
+    residuals stay full-fidelity; see ``kalman_filter``. Anchor/probe
+    rows are shared, so row shapes are unchanged.
     """
     d = jnp.asarray(d_obs).ravel()
     cd_diag = jnp.broadcast_to(jnp.asarray(noise_std),
@@ -216,16 +223,28 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                                                i0, m_k, anchors,
                                                quadrature=quadrature,
                                                probes=probes)
+        if rays_inner is not None:
+            # mixed-fidelity (inexact Gauss-Newton; see kalman_filter,
+            # measured on config 5, BENCH_LOCAL.md): data misfit and
+            # residuals at full fidelity — the coarse rule's systematic
+            # quadrature bias never enters them — with the linear
+            # solve's Jacobian (rhs AND matvec; both sides or the step
+            # is no contraction) the coarser-sampled operator's
+            apply_jc, apply_jtc, _ = _dtec_operator(
+                grid, rays_inner, num_directions, i0, m_k, anchors,
+                quadrature=quadrature, probes=probes)
+        else:
+            apply_jc, apply_jtc = apply_j, apply_jt
         dm_prior = m_prior - m_k
         r_hat = d - g0 - apply_j(dm_prior)     # residual after prior pull
 
         def matvec(u):
             v = cov.apply_sqrt(u.reshape(grid.shape))
-            w = apply_j(v) * inv_cd
-            z = cov.apply_sqrt(apply_jt(w))
+            w = apply_jc(v) * inv_cd
+            z = cov.apply_sqrt(apply_jtc(w))
             return u + z.ravel()
 
-        rhs = cov.apply_sqrt(apply_jt(r_hat * inv_cd)).ravel()
+        rhs = cov.apply_sqrt(apply_jtc(r_hat * inv_cd)).ravel()
         u, info = linalg.cg(matvec, rhs, max_iters=cg_iters, tol=cg_tol)
         dm = dm_prior + cov.apply_sqrt(u.reshape(grid.shape))
         m_next = m_k + dm

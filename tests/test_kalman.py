@@ -531,3 +531,77 @@ def test_enkf_sqrt_anchor_update_removes_sampling_noise():
     e_st = np.mean([run("stochastic", s) for s in (3, 4)])
     e_sq = np.mean([run("sqrt", s) for s in (3, 4)])
     assert e_sq <= 1.1 * e_st, (e_sq, e_st)
+
+
+def test_mixed_fidelity_kalman_update():
+    """Mixed-fidelity CG (rays_inner_seq): with the inner bundle equal to
+    the fine one the filter is bit-identical to the plain path; with a
+    genuinely coarser inner bundle the updates stay close (the coarse
+    operator only perturbs the truncation-regularised direction — the
+    misfit itself is always full-fidelity) and still reduce the whitened
+    residual every step."""
+    w = moving_world()
+    cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+    kw = dict(num_directions=w["n_dirs"], cg_iters=15, fade=0.95)
+    base = kalman_filter(w["grid"], w["rays_seq"], w["d_seq"], w["noise"],
+                         w["m_bg"], cov, w["wind"], w["dt_s"], **kw)
+    same = kalman_filter(w["grid"], w["rays_seq"], w["d_seq"], w["noise"],
+                         w["m_bg"], cov, w["wind"], w["dt_s"],
+                         rays_inner_seq=w["rays_seq"], **kw)
+    np.testing.assert_array_equal(np.asarray(base.m_seq),
+                                  np.asarray(same.m_seq))
+
+    nt = w["d_seq"].shape[0]
+    rb_c = rays_mod.RayBundle(points=w["rays_seq"].points[:, :, ::2],
+                              ds=2.0 * w["rays_seq"].ds)
+    mixed = kalman_filter(w["grid"], w["rays_seq"], w["d_seq"], w["noise"],
+                          w["m_bg"], cov, w["wind"], w["dt_s"],
+                          rays_inner_seq=rb_c, **kw)
+    assert (np.asarray(mixed.post_residuals)
+            < np.asarray(mixed.residuals)).all()
+    # close to the full-fidelity solution relative to the update size
+    upd = np.sqrt(np.mean((np.asarray(base.m_seq[-1])
+                           - np.asarray(w["m_bg"])) ** 2))
+    diff = np.sqrt(np.mean((np.asarray(mixed.m_seq[-1])
+                            - np.asarray(base.m_seq[-1])) ** 2))
+    assert diff < 0.25 * upd, (diff, upd)
+
+
+def test_mixed_fidelity_enkf_update():
+    """EnKF mixed-fidelity member updates: inner bundle == fine bundle
+    reproduces the plain path to float tolerance (unlike the scalar
+    filter it is not bit-identical — the vmapped extra linearize compiles
+    a differently-fused program); a coarser inner bundle stays finite and
+    close to the full-fidelity ensemble mean."""
+    from ionotomo_tpu.inversion.kalman import ensemble_kalman_filter
+
+    w = moving_world()
+    cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+    kw = dict(num_directions=w["n_dirs"], key=jax.random.key(1),
+              n_members=4, cg_iters=8, fade=0.95)
+    base = ensemble_kalman_filter(
+        w["grid"], w["rays_seq"], w["d_seq"], w["noise"], w["m_bg"], cov,
+        w["wind"], w["dt_s"], **kw)
+    same = ensemble_kalman_filter(
+        w["grid"], w["rays_seq"], w["d_seq"], w["noise"], w["m_bg"], cov,
+        w["wind"], w["dt_s"], rays_inner_seq=w["rays_seq"], **kw)
+    upd = np.sqrt(np.mean((np.asarray(base.mean_seq[-1])
+                           - np.asarray(w["m_bg"])) ** 2))
+    diff_same = np.sqrt(np.mean((np.asarray(same.mean_seq[-1])
+                                 - np.asarray(base.mean_seq[-1])) ** 2))
+    assert diff_same < 0.02 * upd, (diff_same, upd)
+
+    rb_c = rays_mod.RayBundle(points=w["rays_seq"].points[:, :, ::2],
+                              ds=2.0 * w["rays_seq"].ds)
+    mixed = ensemble_kalman_filter(
+        w["grid"], w["rays_seq"], w["d_seq"], w["noise"], w["m_bg"], cov,
+        w["wind"], w["dt_s"], rays_inner_seq=rb_c, **kw)
+    mean_m = np.asarray(mixed.mean_seq)
+    assert np.isfinite(mean_m).all()
+    upd = np.sqrt(np.mean((np.asarray(base.mean_seq[-1])
+                           - np.asarray(w["m_bg"])) ** 2))
+    diff = np.sqrt(np.mean((mean_m[-1]
+                            - np.asarray(base.mean_seq[-1])) ** 2))
+    assert diff < 0.3 * upd, (diff, upd)
