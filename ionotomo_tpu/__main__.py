@@ -51,7 +51,8 @@ def cmd_serve(args):
         physics=PhysicsConfig(time_varying_clim=args.time_varying_clim),
         grid=GridConfig(shape=(args.grid,) * 3),
         rays=RayConfig(n_samples=args.samples,
-                       quadrature=args.quadrature),
+                       quadrature=args.quadrature,
+                       inner_samples=args.inner_samples),
         prior=PriorConfig(sigma=args.prior_sigma,
                           length_scale_km=_prior_length(args.prior_length),
                           kind=args.prior_kind),
@@ -87,6 +88,7 @@ def cmd_invert(args):
         grid=GridConfig(shape=(args.grid,) * 3),
         rays=RayConfig(bent=args.bent, n_samples=args.samples,
                        quadrature=args.quadrature,
+                       inner_samples=args.inner_samples,
                        n_steps=args.n_steps,
                        retrace_every=args.retrace_every),
         prior=PriorConfig(sigma=args.prior_sigma,
@@ -317,6 +319,12 @@ def main(argv=None):
                    help="straight-ray operator quadrature rule (hermite: "
                         "gradient-augmented, equal accuracy at ~half the "
                         "samples)")
+    i.add_argument("--inner-samples", type=int, default=0,
+                   help="mixed-fidelity solves: the linear solve's "
+                        "Jacobian from a coarse subsample at this many "
+                        "samples (misfit stays full-fidelity); needs "
+                        "(samples-1) %% (inner-samples-1) == 0. Measured "
+                        "frontier in BENCH_LOCAL.md")
     i.add_argument("--prior-sigma", type=float, default=0.3)
     i.add_argument("--prior-length", type=float, nargs="+", default=[80.0],
                    metavar="L",
@@ -389,6 +397,9 @@ def main(argv=None):
     v.add_argument("--cg-iters", type=int, default=30)
     v.add_argument("--quadrature", default="hermite",
                    choices=["simpson", "hermite"])
+    v.add_argument("--inner-samples", type=int, default=0,
+                   help="mixed-fidelity per-epoch updates (see invert "
+                        "--inner-samples)")
     v.add_argument("--fade", type=float, default=1.0,
                    help="per-step pull toward the climatology (1.0 = "
                         "pure frozen flow; <1 enables the clim pull)")

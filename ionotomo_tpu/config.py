@@ -56,6 +56,14 @@ class RayConfig:
                                   # — equal-or-better skill at ~half the
                                   # samples; PRECISION.md round-3 study)
                                   # | "simpson" (the r2 operator)
+    inner_samples: int = 0    # >0: mixed-fidelity (inexact Gauss-Newton)
+                              # solves — the linear solve's Jacobian (rhs
+                              # and matvec) from a coarse subsample of the
+                              # fine bundle at this many samples; misfit
+                              # and residuals stay full-fidelity. Measured
+                              # frontier in BENCH_LOCAL.md (config5 @65/
+                              # inner@49: faster at BETTER held-out skill).
+                              # Needs (n_samples-1) % (inner_samples-1)==0.
     n_steps: int = 64     # bent-ray integrator; solver-grade per the
                           # PRECISION.md convergence study (128 buys nothing)
     method: str = "leapfrog"                       # "leapfrog" | "rk4"

@@ -56,6 +56,28 @@ def sample_straight_rays(origins, directions,
     return RayBundle(points=pts, ds=ds)
 
 
+def inner_bundle(bundle: RayBundle, n_inner: int) -> RayBundle:
+    """Coarse subsample of a uniformly-sampled bundle (every k-th sample,
+    endpoints kept) for mixed-fidelity solves — the linear solve's
+    Jacobian from the coarse rule, misfit at full fidelity (see
+    solvers.map_gauss_newton ``rays_inner``). Works for straight AND
+    bent bundles (both are uniform in arc length), and for stacked
+    (Nt, R, N, 3) sequences. Requires (N−1) divisible by (n_inner−1).
+    """
+    n = bundle.points.shape[-2]
+    if not 1 < n_inner < n:
+        raise ValueError(f"inner_bundle: need 1 < n_inner={n_inner} < "
+                         f"n_samples={n}")
+    stride, rem = divmod(n - 1, n_inner - 1)
+    if rem:
+        raise ValueError(
+            f"inner_bundle: n_samples-1={n - 1} not divisible by "
+            f"n_inner-1={n_inner - 1} (try n_inner in "
+            f"{[1 + (n - 1) // k for k in (2, 4) if (n - 1) % k == 0]})")
+    return RayBundle(points=bundle.points[..., ::stride, :],
+                     ds=bundle.ds * stride)
+
+
 def make_ray_batch(antennas_enu, directions_enu):
     """Cartesian product (Na,3)×(Nd,3) → flat (Na*Nd, 3) origin/dir arrays.
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.grids import Grid3D
-from ..geometry.rays import RayBundle
+from ..geometry.rays import RayBundle, inner_bundle
 from .kalman import ensemble_kalman_filter, kalman_filter
 from .priors import GPCovariance
 
@@ -36,7 +36,7 @@ class OnlineKalman:
                  cg_iters: int = 30, cg_tol: float = 1e-4,
                  fade: float = 1.0, anchors=None,
                  anchor_cov: GPCovariance = None,
-                 quadrature: str = "hermite"):
+                 quadrature: str = "hermite", inner_samples: int = 0):
         self.grid = grid
         self.cov = cov
         self.m_clim = jnp.asarray(m0)
@@ -53,6 +53,12 @@ class OnlineKalman:
         self.anchors = anchors
         self.anchor_cov = anchor_cov
         self.quadrature = str(quadrature)
+        # >0: mixed-fidelity per-epoch updates — the linear solve's
+        # Jacobian from a coarse subsample of each epoch's bundle, misfit
+        # full-fidelity (kalman_filter rays_inner_seq; measured frontier
+        # in BENCH_LOCAL.md — the streaming path is the latency-sensitive
+        # beneficiary)
+        self.inner_samples = int(inner_samples)
         self.t = 0
 
     def step(self, rays_t: RayBundle, d_t, noise_t, anchor_values=None,
@@ -70,9 +76,12 @@ class OnlineKalman:
                  if anchor_values is not None else None)
         clim_seq = (jnp.asarray(m_clim)[None]
                     if m_clim is not None else None)
+        rays_seq = RayBundle(points=rays_t.points[None],
+                             ds=rays_t.ds[None])
+        inner_seq = (inner_bundle(rays_seq, self.inner_samples)
+                     if self.inner_samples > 0 else None)
         res = kalman_filter(
-            self.grid,
-            RayBundle(points=rays_t.points[None], ds=rays_t.ds[None]),
+            self.grid, rays_seq,
             jnp.asarray(d_t)[None], jnp.asarray(noise_t),
             self.m, self.cov, self.wind, self.dt_s,
             num_directions=self.nd, i0=self.i0, cg_iters=self.cg_iters,
@@ -80,7 +89,7 @@ class OnlineKalman:
             advect_first=(self.t > 0), m_clim=self.m_clim,
             anchors=self.anchors, anchor_values_seq=a_seq,
             anchor_cov=self.anchor_cov, quadrature=self.quadrature,
-            m_clim_seq=clim_seq)
+            m_clim_seq=clim_seq, rays_inner_seq=inner_seq)
         self.m = res.m_seq[0]
         self.t += 1
         diag = dict(t=self.t - 1,
@@ -112,7 +121,7 @@ class OnlineEnsembleKalman:
                  inflation: float = 1.0, spectrum_blend: float = 0.0,
                  anchors=None, anchor_cov: GPCovariance = None,
                  quadrature: str = "hermite",
-                 anchor_update: str = "sqrt"):
+                 anchor_update: str = "sqrt", inner_samples: int = 0):
         self.grid = grid
         self.cov = cov
         self.m_clim = jnp.asarray(m0)
@@ -132,6 +141,7 @@ class OnlineEnsembleKalman:
         self.anchors = anchors
         self.anchor_cov = anchor_cov
         self.quadrature = str(quadrature)
+        self.inner_samples = int(inner_samples)   # see OnlineKalman
         self.ens = None      # built by the filter on the first step
         self.t = 0
 
@@ -146,9 +156,12 @@ class OnlineEnsembleKalman:
                  if anchor_values is not None else None)
         clim_seq = (jnp.asarray(m_clim)[None]
                     if m_clim is not None else None)
+        rays_seq = RayBundle(points=rays_t.points[None],
+                             ds=rays_t.ds[None])
+        inner_seq = (inner_bundle(rays_seq, self.inner_samples)
+                     if self.inner_samples > 0 else None)
         res = ensemble_kalman_filter(
-            self.grid,
-            RayBundle(points=rays_t.points[None], ds=rays_t.ds[None]),
+            self.grid, rays_seq,
             jnp.asarray(d_t)[None], jnp.asarray(noise_t),
             self.m_clim, self.cov, self.wind, self.dt_s,
             num_directions=self.nd, key=self.key,
@@ -160,7 +173,8 @@ class OnlineEnsembleKalman:
             step_offset=self.t, anchors=self.anchors,
             anchor_values_seq=a_seq, anchor_cov=self.anchor_cov,
             anchor_update=self.anchor_update,
-            quadrature=self.quadrature, m_clim_seq=clim_seq)
+            quadrature=self.quadrature, m_clim_seq=clim_seq,
+            rays_inner_seq=inner_seq)
         self.ens = res.ensemble
         self.t += 1
         diag = dict(t=self.t - 1, pre_residual=float(res.residuals[0]))

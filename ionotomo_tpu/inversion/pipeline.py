@@ -269,6 +269,13 @@ class InversionPipeline:
             origins, dvecs, max_length_km=p.max_length_km,
             n_samples=rc.n_samples)
 
+    def _inner(self, bundle):
+        """Coarse companion bundle for mixed-fidelity solves (RayConfig
+        .inner_samples > 0), or None. Subsampling preserves any ray-axis
+        sharding (the slice is along the sample axis)."""
+        k = self.config.rays.inner_samples
+        return rays_mod.inner_bundle(bundle, k) if k > 0 else None
+
     # --- sharding ------------------------------------------------------------
 
     def _padded_na(self, na: int, nd: int) -> int:
@@ -324,7 +331,7 @@ class InversionPipeline:
         rays_seq = rays_mod.RayBundle(points=pts, ds=ds)
         d = jnp.stack([p[1] for p in per])
         noise = jnp.stack([p[2] for p in per])
-        return rays_seq, d, noise
+        return rays_seq, self._inner(rays_seq), d, noise
 
     def _padded_data(self, t: int):
         """(antennas, d_t, noise_t, na_real) with whole-antenna padding so
@@ -369,7 +376,8 @@ class InversionPipeline:
             self.grid, rb, d_t, noise, m_start, self.cov,
             num_directions=nd, i0=self.i0, gn_iters=sc.gn_iters,
             cg_iters=sc.cg_iters, cg_tol=sc.cg_tol, m0=m0,
-            anchors=self.anchors, quadrature=quad)
+            anchors=self.anchors, quadrature=quad,
+            rays_inner=self._inner(rb))
 
     def solve_snapshot(self, t: int, m0=None):
         """Invert one timestep; returns (m, diagnostics dict).
@@ -408,7 +416,8 @@ class InversionPipeline:
                     num_directions=nd, i0=self.i0, gn_iters=n_iters,
                     cg_iters=sc.cg_iters, cg_tol=sc.cg_tol, m0=m_k,
                     anchors=self.anchors,
-                    quadrature=self.config.rays.quadrature)
+                    quadrature=self.config.rays.quadrature,
+                    rays_inner=self._inner(rb))
                 m_k = res.m
                 done_iters += n_iters
                 cur = float(res.residual_norm)   # outer-loop stall check
@@ -624,7 +633,8 @@ class InversionPipeline:
         t0 = time.perf_counter()
         for c0 in range(start_t, nt, chunk):
             c1 = min(c0 + chunk, nt)
-            rays_seq, d_chunk, noise_chunk = self._chunk_arrays(c0, c1)
+            rays_seq, inner_seq, d_chunk, noise_chunk = \
+                self._chunk_arrays(c0, c1)
             res = ensemble_kalman_filter(
                 self.grid, rays_seq, d_chunk,
                 noise_chunk, self.m_prior, self.cov,
@@ -642,7 +652,8 @@ class InversionPipeline:
                             else None),
                 anchor_update=sc.enkf_anchor_update,
                 quadrature=self.config.rays.quadrature,
-                m_clim_seq=self._clim_seq(c0, c1))
+                m_clim_seq=self._clim_seq(c0, c1),
+                rays_inner_seq=inner_seq)
             jax.block_until_ready(res.mean_seq)
             mean_list.extend(np.asarray(res.mean_seq))
             std_list.extend(np.asarray(res.std_seq))
@@ -754,7 +765,8 @@ class InversionPipeline:
         t0 = time.perf_counter()
         for c0 in range(start_t, nt, chunk):
             c1 = min(c0 + chunk, nt)
-            rays_seq, d_chunk, noise_chunk = self._chunk_arrays(c0, c1)
+            rays_seq, inner_seq, d_chunk, noise_chunk = \
+                self._chunk_arrays(c0, c1)
             res = kalman_filter(
                 self.grid, rays_seq, d_chunk, noise_chunk,
                 m_cur, self.cov, wind, dt_s,
@@ -765,7 +777,8 @@ class InversionPipeline:
                 anchor_cov=(self.anchor_cov if self.anchors is not None
                             else None),
                 quadrature=self.config.rays.quadrature,
-                m_clim_seq=self._clim_seq(c0, c1))
+                m_clim_seq=self._clim_seq(c0, c1),
+                rays_inner_seq=inner_seq)
             jax.block_until_ready(res.m_seq)
             m_list.extend(np.asarray(res.m_seq))
             pre.extend(np.asarray(res.residuals))

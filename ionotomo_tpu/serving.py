@@ -199,7 +199,8 @@ class EpochService:
         kw = dict(cg_iters=c.solver.cg_iters, cg_tol=c.solver.cg_tol,
                   fade=c.solver.kalman_fade, anchors=self._anchors,
                   anchor_cov=self._anchor_cov,
-                  quadrature=c.rays.quadrature)
+                  quadrature=c.rays.quadrature,
+                  inner_samples=c.rays.inner_samples)
         if c.solver.solver == "enkf":
             self.filter = OnlineEnsembleKalman(
                 self.grid, cov, m_prior, self._wind, dt_s=30.0,

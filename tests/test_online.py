@@ -89,3 +89,30 @@ def test_online_enkf_matches_batch_filter():
         assert dm < 0.05 * delta, (t, dm, delta)
         assert ds_ < 0.05 * float(np.asarray(batch.std_seq[t]).mean()), \
             (t, ds_)
+
+
+def test_online_mixed_fidelity_matches_batch_mixed():
+    """Streaming mixed-fidelity (inner_samples>0) equals the batch filter
+    run with the equivalent rays_inner_seq — the serving path's latency
+    option is numerically the documented batch capability."""
+    from ionotomo_tpu.geometry.rays import inner_bundle
+
+    w = moving_world(nt=3)
+    cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+    batch = kalman_filter(
+        w["grid"], w["rays_seq"], w["d_seq"], w["noise"], w["m_bg"], cov,
+        w["wind"], w["dt_s"], num_directions=w["n_dirs"], cg_iters=15,
+        fade=0.95, rays_inner_seq=inner_bundle(w["rays_seq"], 25))
+    f = OnlineKalman(w["grid"], cov, w["m_bg"], w["wind"], w["dt_s"],
+                     num_directions=w["n_dirs"], cg_iters=15, fade=0.95,
+                     inner_samples=25)
+    for t in range(3):
+        rb = RayBundle(points=w["rays_seq"].points[t],
+                       ds=w["rays_seq"].ds[t])
+        m_t, diag = f.step(rb, w["d_seq"][t], w["noise"])
+        delta = np.abs(np.asarray(batch.m_seq[t])
+                       - np.asarray(w["m_bg"])).max()
+        diff = np.abs(np.asarray(m_t) - np.asarray(batch.m_seq[t])).max()
+        assert diff < 0.03 * delta, (t, diff, delta)
+        assert diag["post_residual"] < diag["pre_residual"]

@@ -441,3 +441,22 @@ def test_anisotropic_prior_through_config_and_resume_roundtrip(tmp_path):
     # resume check passes across the JSON round-trip
     pipe2 = InversionPipeline(dp, cfg)
     assert pipe2._config_compatible(cfg.to_json())
+
+
+def test_pipeline_kalman_mixed_fidelity(tmp_path):
+    """RayConfig.inner_samples plumbs mixed-fidelity updates through the
+    kalman pipeline mode: runs, reduces residuals, and stays close to the
+    full-fidelity filtered sequence."""
+    dp, truth = make_dp(n_times=3)
+    cfg = small_config(tmp_path, solver="kalman")
+    sol_full = InversionPipeline(dp, cfg).run(resume=False)
+    cfg_m = dataclasses.replace(cfg, rays=dataclasses.replace(
+        cfg.rays, inner_samples=17))
+    sol_m = InversionPipeline(dp, cfg_m).run(resume=False)
+    assert sol_m.m.shape == sol_full.m.shape
+    assert np.isfinite(sol_m.m).all()
+    upd = np.sqrt(np.mean((sol_full.m[-1] - sol_full.m[0]) ** 2))
+    # same world, same filter — the coarse-Jacobian sequence tracks the
+    # full one to a fraction of the inter-step update scale
+    diff = np.sqrt(np.mean((sol_m.m[-1] - sol_full.m[-1]) ** 2))
+    assert diff < 0.5 * max(upd, 1e-6), (diff, upd)

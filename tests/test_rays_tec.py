@@ -378,3 +378,37 @@ def test_background_ne_fn_matches_field_builders():
     np.testing.assert_allclose(np.asarray(ne2).reshape(grid.shape),
                                np.asarray(want2), rtol=2e-5)
     assert np.isfinite(np.asarray(g2)).all()
+
+
+def test_inner_bundle_subsamples_uniformly():
+    """inner_bundle: every-k-th sample with endpoints kept and ds scaled,
+    for flat (R,N,3) and stacked (Nt,R,N,3) bundles; clear errors on
+    non-divisible or degenerate requests."""
+    import pytest
+    from ionotomo_tpu.geometry.rays import (RayBundle, inner_bundle,
+                                            sample_straight_rays)
+
+    origins = np.zeros((4, 3), np.float32)
+    dirs = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (4, 1))
+    rb = sample_straight_rays(origins, dirs, max_length_km=600.0,
+                              n_samples=65)
+    rc = inner_bundle(rb, 33)
+    assert rc.points.shape == (4, 33, 3)
+    np.testing.assert_allclose(np.asarray(rc.points),
+                               np.asarray(rb.points[:, ::2]))
+    np.testing.assert_allclose(np.asarray(rc.ds), 2 * np.asarray(rb.ds))
+    # endpoints preserved -> same integration interval
+    np.testing.assert_allclose(np.asarray(rc.points[:, -1]),
+                               np.asarray(rb.points[:, -1]))
+
+    seq = RayBundle(points=jnp.stack([rb.points] * 3),
+                    ds=jnp.stack([rb.ds] * 3))
+    rcs = inner_bundle(seq, 17)          # stride 4
+    assert rcs.points.shape == (3, 4, 17, 3)
+
+    with pytest.raises(ValueError):
+        inner_bundle(rb, 32)             # 64 % 31 != 0
+    with pytest.raises(ValueError):
+        inner_bundle(rb, 1)
+    with pytest.raises(ValueError):
+        inner_bundle(rb, 65)
