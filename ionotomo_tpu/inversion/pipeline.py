@@ -367,7 +367,7 @@ class InversionPipeline:
                 num_directions=nd, i0=self.i0, gn_iters=sc.gn_iters,
                 cg_iters=sc.cg_iters, cg_tol=sc.cg_tol,
                 huber_k=sc.huber_k, irls_iters=sc.irls_iters,
-                quadrature=quad)
+                quadrature=quad, rays_inner=self._inner(rb))
         if sc.solver == "steepest":
             return solvers.steepest_descent_map(
                 self.grid, rb, d_t, noise, m_start, self.cov,
@@ -705,7 +705,8 @@ class InversionPipeline:
             self.grid, rays_seq, d_seq, noise_seq, self.m_prior, self.cov,
             num_directions=nd, i0=self.i0, gn_iters=sc.gn_iters,
             cg_iters=sc.cg_iters, cg_tol=sc.cg_tol,
-            quadrature=self.config.rays.quadrature)
+            quadrature=self.config.rays.quadrature,
+            rays_inner_seq=self._inner(rays_seq))
         jax.block_until_ready(res.m)
         dt = time.perf_counter() - t0
         self.metrics.write(dict(solver="batched_gn", seconds=dt,

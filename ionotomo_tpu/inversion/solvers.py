@@ -265,13 +265,17 @@ def map_gauss_newton_robust(grid: Grid3D, rays: RayBundle, d_obs,
                             gn_iters: int = 1, cg_iters: int = 30,
                             cg_tol: float = 1e-4, huber_k: float = 3.0,
                             irls_iters: int = 3,
-                            quadrature: str = "hermite"):
+                            quadrature: str = "hermite",
+                            rays_inner: RayBundle = None):
     """Outlier-robust MAP: Huber loss on the whitened data residual via
     IRLS — each round re-weights observations by w = min(1, k/|r/σ|) and
     runs Gauss-Newton with noise inflated to σ/√w, so unflagged corrupted
     samples (RFI, cycle slips) are automatically down-weighted instead of
     dragging the reconstruction (the flag system handles *known* bad data;
     this handles the unknown kind). One jit; IRLS rounds under lax.scan.
+
+    ``rays_inner``: mixed-fidelity linear solves (see map_gauss_newton).
+    The IRLS re-weighting residual stays full-fidelity.
     """
     d = jnp.asarray(d_obs)
     sigma = jnp.broadcast_to(jnp.asarray(noise_std), d.shape)
@@ -286,7 +290,8 @@ def map_gauss_newton_robust(grid: Grid3D, rays: RayBundle, d_obs,
                                num_directions=num_directions, i0=i0,
                                gn_iters=gn_iters, cg_iters=cg_iters,
                                cg_tol=cg_tol, m0=m_k,
-                               quadrature=quadrature)
+                               quadrature=quadrature,
+                               rays_inner=rays_inner)
         return res.m, (res.residual_norm, jnp.sum(w < 1.0))
 
     m_final, (res_hist, n_down) = jax.lax.scan(
@@ -364,7 +369,8 @@ def map_gauss_newton_batched(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                              num_directions: int, i0: int = 0,
                              gn_iters: int = 2, cg_iters: int = 30,
                              cg_tol: float = 1e-4,
-                             quadrature: str = "hermite"):
+                             quadrature: str = "hermite",
+                             rays_inner_seq: RayBundle = None):
     """Independent snapshots inverted as one vmapped batch (SURVEY.md §2.1
     P2 — the reference ran time-chunks on separate dask workers; here they
     are a leading batch axis over the same compiled Gauss-Newton program,
@@ -374,9 +380,25 @@ def map_gauss_newton_batched(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     ds (Nt,R)); d_obs_seq: (Nt, Na, Nd); noise_std broadcastable to
     d_obs_seq (per-timestep noise/flag inflation supported). Returns
     stacked InversionResult.
+
+    ``rays_inner_seq``: mixed-fidelity linear solves per snapshot (same
+    leading time axis; see map_gauss_newton).
     """
     d_seq = jnp.asarray(d_obs_seq)
     noise_seq = jnp.broadcast_to(jnp.asarray(noise_std), d_seq.shape)
+
+    if rays_inner_seq is not None:
+        def solve_one_mixed(pts, ds, ipts, ids, d_t, noise_t):
+            return map_gauss_newton(
+                grid, RayBundle(points=pts, ds=ds), d_t, noise_t,
+                m_prior, cov, num_directions=num_directions, i0=i0,
+                gn_iters=gn_iters, cg_iters=cg_iters, cg_tol=cg_tol,
+                quadrature=quadrature,
+                rays_inner=RayBundle(points=ipts, ds=ids))
+
+        return jax.vmap(solve_one_mixed)(
+            rays_seq.points, rays_seq.ds, rays_inner_seq.points,
+            rays_inner_seq.ds, d_seq, noise_seq)
 
     def solve_one(pts, ds, d_t, noise_t):
         return map_gauss_newton(grid, RayBundle(points=pts, ds=ds), d_t,

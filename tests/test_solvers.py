@@ -400,3 +400,56 @@ def test_posterior_samples_anchors_contract_column_uncertainty():
     v_mean = jnp.stack([tec_mod.tec(m, grid, bundle) for m in s1]).mean(0)
     np.testing.assert_allclose(np.asarray(v_mean), np.asarray(v_true),
                                rtol=0.05)
+
+
+def test_mixed_fidelity_map_robust_batched():
+    """rays_inner / rays_inner_seq on the MAP, robust, and batched
+    solvers: with the inner bundle equal to the fine one the MAP result
+    is bit-identical; with a genuinely coarse one (hermite@33 of @65)
+    every solver stays close to its full-fidelity answer and keeps the
+    skill contract."""
+    from ionotomo_tpu.geometry.rays import RayBundle, inner_bundle
+
+    w = inversion_world(seed=4)
+    cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=90.0,
+                              kind="sqexp")
+    kw = dict(num_directions=w["n_dirs"], gn_iters=2, cg_iters=25)
+    base = solvers.map_gauss_newton(w["grid"], w["rays"], w["d_obs"],
+                                    w["noise_std"], w["m_prior"], cov,
+                                    **kw)
+    same = solvers.map_gauss_newton(w["grid"], w["rays"], w["d_obs"],
+                                    w["noise_std"], w["m_prior"], cov,
+                                    rays_inner=w["rays"], **kw)
+    upd = float(jnp.sqrt(jnp.mean((base.m - w["m_prior"]) ** 2)))
+    # the extra linearize compiles a differently-fused program, so the
+    # equal-bundle path agrees to float tolerance, not bitwise
+    diff_same = float(jnp.sqrt(jnp.mean((same.m - base.m) ** 2)))
+    assert diff_same < 0.02 * upd, (diff_same, upd)
+
+    rb_c = inner_bundle(w["rays"], 33)
+
+    mixed = solvers.map_gauss_newton(w["grid"], w["rays"], w["d_obs"],
+                                     w["noise_std"], w["m_prior"], cov,
+                                     rays_inner=rb_c, **kw)
+    diff = float(jnp.sqrt(jnp.mean((mixed.m - base.m) ** 2)))
+    assert diff < 0.25 * upd, (diff, upd)
+    assert model_err(mixed.m, w) < 0.65 * model_err(w["m_prior"], w)
+
+    rob = solvers.map_gauss_newton_robust(
+        w["grid"], w["rays"], w["d_obs"], w["noise_std"], w["m_prior"],
+        cov, num_directions=w["n_dirs"], gn_iters=1, cg_iters=25,
+        irls_iters=2, rays_inner=rb_c)
+    assert model_err(rob.m, w) < 0.65 * model_err(w["m_prior"], w)
+
+    rays_seq = RayBundle(points=jnp.stack([w["rays"].points] * 2),
+                         ds=jnp.stack([w["rays"].ds] * 2))
+    d_seq = jnp.stack([w["d_obs"]] * 2)
+    bat = solvers.map_gauss_newton_batched(
+        w["grid"], rays_seq, d_seq, w["noise_std"], w["m_prior"], cov,
+        num_directions=w["n_dirs"], gn_iters=2, cg_iters=25,
+        rays_inner_seq=inner_bundle(rays_seq, 33))
+    # identical rows -> identical solves; each matches the single mixed
+    np.testing.assert_array_equal(np.asarray(bat.m[0]),
+                                  np.asarray(bat.m[1]))
+    diff_b = float(jnp.sqrt(jnp.mean((bat.m[0] - base.m) ** 2)))
+    assert diff_b < 0.25 * upd, (diff_b, upd)
