@@ -46,7 +46,13 @@ def main():
     # gradient correction is free — PRECISION.md round-3 study)
     n_samples = int(os.environ.get("BENCH_N_SAMPLES", "65"))
     quadrature = os.environ.get("BENCH_QUADRATURE", "hermite")
-    inner = int(os.environ.get("BENCH_INNER_SAMPLES", "0"))
+    # measured default (BENCH_LOCAL.md round-3 frontier): progressive
+    # fidelity — GN iter 1 entirely on the @33 bundle, iter 2 full @65 —
+    # 9.67 s at held-out 1286 vs 12.08 s at 1281 full-fidelity (parity
+    # within run-to-run noise). BENCH_INNER_SAMPLES=0 or BENCH_PROGRESSIVE=0
+    # restores single-fidelity; BENCH_PROGRESSIVE_MIXED=1 additionally
+    # runs iter 2's solve on the coarse Jacobian (7.25 s, −3.3% skill).
+    inner = int(os.environ.get("BENCH_INNER_SAMPLES", "33"))
     rb = rays_mod.sample_straight_rays(origins, dvecs,
                                        n_samples=n_samples)
     rb_inner = (rays_mod.sample_straight_rays(origins, dvecs,
@@ -58,10 +64,30 @@ def main():
                             noise_frac=0.0)
 
     gn_iters, cg_iters = 2, 20
-    f = jax.jit(lambda d: solvers.map_gauss_newton(
-        grid, rb, d, noise, m_prior, cov, num_directions=100,
-        gn_iters=gn_iters, cg_iters=cg_iters, quadrature=quadrature,
-        rays_inner=rb_inner))
+    progressive = (os.environ.get("BENCH_PROGRESSIVE", "1") == "1"
+                   and inner > 0)
+    if progressive:
+        # progressive fidelity: GN iter 1 entirely on the coarse bundle
+        # (its linearisation error is corrected by iter 2's full-fidelity
+        # re-linearisation), iter 2 full
+        assert rb_inner is not None, "BENCH_PROGRESSIVE needs inner"
+
+        def f(d):
+            r1 = solvers.map_gauss_newton(
+                grid, rb_inner, d, noise, m_prior, cov,
+                num_directions=100, gn_iters=1, cg_iters=cg_iters,
+                quadrature=quadrature)
+            return solvers.map_gauss_newton(
+                grid, rb, d, noise, m_prior, cov, num_directions=100,
+                gn_iters=1, cg_iters=cg_iters, quadrature=quadrature,
+                m0=r1.m,
+                rays_inner=(rb_inner if os.environ.get(
+                    "BENCH_PROGRESSIVE_MIXED", "") == "1" else None))
+    else:
+        f = jax.jit(lambda d: solvers.map_gauss_newton(
+            grid, rb, d, noise, m_prior, cov, num_directions=100,
+            gn_iters=gn_iters, cg_iters=cg_iters, quadrature=quadrature,
+            rays_inner=rb_inner))
     res, secs = timed(f, jnp.asarray(d_obs), reps=1)
     err_pr = covered_rmse(m_prior, m_true, grid, rb)
     err_po = covered_rmse(res.m, m_true, grid, rb)
@@ -70,7 +96,7 @@ def main():
     emit("config4", "map_gn_seconds_to_solve", secs, "s",
          cg_iters_per_sec=gn_iters * cg_iters / secs,
          n_samples=n_samples, quadrature=quadrature,
-         inner_samples=inner,
+         inner_samples=inner, progressive=progressive,
          covered_rmse_prior=err_pr, covered_rmse_post=err_po,
          heldout_dtec_rms_prior=ho_pr, heldout_dtec_rms_post=ho_po,
          data="bent-tracer 2x quadrature + 1% noise, von Karman truth, "
