@@ -57,7 +57,8 @@ def cmd_serve(args):
                           length_scale_km=_prior_length(args.prior_length),
                           kind=args.prior_kind),
         solver=SolverConfig(solver=args.solver, cg_iters=args.cg_iters,
-                            kalman_fade=args.fade),
+                            kalman_fade=args.fade,
+                            wind_adapt_iters=args.wind_adapt),
     )
     svc = EpochService(args.watch_dir, args.out_dir, cfg,
                        wind_kmps=args.wind,
@@ -100,7 +101,8 @@ def cmd_invert(args):
                             kalman_chunk=args.kalman_chunk,
                             kalman_fade=args.fade,
                             estimate_profile=args.estimate_profile,
-                            enkf_spectrum_blend=args.enkf_spectrum_blend),
+                            enkf_spectrum_blend=args.enkf_spectrum_blend,
+                            wind_adapt_iters=args.wind_adapt),
         runtime=RuntimeConfig(checkpoint_dir=args.checkpoint_dir,
                               metrics_path=args.metrics),
     )
@@ -325,6 +327,11 @@ def main(argv=None):
                         "samples (misfit stays full-fidelity); needs "
                         "(samples-1) %% (inner-samples-1) == 0. Measured "
                         "frontier in BENCH_LOCAL.md")
+    i.add_argument("--wind-adapt", type=int, default=0, metavar="N",
+                   help="kalman/enkf: online wind tracking — N "
+                        "innovation-GN refinements of the frozen-flow "
+                        "wind per epoch (refined wind is chunk-carried "
+                        "and checkpointed)")
     i.add_argument("--prior-sigma", type=float, default=0.3)
     i.add_argument("--prior-length", type=float, nargs="+", default=[80.0],
                    metavar="L",
@@ -400,6 +407,9 @@ def main(argv=None):
     v.add_argument("--inner-samples", type=int, default=0,
                    help="mixed-fidelity per-epoch updates (see invert "
                         "--inner-samples)")
+    v.add_argument("--wind-adapt", type=int, default=0, metavar="N",
+                   help="online wind tracking per epoch (see invert "
+                        "--wind-adapt)")
     v.add_argument("--fade", type=float, default=1.0,
                    help="per-step pull toward the climatology (1.0 = "
                         "pure frozen flow; <1 enables the clim pull)")

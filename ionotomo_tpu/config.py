@@ -123,6 +123,11 @@ class SolverConfig:
     cg_tol: float = 1e-4
     lsqr_iters: int = 64
     kalman_fade: float = 1.0
+    wind_adapt_iters: int = 0  # >0: kalman/serving online wind tracking —
+                               # per-epoch innovation-GN refinement of the
+                               # frozen-flow wind (kalman.kalman_filter);
+                               # the refined wind is chunk-carried and
+                               # checkpointed
     kalman_chunk: int = 8     # timesteps per scan: checkpoint granularity,
                               # and keeps each device program well under the
                               # environment's ~60 s execution watchdog

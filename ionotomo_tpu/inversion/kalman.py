@@ -45,15 +45,51 @@ from ..models.frozen_flow import advect_periodic
 from .priors import GPCovariance, fit_shell_spectrum
 
 
+def _wind_innovation_refine(grid, m_t, rays_t, d_t, cd_t, clim, wind,
+                            dt_s, fade, num_directions, i0, quadrature,
+                            n_iters, damping, wind_mask):
+    """Damped Gauss-Newton on the innovation over the 3-vector wind
+    (kalman_filter ``wind_adapt_iters`` doc). The phase-ramp advection
+    is analytic in the shift; jax.linearize gives the 3-column Jacobian
+    as three forward tangents through advect + forward model."""
+    def resid(w):
+        m_adv_w = advect_periodic(m_t, grid, (w * wind_mask) * dt_s)
+        m_pred_w = fade * m_adv_w + (1 - fade) * clim
+        return ((d_t.ravel()
+                 - tec_mod.dtec_paired_q(m_pred_w, grid, rays_t,
+                                         num_directions, i0,
+                                         quadrature).ravel())
+                / jnp.sqrt(cd_t))
+
+    def gn_iter(w, _):
+        r, jvp_w = jax.linearize(resid, w)
+        j_cols = jnp.stack([jvp_w(e) for e in jnp.eye(3, dtype=w.dtype)],
+                           axis=1)
+        # explicit elementwise-then-sum contractions: the data axis may
+        # be ray-sharded (sharding-in-types), where a dot_general over
+        # the sharded axis is ambiguous but a sum-reduction is a psum
+        g = jnp.sum(j_cols * r[:, None], axis=0)
+        h = jnp.sum(j_cols[:, :, None] * j_cols[:, None, :], axis=0)
+        lam = damping * (jnp.trace(h) / 3.0 + 1e-12)
+        w_new = w - jnp.linalg.solve(h + lam * jnp.eye(3), g)
+        return w_new * wind_mask + w * (1 - wind_mask), None
+
+    w_out, _ = jax.lax.scan(gn_iter, wind, None, length=n_iters)
+    return w_out
+
+
 class KalmanResult(NamedTuple):
     m_seq: jax.Array            # (Nt, *grid.shape) filtered states
     residuals: jax.Array        # (Nt,) pre-update whitened residual norms
     post_residuals: jax.Array   # (Nt,) post-update whitened residual norms
+    wind_seq: jax.Array = None  # (Nt, 3) per-step wind [km/s] when
+                                # wind_adapt_iters > 0 (else None)
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "cg_iters",
                                    "advect_first", "anchor_cg_iters",
-                                   "quadrature"))
+                                   "quadrature", "wind_adapt_iters",
+                                   "wind_adapt_horizontal"))
 def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
                   m0, cov: GPCovariance, wind_kmps, dt_s,
                   num_directions: int, i0: int = 0, cg_iters: int = 30,
@@ -63,7 +99,10 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
                   anchor_cov: GPCovariance = None,
                   anchor_cg_iters: int = 8,
                   quadrature: str = "hermite", m_clim_seq=None,
-                  rays_inner_seq: RayBundle = None):
+                  rays_inner_seq: RayBundle = None,
+                  wind_adapt_iters: int = 0,
+                  wind_adapt_damping: float = 0.1,
+                  wind_adapt_horizontal: bool = True):
     """Run the filter over Nt timesteps.
 
     rays_seq: RayBundle with leading time axis — points (Nt, R, N, 3),
@@ -106,6 +145,23 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
     Measured (config 5, BENCH_LOCAL.md) vs the full-fidelity filter:
     ~1.55× faster (42.0 → 27.1 s) at ~1.5% held-out cost, where running
     *everything* coarse (the residuals too) loses ~4%.
+
+    ``wind_adapt_iters`` (> 0 enables): online wind tracking. Real
+    frozen-flow drift is not constant over an observation run; a fixed
+    wrong wind advects structure off its true path and the filter
+    re-learns it from scratch each step. Before each predict (except the
+    first step of a fresh sequence, which has no transition), the wind
+    is refined by this many damped Gauss-Newton iterations on the
+    *innovation*: w minimising ‖d_t − g(fade·advect(m_t, w·Δt) +
+    (1−fade)·clim)‖²_{C_d⁻¹} — the spectral phase-ramp advection is
+    analytic in the shift, so the 3-column Jacobian is three forward
+    tangents. The carried wind persists across chunked calls via
+    ``wind_seq[-1]`` → the next call's ``wind_kmps`` (the pipeline and
+    online filters do this). ``wind_adapt_damping`` is the relative
+    Levenberg damping (λ = damping·tr(JᵀJ)/3);
+    ``wind_adapt_horizontal`` pins v_z = 0 (ionospheric drift is
+    horizontal, and near-vertical rays leave v_z unconstrained —
+    see models.frozen_flow.estimate_wind).
     """
     m_clim = m0 if m_clim is None else m_clim
     d_seq = jnp.asarray(d_obs_seq)
@@ -188,28 +244,55 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
     clim_xs = (jnp.asarray(m_clim_seq) if has_clim_seq
                else jnp.zeros((nt,), jnp.float32))   # scan-xs placeholder
 
-    def step(m_t, inputs):
+    adapt = wind_adapt_iters > 0
+    wind_mask = jnp.asarray([1.0, 1.0, 0.0 if wind_adapt_horizontal
+                             else 1.0], jnp.float32)
+
+    def refine_wind(wind, m_t, rays_t, d_t, cd_t, clim):
+        return _wind_innovation_refine(
+            grid, m_t, rays_t, d_t, cd_t, clim, wind, dt_s, fade,
+            num_directions, i0, quadrature, wind_adapt_iters,
+            wind_adapt_damping, wind_mask)
+
+    def step(carry, inputs):
         (rays_pts, rays_ds, inner_pts, inner_ds, d_t, cd_t, a_t,
          is_first, clim_t) = inputs
+        m_t, wind = (carry if adapt else (carry, None))
         clim = clim_t if has_clim_seq else m_clim
         rays_t = RayBundle(points=rays_pts, ds=rays_ds)
         rays_inner_t = (RayBundle(points=inner_pts, ds=inner_ds)
                         if mixed else None)
+        if adapt:
+            # no transition into a fresh sequence's first step → no wind
+            # information in its innovation; keep the initial estimate
+            wind_new = refine_wind(wind, m_t, rays_t, d_t, cd_t, clim)
+            wind = jnp.where(is_first, wind, wind_new)
+            shift_t = wind * dt_s
+        else:
+            shift_t = shift
         # predict: advect except at t=0 (state already at t=0)
-        m_adv = advect_periodic(m_t, grid, shift)
+        m_adv = advect_periodic(m_t, grid, shift_t)
         m_pred = jnp.where(is_first, m_t,
                            fade * m_adv + (1 - fade) * clim)
         if anchors is not None:
             m_pred = anchor_update(m_pred, a_t)
         m_new, pre, post = update(m_pred, rays_t, rays_inner_t, d_t, cd_t)
+        if adapt:
+            return (m_new, wind), (m_new, pre, post, wind)
         return m_new, (m_new, pre, post)
 
     is_first = jnp.zeros((nt,), bool).at[0].set(not advect_first)
     inner_xs = ((rays_inner_seq.points, rays_inner_seq.ds) if mixed
                 else (jnp.zeros((nt,), jnp.float32),) * 2)
-    _, (m_seq, pre, post) = jax.lax.scan(
-        step, m0, (rays_seq.points, rays_seq.ds, *inner_xs, d_seq,
-                   cd_seq, a_vals_seq, is_first, clim_xs))
+    xs = (rays_seq.points, rays_seq.ds, *inner_xs, d_seq,
+          cd_seq, a_vals_seq, is_first, clim_xs)
+    if adapt:
+        wind0 = jnp.asarray(wind_kmps, jnp.float32)
+        _, (m_seq, pre, post, wind_hist) = jax.lax.scan(
+            step, (m0, wind0), xs)
+        return KalmanResult(m_seq=m_seq, residuals=pre,
+                            post_residuals=post, wind_seq=wind_hist)
+    _, (m_seq, pre, post) = jax.lax.scan(step, m0, xs)
     return KalmanResult(m_seq=m_seq, residuals=pre, post_residuals=post)
 
 
@@ -219,13 +302,15 @@ class EnsembleKalmanResult(NamedTuple):
     residuals: jax.Array    # (Nt,) pre-update whitened residuals (mean)
     ensemble: jax.Array     # (n_members, *grid.shape) final ensemble —
                             # the carry for chunked continuation (ens0)
+    wind_seq: jax.Array = None   # (Nt, 3) when wind_adapt_iters > 0
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "cg_iters",
                                    "n_members", "advect_first",
                                    "spectrum_blend", "spectrum_bins",
                                    "anchor_cg_iters", "anchor_update",
-                                   "quadrature"))
+                                   "quadrature", "wind_adapt_iters",
+                                   "wind_adapt_horizontal"))
 def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                            noise_std, m0, cov: GPCovariance, wind_kmps,
                            dt_s, num_directions: int, key,
@@ -242,7 +327,10 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                            anchor_cg_iters: int = 8,
                            anchor_update: str = "sqrt",
                            quadrature: str = "hermite", m_clim_seq=None,
-                           rays_inner_seq: RayBundle = None):
+                           rays_inner_seq: RayBundle = None,
+                           wind_adapt_iters: int = 0,
+                           wind_adapt_damping: float = 0.1,
+                           wind_adapt_horizontal: bool = True):
     """Ensemble variant: time-propagated posterior uncertainty.
 
     Goes beyond the reference's point-estimate filter: an ensemble of
@@ -303,6 +391,11 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     ``rays_inner_seq``: mixed-fidelity member updates — misfit and
     linearisation point at full fidelity, the solve's Jacobian (rhs and
     matvec) the coarser bundle's; see ``kalman_filter``.
+
+    ``wind_adapt_iters``: online wind tracking (see ``kalman_filter``),
+    refined on the noiseless ensemble *mean* each step — bulk drift is
+    shared, not per-member. The refined wind rides the carry; pass
+    ``wind_seq[-1]`` as the next chunk's ``wind_kmps``.
     """
     m_clim = m0 if m_clim is None else m_clim
     d_seq = jnp.asarray(d_obs_seq)
@@ -373,18 +466,34 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     clim_xs = (jnp.asarray(m_clim_seq) if has_clim_seq
                else jnp.zeros((nt,), jnp.float32))   # scan-xs placeholder
 
-    def step(ens, inputs):
+    adapt = wind_adapt_iters > 0
+    wind_mask = jnp.asarray([1.0, 1.0, 0.0 if wind_adapt_horizontal
+                             else 1.0], jnp.float32)
+
+    def step(carry, inputs):
         (rays_pts, rays_ds, inner_pts, inner_ds, d_t, cd_t, a_t,
          is_first, t_global, clim_t) = inputs
+        ens, wind = (carry if adapt else (carry, None))
         clim = clim_t if has_clim_seq else m_clim
         rays_t = RayBundle(points=rays_pts, ds=rays_ds)
         rays_inner_t = (RayBundle(points=inner_pts, ds=inner_ds)
                         if mixed else None)
         k_t = jax.random.fold_in(key, t_global)
         k_adv, k_obs = jax.random.split(k_t)
+        if adapt:
+            # refine on the (noiseless) ensemble mean; members share the
+            # refined wind — drift is a bulk property, not per-member
+            wind_new = _wind_innovation_refine(
+                grid, ens.mean(0), rays_t, d_t, cd_t, clim, wind, dt_s,
+                fade, num_directions, i0, quadrature, wind_adapt_iters,
+                wind_adapt_damping, wind_mask)
+            wind = jnp.where(is_first, wind, wind_new)
+            shift_t = wind * dt_s
+        else:
+            shift_t = shift
 
         def predict(m, kq):
-            m_adv = advect_periodic(m, grid, shift)
+            m_adv = advect_periodic(m, grid, shift_t)
             pert = (process_sigma
                     * cov.apply_sqrt(jax.random.normal(kq, grid.shape)))
             return jnp.where(is_first, m,
@@ -440,15 +549,23 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                                        cd_t, e, cov_t))(
                 ens_pred, eps)
         out = (ens_new.mean(0), ens_new.std(0), pres.mean())
+        if adapt:
+            return (ens_new, wind), out + (wind,)
         return ens_new, out
 
     is_first = jnp.zeros((nt,), bool).at[0].set(not advect_first)
     t_global = step_offset + jnp.arange(nt, dtype=jnp.int32)
     inner_xs = ((rays_inner_seq.points, rays_inner_seq.ds) if mixed
                 else (jnp.zeros((nt,), jnp.float32),) * 2)
-    ens_f, (mean_seq, std_seq, pre) = jax.lax.scan(
-        step, ens0,
-        (rays_seq.points, rays_seq.ds, *inner_xs, d_seq, cd_seq,
-         a_vals_seq, is_first, t_global, clim_xs))
+    xs = (rays_seq.points, rays_seq.ds, *inner_xs, d_seq, cd_seq,
+          a_vals_seq, is_first, t_global, clim_xs)
+    if adapt:
+        wind0 = jnp.asarray(wind_kmps, jnp.float32)
+        ((ens_f, _), (mean_seq, std_seq, pre, wind_hist)) = jax.lax.scan(
+            step, (ens0, wind0), xs)
+        return EnsembleKalmanResult(mean_seq=mean_seq, std_seq=std_seq,
+                                    residuals=pre, ensemble=ens_f,
+                                    wind_seq=wind_hist)
+    ens_f, (mean_seq, std_seq, pre) = jax.lax.scan(step, ens0, xs)
     return EnsembleKalmanResult(mean_seq=mean_seq, std_seq=std_seq,
                                 residuals=pre, ensemble=ens_f)

@@ -36,7 +36,8 @@ class OnlineKalman:
                  cg_iters: int = 30, cg_tol: float = 1e-4,
                  fade: float = 1.0, anchors=None,
                  anchor_cov: GPCovariance = None,
-                 quadrature: str = "hermite", inner_samples: int = 0):
+                 quadrature: str = "hermite", inner_samples: int = 0,
+                 wind_adapt_iters: int = 0):
         self.grid = grid
         self.cov = cov
         self.m_clim = jnp.asarray(m0)
@@ -59,6 +60,12 @@ class OnlineKalman:
         # in BENCH_LOCAL.md — the streaming path is the latency-sensitive
         # beneficiary)
         self.inner_samples = int(inner_samples)
+        # >0: online wind tracking — this many innovation-GN refinements
+        # of the wind before each epoch's predict (kalman_filter
+        # wind_adapt_iters); the refined wind is carried in self.wind and
+        # persists through state_dict, so a long-running service follows
+        # real drift changes instead of the bootstrap estimate
+        self.wind_adapt_iters = int(wind_adapt_iters)
         self.t = 0
 
     def step(self, rays_t: RayBundle, d_t, noise_t, anchor_values=None,
@@ -89,12 +96,17 @@ class OnlineKalman:
             advect_first=(self.t > 0), m_clim=self.m_clim,
             anchors=self.anchors, anchor_values_seq=a_seq,
             anchor_cov=self.anchor_cov, quadrature=self.quadrature,
-            m_clim_seq=clim_seq, rays_inner_seq=inner_seq)
+            m_clim_seq=clim_seq, rays_inner_seq=inner_seq,
+            wind_adapt_iters=self.wind_adapt_iters)
         self.m = res.m_seq[0]
+        if self.wind_adapt_iters > 0:
+            self.wind = np.asarray(res.wind_seq[0], np.float64)
         self.t += 1
         diag = dict(t=self.t - 1,
                     pre_residual=float(res.residuals[0]),
                     post_residual=float(res.post_residuals[0]))
+        if self.wind_adapt_iters > 0:
+            diag["wind_kmps"] = [float(v) for v in self.wind]
         return self.m, diag
 
     # --- service restart ----------------------------------------------------
@@ -121,7 +133,8 @@ class OnlineEnsembleKalman:
                  inflation: float = 1.0, spectrum_blend: float = 0.0,
                  anchors=None, anchor_cov: GPCovariance = None,
                  quadrature: str = "hermite",
-                 anchor_update: str = "sqrt", inner_samples: int = 0):
+                 anchor_update: str = "sqrt", inner_samples: int = 0,
+                 wind_adapt_iters: int = 0):
         self.grid = grid
         self.cov = cov
         self.m_clim = jnp.asarray(m0)
@@ -142,6 +155,7 @@ class OnlineEnsembleKalman:
         self.anchor_cov = anchor_cov
         self.quadrature = str(quadrature)
         self.inner_samples = int(inner_samples)   # see OnlineKalman
+        self.wind_adapt_iters = int(wind_adapt_iters)   # see OnlineKalman
         self.ens = None      # built by the filter on the first step
         self.t = 0
 
@@ -174,10 +188,15 @@ class OnlineEnsembleKalman:
             anchor_values_seq=a_seq, anchor_cov=self.anchor_cov,
             anchor_update=self.anchor_update,
             quadrature=self.quadrature, m_clim_seq=clim_seq,
-            rays_inner_seq=inner_seq)
+            rays_inner_seq=inner_seq,
+            wind_adapt_iters=self.wind_adapt_iters)
         self.ens = res.ensemble
+        if self.wind_adapt_iters > 0:
+            self.wind = np.asarray(res.wind_seq[0], np.float64)
         self.t += 1
         diag = dict(t=self.t - 1, pre_residual=float(res.residuals[0]))
+        if self.wind_adapt_iters > 0:
+            diag["wind_kmps"] = [float(v) for v in self.wind]
         return res.mean_seq[0], res.std_seq[0], diag
 
     def state_dict(self):

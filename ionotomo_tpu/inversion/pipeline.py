@@ -653,12 +653,15 @@ class InversionPipeline:
                 anchor_update=sc.enkf_anchor_update,
                 quadrature=self.config.rays.quadrature,
                 m_clim_seq=self._clim_seq(c0, c1),
-                rays_inner_seq=inner_seq)
+                rays_inner_seq=inner_seq,
+                wind_adapt_iters=sc.wind_adapt_iters)
             jax.block_until_ready(res.mean_seq)
             mean_list.extend(np.asarray(res.mean_seq))
             std_list.extend(np.asarray(res.std_seq))
             pre.extend(np.asarray(res.residuals))
             ens = res.ensemble
+            if sc.wind_adapt_iters > 0:
+                wind = np.asarray(res.wind_seq[-1], np.float64)
             ckpt_mod.save_checkpoint(
                 rt.checkpoint_dir, c1,
                 {"m_seq": np.stack(mean_list),
@@ -779,12 +782,17 @@ class InversionPipeline:
                             else None),
                 quadrature=self.config.rays.quadrature,
                 m_clim_seq=self._clim_seq(c0, c1),
-                rays_inner_seq=inner_seq)
+                rays_inner_seq=inner_seq,
+                wind_adapt_iters=sc.wind_adapt_iters)
             jax.block_until_ready(res.m_seq)
             m_list.extend(np.asarray(res.m_seq))
             pre.extend(np.asarray(res.residuals))
             post.extend(np.asarray(res.post_residuals))
             m_cur = res.m_seq[-1]
+            if sc.wind_adapt_iters > 0:
+                # carry the refined wind into the next chunk AND the
+                # checkpoint, so resume continues the adapted estimate
+                wind = np.asarray(res.wind_seq[-1], np.float64)
             ckpt_mod.save_checkpoint(
                 rt.checkpoint_dir, c1,
                 {"m_seq": np.stack(m_list), "kalman_pre": np.asarray(pre),

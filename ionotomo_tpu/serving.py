@@ -209,11 +209,13 @@ class EpochService:
                 process_sigma=c.solver.enkf_process_sigma,
                 inflation=c.solver.enkf_inflation,
                 spectrum_blend=c.solver.enkf_spectrum_blend,
-                anchor_update=c.solver.enkf_anchor_update, **kw)
+                anchor_update=c.solver.enkf_anchor_update,
+                wind_adapt_iters=c.solver.wind_adapt_iters, **kw)
         else:
-            self.filter = OnlineKalman(self.grid, cov, m_prior,
-                                       self._wind, dt_s=30.0,
-                                       num_directions=1, **kw)
+            self.filter = OnlineKalman(
+                self.grid, cov, m_prior, self._wind, dt_s=30.0,
+                num_directions=1,
+                wind_adapt_iters=c.solver.wind_adapt_iters, **kw)
 
     def _epoch_clim(self, dp: DataPack, t: int):
         """Climatological log-density field at epoch t's solar zenith —

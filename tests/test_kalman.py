@@ -605,3 +605,84 @@ def test_mixed_fidelity_enkf_update():
     diff = np.sqrt(np.mean((mean_m[-1]
                             - np.asarray(base.mean_seq[-1])) ** 2))
     assert diff < 0.3 * upd, (diff, upd)
+
+
+def test_wind_adaptation_recovers_drift():
+    """Online wind tracking (wind_adapt_iters>0): starting from a wrong
+    wind estimate, the innovation-GN refinement recovers the true wind
+    and beats the static wrong-wind filter on model error; chunked
+    continuation carrying wind_seq[-1] matches the single scan."""
+    w = moving_world(nt=6)
+    cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+    kw = dict(num_directions=w["n_dirs"], cg_iters=15, fade=0.95)
+    wind_true = np.asarray(w["wind"], np.float32)        # (0.4, 0, 0)
+    wind_bad = jnp.asarray([-0.1, 0.2, 0.0], jnp.float32)
+
+    static = kalman_filter(w["grid"], w["rays_seq"], w["d_seq"],
+                           w["noise"], w["m_bg"], cov, wind_bad,
+                           w["dt_s"], **kw)
+    adapt = kalman_filter(w["grid"], w["rays_seq"], w["d_seq"],
+                          w["noise"], w["m_bg"], cov, wind_bad,
+                          w["dt_s"], wind_adapt_iters=2, **kw)
+    wind_fit = np.asarray(adapt.wind_seq)
+    assert wind_fit.shape == (6, 3)
+    assert np.allclose(wind_fit[:, 2], 0.0)       # horizontal pin
+    # the final refined wind is much closer to truth than the bad start
+    err0 = np.linalg.norm(wind_bad - wind_true)
+    err_f = np.linalg.norm(wind_fit[-1] - wind_true)
+    assert err_f < 0.4 * err0, (wind_fit[-1], wind_true)
+
+    err_static = np.sqrt(np.mean((np.asarray(static.m_seq[-1])
+                                  - w["m_true"][-1]) ** 2))
+    err_adapt = np.sqrt(np.mean((np.asarray(adapt.m_seq[-1])
+                                 - w["m_true"][-1]) ** 2))
+    assert err_adapt < err_static, (err_adapt, err_static)
+
+    # chunked continuation: wind carried through wind_seq[-1]
+    c1 = kalman_filter(w["grid"],
+                       rays_mod.RayBundle(points=w["rays_seq"].points[:3],
+                                          ds=w["rays_seq"].ds[:3]),
+                       w["d_seq"][:3], w["noise"], w["m_bg"], cov,
+                       wind_bad, w["dt_s"], wind_adapt_iters=2, **kw)
+    c2 = kalman_filter(w["grid"],
+                       rays_mod.RayBundle(points=w["rays_seq"].points[3:],
+                                          ds=w["rays_seq"].ds[3:]),
+                       w["d_seq"][3:], w["noise"], c1.m_seq[-1], cov,
+                       c1.wind_seq[-1], w["dt_s"], advect_first=True,
+                       m_clim=w["m_bg"], wind_adapt_iters=2, **kw)
+    np.testing.assert_array_equal(np.asarray(c2.m_seq),
+                                  np.asarray(adapt.m_seq[3:]))
+    np.testing.assert_array_equal(np.asarray(c2.wind_seq),
+                                  np.asarray(adapt.wind_seq[3:]))
+
+
+def test_wind_adaptation_enkf():
+    """EnKF online wind tracking: refined on the ensemble mean, shared
+    across members; recovers a wrong initial wind and at least matches
+    the static-wrong-wind ensemble on mean error."""
+    from ionotomo_tpu.inversion.kalman import ensemble_kalman_filter
+
+    w = moving_world(nt=6)
+    cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+    kw = dict(num_directions=w["n_dirs"], key=jax.random.key(2),
+              n_members=6, cg_iters=10, fade=0.95)
+    wind_true = np.asarray(w["wind"], np.float32)
+    wind_bad = jnp.asarray([-0.1, 0.2, 0.0], jnp.float32)
+    static = ensemble_kalman_filter(
+        w["grid"], w["rays_seq"], w["d_seq"], w["noise"], w["m_bg"], cov,
+        wind_bad, w["dt_s"], **kw)
+    adapt = ensemble_kalman_filter(
+        w["grid"], w["rays_seq"], w["d_seq"], w["noise"], w["m_bg"], cov,
+        wind_bad, w["dt_s"], wind_adapt_iters=2, **kw)
+    wind_fit = np.asarray(adapt.wind_seq)
+    assert wind_fit.shape == (6, 3) and np.isfinite(wind_fit).all()
+    err0 = np.linalg.norm(wind_bad - wind_true)
+    err_f = np.linalg.norm(wind_fit[-1] - wind_true)
+    assert err_f < 0.5 * err0, (wind_fit[-1], wind_true)
+    e_st = np.sqrt(np.mean((np.asarray(static.mean_seq[-1])
+                            - w["m_true"][-1]) ** 2))
+    e_ad = np.sqrt(np.mean((np.asarray(adapt.mean_seq[-1])
+                            - w["m_true"][-1]) ** 2))
+    assert e_ad < 1.02 * e_st, (e_ad, e_st)

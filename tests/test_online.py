@@ -116,3 +116,33 @@ def test_online_mixed_fidelity_matches_batch_mixed():
         diff = np.abs(np.asarray(m_t) - np.asarray(batch.m_seq[t])).max()
         assert diff < 0.03 * delta, (t, diff, delta)
         assert diag["post_residual"] < diag["pre_residual"]
+
+
+def test_online_wind_adaptation_matches_batch():
+    """Streamed wind adaptation: per-epoch refined wind carried in
+    self.wind equals the batch adaptive filter's wind_seq; the state
+    dict round-trips the adapted wind."""
+    w = moving_world(nt=4)
+    cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+    wind_bad = jnp.asarray([-0.1, 0.2, 0.0], jnp.float32)
+    batch = kalman_filter(w["grid"], w["rays_seq"], w["d_seq"],
+                          w["noise"], w["m_bg"], cov, wind_bad,
+                          w["dt_s"], num_directions=w["n_dirs"],
+                          cg_iters=15, fade=0.95, wind_adapt_iters=2)
+    f = OnlineKalman(w["grid"], cov, w["m_bg"], wind_bad, w["dt_s"],
+                     num_directions=w["n_dirs"], cg_iters=15, fade=0.95,
+                     wind_adapt_iters=2)
+    for t in range(4):
+        rb = RayBundle(points=w["rays_seq"].points[t],
+                       ds=w["rays_seq"].ds[t])
+        m_t, diag = f.step(rb, w["d_seq"][t], w["noise"])
+        np.testing.assert_allclose(np.asarray(diag["wind_kmps"]),
+                                   np.asarray(batch.wind_seq[t]),
+                                   atol=5e-3)
+    state = f.state_dict()
+    f2 = OnlineKalman(w["grid"], cov, w["m_bg"], wind_bad, w["dt_s"],
+                      num_directions=w["n_dirs"], cg_iters=15, fade=0.95,
+                      wind_adapt_iters=2)
+    f2.load_state(state)
+    np.testing.assert_allclose(f2.wind, f.wind)

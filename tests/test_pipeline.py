@@ -460,3 +460,29 @@ def test_pipeline_kalman_mixed_fidelity(tmp_path):
     # full one to a fraction of the inter-step update scale
     diff = np.sqrt(np.mean((sol_m.m[-1] - sol_full.m[-1]) ** 2))
     assert diff < 0.5 * max(upd, 1e-6), (diff, upd)
+
+
+def test_pipeline_kalman_wind_adaptation_chunked(tmp_path):
+    """SolverConfig.wind_adapt_iters through the pipeline: runs, carries
+    the refined wind across chunks (and into checkpoints), and the
+    chunked run tracks the single-scan run closely. (Exact bitwise chunk
+    parity holds for equal-length chunk programs — asserted in
+    test_kalman.test_wind_adaptation_recovers_drift; different scan
+    lengths fuse differently and the wind feedback amplifies the f32
+    jitter, so cross-chunk-size comparison is tight-tolerance.)"""
+    dp, truth = make_dp(n_times=3)
+    cfg1 = small_config(tmp_path / "a", solver="kalman", kalman_chunk=100,
+                        wind_adapt_iters=2)
+    sol1 = InversionPipeline(dp, cfg1).run(resume=False)
+    cfg2 = small_config(tmp_path / "b", solver="kalman", kalman_chunk=1,
+                        wind_adapt_iters=2)
+    sol2 = InversionPipeline(dp, cfg2).run(resume=False)
+    upd = np.sqrt(np.mean((sol1.m[-1] - sol1.m[0]) ** 2))
+    diff = np.sqrt(np.mean((sol1.m[-1] - sol2.m[-1]) ** 2))
+    assert diff < 0.05 * max(upd, 1e-6), (diff, upd)
+    # checkpoint carries the refined (not bootstrap) wind
+    step, state, _ = ckpt.resume(cfg2.runtime.checkpoint_dir)
+    assert step == 3
+    assert np.isfinite(state["wind_kmps"]).all()
+    w1 = ckpt.resume(cfg1.runtime.checkpoint_dir)[1]["wind_kmps"]
+    np.testing.assert_allclose(state["wind_kmps"], w1, atol=5e-3)
