@@ -31,7 +31,8 @@ from .utils.diagnostics import (phase_structure_function,     # noqa: F401
                                 fit_structure_exponent)
 from .geometry.fermat import trace_rays, trace_rays_split     # noqa: F401
 from .geometry.rays import (RayBundle, calc_rays,             # noqa: F401
-                            sample_straight_rays, make_ray_batch)
+                            sample_straight_rays, make_ray_batch,
+                            inner_bundle)
 from .inversion.kalman import (kalman_filter,                 # noqa: F401
                                ensemble_kalman_filter)
 from .inversion.online import (OnlineKalman,                  # noqa: F401
