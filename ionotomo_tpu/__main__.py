@@ -58,7 +58,8 @@ def cmd_serve(args):
                           kind=args.prior_kind),
         solver=SolverConfig(solver=args.solver, cg_iters=args.cg_iters,
                             kalman_fade=args.fade,
-                            wind_adapt_iters=args.wind_adapt),
+                            wind_adapt_iters=args.wind_adapt,
+                            wind_shear=args.wind_shear),
     )
     svc = EpochService(args.watch_dir, args.out_dir, cfg,
                        wind_kmps=args.wind,
@@ -102,7 +103,8 @@ def cmd_invert(args):
                             kalman_fade=args.fade,
                             estimate_profile=args.estimate_profile,
                             enkf_spectrum_blend=args.enkf_spectrum_blend,
-                            wind_adapt_iters=args.wind_adapt),
+                            wind_adapt_iters=args.wind_adapt,
+                            wind_shear=args.wind_shear),
         runtime=RuntimeConfig(checkpoint_dir=args.checkpoint_dir,
                               metrics_path=args.metrics),
     )
@@ -327,6 +329,11 @@ def main(argv=None):
                         "samples (misfit stays full-fidelity); needs "
                         "(samples-1) %% (inner-samples-1) == 0. Measured "
                         "frontier in BENCH_LOCAL.md")
+    i.add_argument("--wind-shear", action="store_true",
+                   help="kalman/enkf: model the frozen-flow drift as "
+                        "rigid + linear-in-height vertical shear (the "
+                        "(2,3) advection state; shear learned online "
+                        "with --wind-adapt)")
     i.add_argument("--wind-adapt", type=int, default=0, metavar="N",
                    help="kalman/enkf: online wind tracking — N "
                         "innovation-GN refinements of the frozen-flow "
@@ -407,6 +414,9 @@ def main(argv=None):
     v.add_argument("--inner-samples", type=int, default=0,
                    help="mixed-fidelity per-epoch updates (see invert "
                         "--inner-samples)")
+    v.add_argument("--wind-shear", action="store_true",
+                   help="rigid + vertical-shear drift state (see invert "
+                        "--wind-shear)")
     v.add_argument("--wind-adapt", type=int, default=0, metavar="N",
                    help="online wind tracking per epoch (see invert "
                         "--wind-adapt)")

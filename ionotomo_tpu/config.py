@@ -128,6 +128,11 @@ class SolverConfig:
                                # frozen-flow wind (kalman.kalman_filter);
                                # the refined wind is chunk-carried and
                                # checkpointed
+    wind_shear: bool = False   # promote the wind to the (2,3) rigid+
+                               # vertical-shear state (frozen_flow.
+                               # advect_periodic; zero shear start) —
+                               # with wind_adapt_iters > 0 the shear row
+                               # is learned online
     kalman_chunk: int = 8     # timesteps per scan: checkpoint granularity,
                               # and keeps each device program well under the
                               # environment's ~60 s execution watchdog

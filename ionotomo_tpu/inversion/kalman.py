@@ -48,10 +48,14 @@ from .priors import GPCovariance, fit_shell_spectrum
 def _wind_innovation_refine(grid, m_t, rays_t, d_t, cd_t, clim, wind,
                             dt_s, fade, num_directions, i0, quadrature,
                             n_iters, damping, wind_mask):
-    """Damped Gauss-Newton on the innovation over the 3-vector wind
-    (kalman_filter ``wind_adapt_iters`` doc). The phase-ramp advection
-    is analytic in the shift; jax.linearize gives the 3-column Jacobian
-    as three forward tangents through advect + forward model."""
+    """Damped Gauss-Newton on the innovation over the wind parameters
+    (kalman_filter ``wind_adapt_iters`` doc) — a (3,) rigid wind or a
+    (2,3) rigid+shear state (models.frozen_flow.advect_periodic). The
+    phase-ramp advection is analytic in the shift; jax.linearize gives
+    the k-column Jacobian as k forward tangents through advect +
+    forward model (k = number of unmasked parameters ≤ w.size)."""
+    k = wind.size
+
     def resid(w):
         m_adv_w = advect_periodic(m_t, grid, (w * wind_mask) * dt_s)
         m_pred_w = fade * m_adv_w + (1 - fade) * clim
@@ -61,18 +65,21 @@ def _wind_innovation_refine(grid, m_t, rays_t, d_t, cd_t, clim, wind,
                                          quadrature).ravel())
                 / jnp.sqrt(cd_t))
 
+    basis = jnp.eye(k, dtype=wind.dtype).reshape((k,) + wind.shape)
+
     def gn_iter(w, _):
         r, jvp_w = jax.linearize(resid, w)
-        j_cols = jnp.stack([jvp_w(e) for e in jnp.eye(3, dtype=w.dtype)],
-                           axis=1)
+        j_cols = jnp.stack([jvp_w(e) for e in basis], axis=1)
         # explicit elementwise-then-sum contractions: the data axis may
         # be ray-sharded (sharding-in-types), where a dot_general over
-        # the sharded axis is ambiguous but a sum-reduction is a psum
+        # the sharded axis is ambiguous but a sum-reduction is a psum.
+        # Masked parameters have zero columns; the Levenberg term keeps
+        # the system nonsingular and their update is exactly 0.
         g = jnp.sum(j_cols * r[:, None], axis=0)
         h = jnp.sum(j_cols[:, :, None] * j_cols[:, None, :], axis=0)
-        lam = damping * (jnp.trace(h) / 3.0 + 1e-12)
-        w_new = w - jnp.linalg.solve(h + lam * jnp.eye(3), g)
-        return w_new * wind_mask + w * (1 - wind_mask), None
+        lam = damping * (jnp.trace(h) / k + 1e-12)
+        dw = jnp.linalg.solve(h + lam * jnp.eye(k), g).reshape(w.shape)
+        return (w - dw) * wind_mask + w * (1 - wind_mask), None
 
     w_out, _ = jax.lax.scan(gn_iter, wind, None, length=n_iters)
     return w_out
@@ -82,8 +89,9 @@ class KalmanResult(NamedTuple):
     m_seq: jax.Array            # (Nt, *grid.shape) filtered states
     residuals: jax.Array        # (Nt,) pre-update whitened residual norms
     post_residuals: jax.Array   # (Nt,) post-update whitened residual norms
-    wind_seq: jax.Array = None  # (Nt, 3) per-step wind [km/s] when
-                                # wind_adapt_iters > 0 (else None)
+    wind_seq: jax.Array = None  # (Nt, 3) — or (Nt, 2, 3) for the
+                                # rigid+shear wind state — per-step wind
+                                # [km/s] when wind_adapt_iters > 0
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "cg_iters",
@@ -162,6 +170,14 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
     ``wind_adapt_horizontal`` pins v_z = 0 (ionospheric drift is
     horizontal, and near-vertical rays leave v_z unconstrained —
     see models.frozen_flow.estimate_wind).
+
+    **Vertical wind shear**: pass ``wind_kmps`` of shape (2, 3) — row 0
+    the mid-grid wind, row 1 the linear-in-height horizontal wind
+    difference reached at the grid's top/bottom (advect_periodic's shear
+    form; E- and F-region plasma drift differently). The transition
+    advects each z-slice by its own shift, and with
+    ``wind_adapt_iters > 0`` the innovation GN refines all 4 unmasked
+    parameters — online shear estimation.
     """
     m_clim = m0 if m_clim is None else m_clim
     d_seq = jnp.asarray(d_obs_seq)
@@ -245,8 +261,12 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
                else jnp.zeros((nt,), jnp.float32))   # scan-xs placeholder
 
     adapt = wind_adapt_iters > 0
-    wind_mask = jnp.asarray([1.0, 1.0, 0.0 if wind_adapt_horizontal
-                             else 1.0], jnp.float32)
+    # mask broadcasts over the wind state's shape: (3,) rigid or (2,3)
+    # rigid+shear (row 1's v_z is always pinned — see advect_periodic)
+    wind_mask = jnp.broadcast_to(
+        jnp.asarray([1.0, 1.0, 0.0 if wind_adapt_horizontal else 1.0],
+                    jnp.float32),
+        jnp.asarray(wind_kmps, jnp.float32).shape)
 
     def refine_wind(wind, m_t, rays_t, d_t, cd_t, clim):
         return _wind_innovation_refine(
@@ -302,7 +322,8 @@ class EnsembleKalmanResult(NamedTuple):
     residuals: jax.Array    # (Nt,) pre-update whitened residuals (mean)
     ensemble: jax.Array     # (n_members, *grid.shape) final ensemble —
                             # the carry for chunked continuation (ens0)
-    wind_seq: jax.Array = None   # (Nt, 3) when wind_adapt_iters > 0
+    wind_seq: jax.Array = None   # (Nt, 3) or (Nt, 2, 3) when
+                                 # wind_adapt_iters > 0
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "cg_iters",
@@ -467,8 +488,12 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                else jnp.zeros((nt,), jnp.float32))   # scan-xs placeholder
 
     adapt = wind_adapt_iters > 0
-    wind_mask = jnp.asarray([1.0, 1.0, 0.0 if wind_adapt_horizontal
-                             else 1.0], jnp.float32)
+    # mask broadcasts over the wind state's shape: (3,) rigid or (2,3)
+    # rigid+shear (row 1's v_z is always pinned — see advect_periodic)
+    wind_mask = jnp.broadcast_to(
+        jnp.asarray([1.0, 1.0, 0.0 if wind_adapt_horizontal else 1.0],
+                    jnp.float32),
+        jnp.asarray(wind_kmps, jnp.float32).shape)
 
     def step(carry, inputs):
         (rays_pts, rays_ds, inner_pts, inner_ds, d_t, cd_t, a_t,

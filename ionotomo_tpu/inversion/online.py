@@ -106,7 +106,7 @@ class OnlineKalman:
                     pre_residual=float(res.residuals[0]),
                     post_residual=float(res.post_residuals[0]))
         if self.wind_adapt_iters > 0:
-            diag["wind_kmps"] = [float(v) for v in self.wind]
+            diag["wind_kmps"] = self.wind.tolist()  # nested for (2,3) shear
         return self.m, diag
 
     # --- service restart ----------------------------------------------------
@@ -196,7 +196,7 @@ class OnlineEnsembleKalman:
         self.t += 1
         diag = dict(t=self.t - 1, pre_residual=float(res.residuals[0]))
         if self.wind_adapt_iters > 0:
-            diag["wind_kmps"] = [float(v) for v in self.wind]
+            diag["wind_kmps"] = self.wind.tolist()  # nested for (2,3) shear
         return res.mean_seq[0], res.std_seq[0], diag
 
     def state_dict(self):

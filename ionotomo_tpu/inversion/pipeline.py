@@ -620,6 +620,7 @@ class InversionPipeline:
             wind = np.asarray(state["wind_kmps"])
         else:
             wind = self._estimate_wind(nt, dt_s)
+        wind = self._maybe_shear_state(wind)
         key = jax.random.key(rt.seed)
         mean_list = (list(state["m_seq"][:start_t])
                      if state is not None else [])
@@ -722,6 +723,16 @@ class InversionPipeline:
                             residuals=np.asarray(res.residual_norm)),
                         config_json=self.config.to_json())
 
+    def _maybe_shear_state(self, wind):
+        """solver.wind_shear: promote a (3,) bulk wind to the (2,3)
+        rigid+vertical-shear advection state (zero shear start — the
+        shear row is learned online when wind_adapt_iters > 0; see
+        frozen_flow.advect_periodic and DESIGN.md §12). Resumed states
+        that are already (2,3) pass through unchanged."""
+        if self.config.solver.wind_shear and np.ndim(wind) == 1:
+            return np.stack([np.asarray(wind, np.float64), np.zeros(3)])
+        return wind
+
     def _estimate_wind(self, nt: int, dt_s: float):
         """Bulk wind: datapack metadata when present (synthetic worlds),
         otherwise estimated from quick single-snapshot solves of the first
@@ -760,6 +771,7 @@ class InversionPipeline:
             wind = np.asarray(state["wind_kmps"])
         else:
             wind = self._estimate_wind(nt, dt_s)
+        wind = self._maybe_shear_state(wind)
         m_list = list(state["m_seq"][:start_t]) if state is not None else []
         pre = (list(state["kalman_pre"][:start_t])
                if state is not None and "kalman_pre" in state else [])

@@ -19,18 +19,53 @@ import jax.numpy as jnp
 
 @jax.jit
 def advect_periodic(field, grid, shift_km):
-    """Translate ``field`` by ``shift_km`` (3,) with spectral interpolation.
+    """Translate ``field`` by ``shift_km`` with spectral interpolation.
 
-    Equivalent to sampling the field at x − shift with periodic boundary.
+    ``shift_km`` shapes:
+      (3,)   — rigid translation: sample the field at x − shift with
+               periodic boundary (one 3-D FFT pair, no gather).
+      (2,3)  — rigid + **vertical shear**: row 0 is the mid-grid shift,
+               row 1 the horizontal shift *difference* reached at the
+               grid's top/bottom faces — each z-slice translates by
+               ``row0[:2] + ζ(z)·row1[:2]`` with ζ ∈ [−1, 1] the
+               normalized height (linear-in-height drift: E- and
+               F-region plasma move with different bulk velocities).
+               Implemented as a per-slice 2-D phase ramp (one 2-D FFT
+               pair over the stacked slices — same cost class as the
+               rigid op), composed with row 0's rigid vertical shift.
+               Row 1's vertical component must be 0 (a z-dependent
+               vertical shift is not volume-preserving slice-wise).
     """
     nx, ny, nz = grid.shape
-    shift = jnp.asarray(shift_km) / grid.spacing  # voxels
+    shift = jnp.asarray(shift_km)
+    if shift.ndim == 1:
+        s = shift / grid.spacing  # voxels
+        kx = jnp.fft.fftfreq(nx)[:, None, None]
+        ky = jnp.fft.fftfreq(ny)[None, :, None]
+        kz = jnp.fft.rfftfreq(nz)[None, None, :]
+        phase = -2j * jnp.pi * (kx * s[0] + ky * s[1] + kz * s[2])
+        spec = jnp.fft.rfftn(field) * jnp.exp(phase)
+        return jnp.fft.irfftn(spec, s=(nx, ny, nz)).astype(field.dtype)
+
+    # shear form: horizontal shift varies linearly over the z axis.
+    # Full complex 2-D FFT + real part (the scipy fourier_shift
+    # convention for the even-size Nyquist bin under fractional shifts).
+    mean, shear = shift[0], shift[1]
+    zeta = (2.0 * jnp.arange(nz) - (nz - 1)) / jnp.maximum(nz - 1, 1)
+    sx = (mean[0] + zeta * shear[0]) / grid.spacing[0]   # (nz,) voxels
+    sy = (mean[1] + zeta * shear[1]) / grid.spacing[1]
     kx = jnp.fft.fftfreq(nx)[:, None, None]
     ky = jnp.fft.fftfreq(ny)[None, :, None]
+    phase = -2j * jnp.pi * (kx * sx[None, None, :]
+                            + ky * sy[None, None, :])
+    spec = jnp.fft.fft2(field, axes=(0, 1)) * jnp.exp(phase)
+    out = jnp.fft.ifft2(spec, axes=(0, 1)).real
+    # rigid vertical component from the mean row (row 1's v_z is ignored
+    # by construction — the filters mask it to 0)
     kz = jnp.fft.rfftfreq(nz)[None, None, :]
-    phase = -2j * jnp.pi * (kx * shift[0] + ky * shift[1] + kz * shift[2])
-    spec = jnp.fft.rfftn(field) * jnp.exp(phase)
-    return jnp.fft.irfftn(spec, s=(nx, ny, nz)).astype(field.dtype)
+    phase_z = -2j * jnp.pi * kz * (mean[2] / grid.spacing[2])
+    spec_z = jnp.fft.rfft(out, axis=2) * jnp.exp(phase_z)
+    return jnp.fft.irfft(spec_z, n=nz, axis=2).astype(field.dtype)
 
 
 def estimate_wind(field_a, field_b, grid, dt_s, n_iters=200, lr=0.05,

@@ -74,6 +74,11 @@ class EpochService:
         self.filter = None
         self.last_mjd = None           # cadence tracking (advection dt)
         self._wind = np.asarray(wind_kmps, np.float64)
+        if self.config.solver.wind_shear and self._wind.ndim == 1:
+            # (2,3) rigid+vertical-shear advection state, zero shear
+            # start — learned online when wind_adapt_iters > 0
+            # (frozen_flow.advect_periodic; DESIGN.md §12)
+            self._wind = np.stack([self._wind, np.zeros(3)])
         self._anchors = anchors
         self._anchor_cov = anchor_cov
         self._anchors_npz = vtec_anchors_npz

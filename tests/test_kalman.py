@@ -686,3 +686,89 @@ def test_wind_adaptation_enkf():
     e_ad = np.sqrt(np.mean((np.asarray(adapt.mean_seq[-1])
                             - w["m_true"][-1]) ** 2))
     assert e_ad < 1.02 * e_st, (e_ad, e_st)
+
+def sheared_world(nx=18, n_ants=10, n_dirs=6, nt=6, seed=3):
+    """moving_world variant whose truth advects with VERTICAL SHEAR
+    (advect_periodic's (2,3) state): two blobs at different altitudes so
+    the mean wind and the shear row are separately identifiable — a
+    single z-localized structure sees only mean + zeta_blob*shear, a
+    rank-1 degeneracy."""
+    rng = np.random.default_rng(seed)
+    ants = np.concatenate([rng.uniform(-80, 80, (n_ants, 2)),
+                           np.zeros((n_ants, 1))], -1)
+    zen = rng.uniform(0.05, 0.45, n_dirs)
+    az = rng.uniform(0, 2 * np.pi, n_dirs)
+    dirs = np.stack([np.sin(zen) * np.sin(az), np.sin(zen) * np.cos(az),
+                     np.cos(zen)], -1)
+    grid = chapman.grid_enclosing_rays(ants, dirs, max_length_km=900.0,
+                                       shape=(nx, nx, nx), h_min_km=0.0)
+    m_bg = chapman.log_parametrize(chapman.chapman_field(grid))
+    pts = grid.meshgrid()
+    lo = np.array([60.0, -40.0, 250.0])
+    hi = np.array([-50.0, 30.0, 620.0])
+    blob = jnp.asarray(
+        0.5 * np.exp(-0.5 * np.sum((pts - lo) ** 2, -1) / 70.0**2)
+        + 0.5 * np.exp(-0.5 * np.sum((pts - hi) ** 2, -1) / 70.0**2),
+        jnp.float32)
+
+    # rigid+shear truth: mean 0.3 km/s east, faces ±0.25 km/s on top
+    wind = np.asarray([[0.3, 0.0, 0.0], [0.25, 0.0, 0.0]], np.float32)
+    dt_s = 60.0
+    origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
+    rb1 = rays_mod.sample_straight_rays(origins, dvecs,
+                                        max_length_km=900.0, n_samples=49)
+    rays_seq = rays_mod.RayBundle(points=jnp.stack([rb1.points] * nt),
+                                  ds=jnp.stack([rb1.ds] * nt))
+    m_true_seq, d_seq = [], []
+    for t in range(nt):
+        # zero vertical wind → per-step shear advections compose to t×shift
+        pert = advect_periodic(blob, grid,
+                               jnp.asarray(wind * t * dt_s, jnp.float32))
+        m_t = m_bg + pert
+        m_true_seq.append(np.asarray(m_t))
+        d_seq.append(np.asarray(
+            tec_mod.dtec_paired(m_t, grid, rb1, n_dirs, 0)))
+    noise = 1e-2 * np.abs(np.asarray(d_seq)).max()
+    d_seq = np.asarray(d_seq) + rng.normal(scale=noise,
+                                           size=np.shape(d_seq))
+    return dict(grid=grid, rays_seq=rays_seq,
+                d_seq=jnp.asarray(d_seq, jnp.float32),
+                noise=jnp.float32(noise), m_bg=m_bg,
+                m_true=np.asarray(m_true_seq), wind=wind, dt_s=dt_s,
+                n_dirs=n_dirs)
+
+
+def test_wind_adaptation_recovers_shear():
+    """(2,3) wind state end-to-end: starting from a rigid-only wrong
+    wind with a zero shear row, the innovation GN refines all 4
+    horizontal parameters (both v_z pinned), recovers the shear row's
+    sign and most of its magnitude, and beats the static wrong-wind
+    filter on model error."""
+    w = sheared_world()
+    cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+    kw = dict(num_directions=w["n_dirs"], cg_iters=15, fade=0.95)
+    wind_true = w["wind"]
+    wind_bad = jnp.asarray([[0.1, 0.1, 0.0], [0.0, 0.0, 0.0]],
+                           jnp.float32)
+
+    static = kalman_filter(w["grid"], w["rays_seq"], w["d_seq"],
+                           w["noise"], w["m_bg"], cov, wind_bad,
+                           w["dt_s"], **kw)
+    adapt = kalman_filter(w["grid"], w["rays_seq"], w["d_seq"],
+                          w["noise"], w["m_bg"], cov, wind_bad,
+                          w["dt_s"], wind_adapt_iters=2, **kw)
+    wind_fit = np.asarray(adapt.wind_seq)
+    assert wind_fit.shape == (6, 2, 3)
+    assert np.allclose(wind_fit[:, :, 2], 0.0)    # v_z pinned, both rows
+    err0 = np.linalg.norm(wind_bad - wind_true)
+    err_f = np.linalg.norm(wind_fit[-1] - wind_true)
+    assert err_f < 0.5 * err0, (wind_fit[-1], wind_true)
+    # the shear row specifically: right sign, most of the magnitude
+    assert wind_fit[-1, 1, 0] > 0.4 * wind_true[1, 0], wind_fit[-1]
+
+    err_static = np.sqrt(np.mean((np.asarray(static.m_seq[-1])
+                                  - w["m_true"][-1]) ** 2))
+    err_adapt = np.sqrt(np.mean((np.asarray(adapt.m_seq[-1])
+                                 - w["m_true"][-1]) ** 2))
+    assert err_adapt < err_static, (err_adapt, err_static)

@@ -146,3 +146,29 @@ def test_online_wind_adaptation_matches_batch():
                       wind_adapt_iters=2)
     f2.load_state(state)
     np.testing.assert_allclose(f2.wind, f.wind)
+
+def test_online_shear_wind_state():
+    """OnlineKalman accepts the (2,3) rigid+shear wind state: steps run,
+    the refined wind keeps its shape, the diag serializes it as a nested
+    list, and the state dict round-trips it."""
+    w = moving_world(nt=3)
+    cov = GPCovariance.create(w["grid"], sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+    wind0 = jnp.asarray([[0.1, 0.1, 0.0], [0.0, 0.0, 0.0]], jnp.float32)
+    f = OnlineKalman(w["grid"], cov, w["m_bg"], wind0, w["dt_s"],
+                     num_directions=w["n_dirs"], cg_iters=10, fade=0.95,
+                     wind_adapt_iters=1)
+    for t in range(3):
+        rb = RayBundle(points=w["rays_seq"].points[t],
+                       ds=w["rays_seq"].ds[t])
+        m_t, diag = f.step(rb, w["d_seq"][t], w["noise"])
+        assert np.isfinite(np.asarray(m_t)).all()
+        wk = np.asarray(diag["wind_kmps"])
+        assert wk.shape == (2, 3) and np.isfinite(wk).all()
+    assert f.wind.shape == (2, 3)
+    state = f.state_dict()
+    f2 = OnlineKalman(w["grid"], cov, w["m_bg"], wind0, w["dt_s"],
+                      num_directions=w["n_dirs"], cg_iters=10, fade=0.95,
+                      wind_adapt_iters=1)
+    f2.load_state(state)
+    np.testing.assert_allclose(f2.wind, f.wind)

@@ -486,3 +486,29 @@ def test_pipeline_kalman_wind_adaptation_chunked(tmp_path):
     assert np.isfinite(state["wind_kmps"]).all()
     w1 = ckpt.resume(cfg1.runtime.checkpoint_dir)[1]["wind_kmps"]
     np.testing.assert_allclose(state["wind_kmps"], w1, atol=5e-3)
+
+def test_pipeline_kalman_wind_shear_state(tmp_path):
+    """SolverConfig.wind_shear: the pipeline promotes the bootstrap wind
+    to the (2,3) rigid+shear advection state, the filter runs and
+    checkpoints it, and a checkpoint resume passes the already-promoted
+    state through unchanged (no double promotion)."""
+    dp, truth = make_dp(n_times=3)
+    cfg = small_config(tmp_path / "s", solver="kalman", kalman_chunk=2,
+                       wind_adapt_iters=1, wind_shear=True)
+    pipe = InversionPipeline(dp, cfg)
+    sol = pipe.run(resume=False)
+    assert np.isfinite(sol.m).all()
+    step, state, _ = ckpt.resume(cfg.runtime.checkpoint_dir)
+    assert step == 3
+    assert state["wind_kmps"].shape == (2, 3)
+    assert np.isfinite(state["wind_kmps"]).all()
+    # resume mid-sequence: promoted state accepted as-is
+    import os
+    ck = sorted(os.listdir(cfg.runtime.checkpoint_dir))
+    # drop the final checkpoint so resume continues from step 2
+    for f in ck:
+        if f.endswith(".npz") and "0003" in f:
+            os.remove(os.path.join(cfg.runtime.checkpoint_dir, f))
+    pipe2 = InversionPipeline(dp, cfg)
+    sol2 = pipe2.run(resume=True)
+    np.testing.assert_allclose(sol2.m[-1], sol.m[-1], atol=1e-5)

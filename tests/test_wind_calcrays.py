@@ -49,3 +49,52 @@ def test_calc_rays_bent_dispatch():
     end = np.asarray(rb.points[0, -1])
     straight = 900.0 * np.asarray(dirs[0])
     assert np.linalg.norm(end - straight) < 5.0
+
+
+def test_advect_shear_per_slice_shift():
+    """(2,3) shear form of advect_periodic: zero shear row reproduces the
+    rigid path on band-limited fields (the even-size Nyquist bin under a
+    fractional shift is convention-dependent, so white noise is excluded
+    by construction); integer-voxel shear shifts match per-slice rolls
+    exactly; mid-grid slices move least."""
+    import jax.numpy as jnp
+    from ionotomo_tpu.core.grids import Grid3D
+    from ionotomo_tpu.models.frozen_flow import advect_periodic
+
+    nx = 16
+    grid = Grid3D.create((0.0, 0.0, 0.0), (10.0, 10.0, 10.0),
+                         (nx, nx, nx))               # exactly 10 km voxels
+    # band-limited smooth field: a few low-k Fourier modes
+    rng = np.random.default_rng(0)
+    spec = np.zeros((nx, nx, nx), np.complex128)
+    spec[:4, :4, :4] = (rng.normal(size=(4, 4, 4))
+                        + 1j * rng.normal(size=(4, 4, 4)))
+    f = jnp.asarray(np.real(np.fft.ifftn(spec)), jnp.float32)
+
+    rigid = advect_periodic(f, grid, jnp.asarray([23.0, -7.0, 31.0]))
+    shear0 = advect_periodic(
+        f, grid, jnp.asarray([[23.0, -7.0, 31.0], [0.0, 0.0, 0.0]]))
+    np.testing.assert_allclose(np.asarray(shear0), np.asarray(rigid),
+                               atol=1e-6)
+
+    # pure shear, integer voxels at the faces: slice k shifts in x by
+    # zeta_k * 80 km = zeta_k * 8 voxels; integral at the faces
+    g = jnp.asarray(rng.normal(size=(nx, nx, nx)), jnp.float32)
+    sh = advect_periodic(g, grid,
+                         jnp.asarray([[0.0, 0.0, 0.0], [80.0, 0.0, 0.0]]))
+    zeta = (2.0 * np.arange(nx) - (nx - 1)) / (nx - 1)
+    for k in (0, nx - 1):
+        vox = zeta[k] * 8.0
+        assert vox == int(vox)
+        expect = np.roll(np.asarray(g[:, :, k]), int(vox), axis=0)
+        np.testing.assert_allclose(np.asarray(sh[:, :, k]), expect,
+                                   atol=2e-5)
+    # mid-grid slices move least — checked on the SMOOTH field (on white
+    # noise a fractional spectral shift decorrelates high-k content as
+    # much as a large roll, so the comparison is only meaningful where
+    # displacement ∝ change): |zeta_7| = 1/15 vs |zeta_0| = 1
+    shf = advect_periodic(f, grid,
+                          jnp.asarray([[0.0, 0.0, 0.0], [80.0, 0.0, 0.0]]))
+    mid = np.abs(np.asarray(shf[:, :, 7]) - np.asarray(f[:, :, 7])).max()
+    edge = np.abs(np.asarray(shf[:, :, 0]) - np.asarray(f[:, :, 0])).max()
+    assert mid < 0.5 * edge
