@@ -34,7 +34,9 @@ from .geometry.rays import (RayBundle, calc_rays,             # noqa: F401
                             sample_straight_rays, make_ray_batch,
                             inner_bundle)
 from .inversion.kalman import (kalman_filter,                 # noqa: F401
-                               ensemble_kalman_filter)
+                               ensemble_kalman_filter,
+                               initial_ensemble,
+                               member_parallel_enkf)
 from .inversion.online import (OnlineKalman,                  # noqa: F401
                                OnlineEnsembleKalman)
 from .inversion.model_selection import (gcv_score,            # noqa: F401

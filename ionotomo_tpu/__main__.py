@@ -103,6 +103,7 @@ def cmd_invert(args):
                             kalman_fade=args.fade,
                             estimate_profile=args.estimate_profile,
                             enkf_spectrum_blend=args.enkf_spectrum_blend,
+                            enkf_shard=args.enkf_shard,
                             wind_adapt_iters=args.wind_adapt,
                             wind_shear=args.wind_shear),
         runtime=RuntimeConfig(checkpoint_dir=args.checkpoint_dir,
@@ -291,6 +292,12 @@ def main(argv=None):
     i.add_argument("--enkf-spectrum-blend", type=float, default=0.0,
                    help="enkf: adaptive spectral gain weight (0=off; "
                         "shell-fitted prediction covariance per step)")
+    i.add_argument("--enkf-shard", choices=("rays", "members"),
+                   default="rays",
+                   help="enkf multi-device axis: 'rays' (data-parallel) "
+                        "or 'members' (each chip owns whole members incl. "
+                        "their covariance solves; needs enkf-members %% "
+                        "n_devices == 0)")
     i.add_argument("--kalman-chunk", type=int, default=8,
                    help="kalman: timesteps per scan / checkpoint")
     i.add_argument("--solver", default="map_gauss_newton",

@@ -101,6 +101,14 @@ class SolverConfig:
     enkf_spectrum_blend: float = 0.0  # >0: per-step adaptive spectral gain
                                       # (shell-fitted prediction covariance;
                                       # inversion/kalman.py)
+    enkf_shard: str = "rays"          # multi-device EnKF axis: "rays"
+                                      # (data-parallel gathers, grid work
+                                      # replicated) | "members" (each chip
+                                      # owns n_members/n_devices members
+                                      # end-to-end incl. the grid-sized FFT
+                                      # covariance solves — kalman.
+                                      # member_parallel_enkf; requires
+                                      # enkf_members % n_devices == 0)
     enkf_anchor_update: str = "sqrt"  # anchored-EnKF member update:
                                       # "sqrt" (deterministic square-root,
                                       # no perturbed-anchor sampling noise)

@@ -226,7 +226,8 @@ def anchor_map_step(grid: Grid3D, m_k: jax.Array, cov,
 
 def anchor_sqrt_update(grid: Grid3D, ens: jax.Array, cov,
                        rays: RayBundle, values, inv_cd,
-                       cg_iters: int, cg_tol: float = 1e-5):
+                       cg_iters: int, cg_tol: float = 1e-5,
+                       member_axis: str = None):
     """Deterministic (square-root / ensemble-adjustment) anchored update
     of an ensemble — the noise-free alternative to per-member perturbed
     anchor values (VERDICT r2 weak #4).
@@ -249,7 +250,11 @@ def anchor_sqrt_update(grid: Grid3D, ens: jax.Array, cov,
     """
     from ..core import linalg
 
-    m_bar = ens.mean(0)
+    # under member_axis (shard_map member parallelism — kalman.
+    # member_parallel_enkf) `ens` is the device-local sub-ensemble; the
+    # mean — the only cross-member quantity here — is a pmean collective
+    m_bar = (ens.mean(0) if member_axis is None
+             else jax.lax.pmean(ens.mean(0), member_axis))
 
     def fwd(m):
         return tec_mod.tec(m, grid, rays)

@@ -45,6 +45,21 @@ from ..models.frozen_flow import advect_periodic
 from .priors import GPCovariance, fit_shell_spectrum
 
 
+def initial_ensemble(grid: Grid3D, cov: GPCovariance, m0, key,
+                     n_members: int):
+    """The EnKF's initial ensemble: prior mean + n_members prior draws
+    (the reserved key slot ``fold_in(key, 0x7FFFFFFF)`` — outside the
+    per-step fold_in(key, t) stream, so chunked/resumed runs that re-seed
+    per chunk never collide with it). Factored out so callers that want
+    a member-sharded filter can build ens0, device_put it over a
+    parallel.member_mesh, and pass it as ``ens0=``."""
+    init_key = jax.random.fold_in(key, 0x7FFFFFFF)
+    init_noise = jax.vmap(
+        lambda k: cov.apply_sqrt(jax.random.normal(k, grid.shape)))(
+            jax.random.split(init_key, n_members))
+    return m0[None] + init_noise
+
+
 def _wind_innovation_refine(grid, m_t, rays_t, d_t, cd_t, clim, wind,
                             dt_s, fade, num_directions, i0, quadrature,
                             n_iters, damping, wind_mask):
@@ -331,7 +346,7 @@ class EnsembleKalmanResult(NamedTuple):
                                    "spectrum_blend", "spectrum_bins",
                                    "anchor_cg_iters", "anchor_update",
                                    "quadrature", "wind_adapt_iters",
-                                   "wind_adapt_horizontal"))
+                                   "wind_adapt_horizontal", "member_axis"))
 def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                            noise_std, m0, cov: GPCovariance, wind_kmps,
                            dt_s, num_directions: int, key,
@@ -351,7 +366,8 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                            rays_inner_seq: RayBundle = None,
                            wind_adapt_iters: int = 0,
                            wind_adapt_damping: float = 0.1,
-                           wind_adapt_horizontal: bool = True):
+                           wind_adapt_horizontal: bool = True,
+                           member_axis: str = None):
     """Ensemble variant: time-propagated posterior uncertainty.
 
     Goes beyond the reference's point-estimate filter: an ensemble of
@@ -417,6 +433,14 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     refined on the noiseless ensemble *mean* each step — bulk drift is
     shared, not per-member. The refined wind rides the carry; pass
     ``wind_seq[-1]`` as the next chunk's ``wind_kmps``.
+
+    ``member_axis``: internal — set by ``member_parallel_enkf`` when the
+    function body runs inside a shard_map over that mesh axis, with
+    ``ens0`` the per-device sub-ensemble (n_members stays the GLOBAL
+    count). Cross-member reductions become pmean collectives; per-member
+    random draws are generated at global shape on every device and
+    sliced to the local rows, so the sharded filter consumes the exact
+    same randomness as the unsharded one. Do not set directly.
     """
     m_clim = m0 if m_clim is None else m_clim
     d_seq = jnp.asarray(d_obs_seq)
@@ -439,13 +463,35 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     else:
         a_vals_seq = jnp.zeros((nt, 1), jnp.float32)
 
-    if ens0 is None:
-        # initial ensemble: prior mean + prior draws (reserved key slot)
-        init_key = jax.random.fold_in(key, 0x7FFFFFFF)
-        init_noise = jax.vmap(
-            lambda k: cov.apply_sqrt(jax.random.normal(k, grid.shape)))(
-                jax.random.split(init_key, n_members))
-        ens0 = m0[None] + init_noise
+    if member_axis is None:
+        if ens0 is None:
+            ens0 = initial_ensemble(grid, cov, m0, key, n_members)
+        emean = lambda x: x.mean(0)              # noqa: E731
+        estd = lambda x, mu: x.std(0)            # noqa: E731
+        local_rows = lambda x: x                 # noqa: E731
+    else:
+        # inside shard_map over `member_axis`: ens0 is the REQUIRED local
+        # sub-ensemble; spectrum_blend's shell fit is not axis-aware
+        assert ens0 is not None and spectrum_blend == 0.0
+        n_loc = ens0.shape[0]
+        ix0 = jax.lax.axis_index(member_axis) * n_loc
+
+        def emean(x):
+            return jax.lax.pmean(x.mean(0), member_axis)
+
+        def estd(x, mu):
+            # global-biased std about the global mean (matches .std(0))
+            return jnp.sqrt(jax.lax.pmean(
+                ((x - mu[None]) ** 2).mean(0), member_axis))
+
+        def local_rows(x):
+            # slice this device's members out of a globally-shaped draw
+            if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+                kd = jax.lax.dynamic_slice_in_dim(
+                    jax.random.key_data(x), ix0, n_loc, 0)
+                return jax.random.wrap_key_data(
+                    kd, impl=jax.random.key_impl(x))
+            return jax.lax.dynamic_slice_in_dim(x, ix0, n_loc, 0)
 
     mixed = rays_inner_seq is not None
 
@@ -509,7 +555,7 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
             # refine on the (noiseless) ensemble mean; members share the
             # refined wind — drift is a bulk property, not per-member
             wind_new = _wind_innovation_refine(
-                grid, ens.mean(0), rays_t, d_t, cd_t, clim, wind, dt_s,
+                grid, emean(ens), rays_t, d_t, cd_t, clim, wind, dt_s,
                 fade, num_directions, i0, quadrature, wind_adapt_iters,
                 wind_adapt_damping, wind_mask)
             wind = jnp.where(is_first, wind, wind_new)
@@ -524,15 +570,15 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
             return jnp.where(is_first, m,
                              fade * m_adv + (1 - fade) * clim + pert)
 
-        ens_pred = jax.vmap(predict)(
-            ens, jax.random.split(k_adv, n_members))
+        ens_pred = jax.vmap(predict)(ens, local_rows(
+            jax.random.split(k_adv, n_members)))
         # multiplicative covariance inflation about the ensemble mean —
         # a *forecast*-ensemble control, so it does not apply at the very
         # first step (the fresh prior draws have had no update-induced
         # spread collapse to counter; inflating them would overweight the
         # t=0 data against the configured prior sigma)
         infl_t = jnp.where(is_first, 1.0, inflation)
-        ens_mean = ens_pred.mean(0)
+        ens_mean = emean(ens_pred)
         ens_pred = ens_mean[None] + infl_t * (ens_pred - ens_mean[None])
         if spectrum_blend > 0.0:
             # adaptive spectral gain: this step's update covariance is the
@@ -554,26 +600,31 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                 from .anchors import anchor_sqrt_update
                 ens_pred = anchor_sqrt_update(
                     grid, ens_pred, anchor_cov, anchors.rays, a_t,
-                    a_inv_cd, anchor_cg_iters, cg_tol)
+                    a_inv_cd, anchor_cg_iters, cg_tol,
+                    member_axis=member_axis)
             else:
                 # stochastic: anchor each member's prediction with its own
                 # perturbed anchor values (keeps the ensemble a consistent
                 # posterior sample; derived key leaves the existing
                 # k_adv/k_obs stream — and thus unanchored runs — untouched)
                 k_anc = jax.random.fold_in(k_t, 2)
-                eps_a = (jax.random.normal(
-                    k_anc, (n_members,) + a_t.shape) * a_noise[None])
+                eps_a = local_rows(
+                    jax.random.normal(k_anc, (n_members,) + a_t.shape)
+                    * a_noise[None])
                 ens_pred = jax.vmap(
                     lambda m, e: anchor_map_step(
                         grid, m, anchor_cov, anchors.rays, a_t + e,
                         a_inv_cd, anchor_cg_iters, cg_tol))(ens_pred, eps_a)
-        eps = (jax.random.normal(k_obs, (n_members, d_t.size))
-               * jnp.sqrt(cd_t)[None, :])
+        eps = local_rows(jax.random.normal(k_obs, (n_members, d_t.size))
+                         * jnp.sqrt(cd_t)[None, :])
         ens_new, pres = jax.vmap(
             lambda m, e: member_update(m, rays_t, rays_inner_t, d_t,
                                        cd_t, e, cov_t))(
                 ens_pred, eps)
-        out = (ens_new.mean(0), ens_new.std(0), pres.mean())
+        mu_new = emean(ens_new)
+        pre_mean = (pres.mean() if member_axis is None
+                    else jax.lax.pmean(pres.mean(), member_axis))
+        out = (mu_new, estd(ens_new, mu_new), pre_mean)
         if adapt:
             return (ens_new, wind), out + (wind,)
         return ens_new, out
@@ -594,3 +645,71 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     ens_f, (mean_seq, std_seq, pre) = jax.lax.scan(step, ens0, xs)
     return EnsembleKalmanResult(mean_seq=mean_seq, std_seq=std_seq,
                                 residuals=pre, ensemble=ens_f)
+
+
+def member_parallel_enkf(mesh, grid: Grid3D, rays_seq: RayBundle,
+                         d_obs_seq, noise_std, m0, cov: GPCovariance,
+                         wind_kmps, dt_s, *, ens0, n_members: int = 8,
+                         **kwargs):
+    """Member-parallel EnKF: shard_map over the mesh's 'members' axis
+    (parallel.member_mesh) — P3 per-realization parallelism across chips.
+
+    Each device owns n_members/n_devices members END TO END: advection,
+    anchoring, and the whole Krylov member update — including the
+    grid-sized FFT covariance applications that dominate EnKF cost and
+    that ray-axis sharding cannot parallelize (they are per-member,
+    not per-ray). Cross-chip traffic per step: the grid-sized pmean of
+    the ensemble mean/std (+ one more for inflation centering) and the
+    scalar reductions of the shared wind refinement — a few all-reduces
+    riding ICI, vs the ~2·cg_iters per-member ones ray sharding pays.
+
+    Randomness: every device draws the globally-shaped key/noise arrays
+    and slices its local rows, so the sharded filter consumes exactly
+    the same per-member draws as the unsharded one (parity tested to
+    the f32 reduction bound in tests/test_multichip.py).
+
+    Requirements: ``ens0`` is REQUIRED (build with ``initial_ensemble``
+    and optionally device_put with parallel.member_sharding);
+    ``n_members`` must divide by the mesh size (members are not padded —
+    a phantom member would bias the ensemble mean); ``spectrum_blend``
+    is unsupported (its shell fit is not member-axis aware). All other
+    kwargs are ``ensemble_kalman_filter``'s.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.sharding import MEMBER_AXIS
+
+    if MEMBER_AXIS not in mesh.axis_names:
+        raise ValueError(f"mesh has axes {mesh.axis_names}; build it with "
+                         "parallel.member_mesh()")
+    n_dev = mesh.shape[MEMBER_AXIS]
+    if n_members % n_dev:
+        raise ValueError(f"n_members={n_members} must divide the "
+                         f"'{MEMBER_AXIS}' mesh size {n_dev} (members are "
+                         "not padded)")
+    if ens0 is None or ens0.shape[0] != n_members:
+        raise ValueError("member_parallel_enkf requires ens0 with "
+                         f"n_members={n_members} rows (use "
+                         "initial_ensemble)")
+    if kwargs.get("spectrum_blend", 0.0):
+        raise ValueError("spectrum_blend is unsupported under member "
+                         "sharding (shell fit is not member-axis aware)")
+    adapt = kwargs.get("wind_adapt_iters", 0) > 0
+
+    def run(ens0_loc):
+        return ensemble_kalman_filter(
+            grid, rays_seq, d_obs_seq, noise_std, m0, cov, wind_kmps,
+            dt_s, ens0=ens0_loc, n_members=n_members,
+            member_axis=MEMBER_AXIS, **kwargs)
+
+    out_specs = EnsembleKalmanResult(
+        mean_seq=P(), std_seq=P(), residuals=P(),
+        ensemble=P(MEMBER_AXIS),
+        wind_seq=(P() if adapt else None))
+    # check_vma=False: the member update's masked-convergence CG carries
+    # per-member iteration counters whose init is member-invariant — the
+    # static varying-axes validator rejects that (scan carry VMA
+    # mismatch) even though the program is correct; the collectives
+    # (pmean) are explicit and few.
+    return jax.shard_map(run, mesh=mesh, in_specs=P(MEMBER_AXIS),
+                         out_specs=out_specs, check_vma=False)(ens0)

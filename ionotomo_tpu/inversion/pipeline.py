@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +30,8 @@ from ..models import chapman
 from ..parallel import sharding as shard_mod
 from ..utils import checkpoint as ckpt_mod
 from ..utils.metrics import MetricsWriter
-from .kalman import ensemble_kalman_filter, kalman_filter
+from .kalman import (ensemble_kalman_filter, initial_ensemble,
+                     kalman_filter, member_parallel_enkf)
 from .priors import GPCovariance
 from .solution import Solution
 from . import solvers
@@ -314,17 +316,19 @@ class InversionPipeline:
         return rays_mod.RayBundle(points=jax.device_put(bundle.points, sh),
                                   ds=jax.device_put(bundle.ds, sh))
 
-    def _chunk_arrays(self, c0: int, c1: int):
+    def _chunk_arrays(self, c0: int, c1: int, shard: bool = True):
         """Padded, ray-sharded per-timestep arrays for the time-domain
         solvers: (rays_seq with axis-1 sharded, d (Nt',Na',Nd),
-        noise (Nt',Na',Nd)) for timesteps [c0, c1)."""
+        noise (Nt',Na',Nd)) for timesteps [c0, c1). ``shard=False``
+        keeps the bundles replicated (member-parallel EnKF shards the
+        ensemble axis instead)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         per = [self._padded_data(t) for t in range(c0, c1)]
         bundles = [self.rays_for_time(t, antennas=per[i][0])
                    for i, t in enumerate(range(c0, c1))]
         pts = jnp.stack([b.points for b in bundles])
         ds = jnp.stack([b.ds for b in bundles])
-        if self.mesh is not None:
+        if self.mesh is not None and shard:
             sh = NamedSharding(self.mesh, P(None, shard_mod.RAY_AXIS))
             pts = jax.device_put(pts, sh)
             ds = jax.device_put(ds, sh)
@@ -631,12 +635,30 @@ class InversionPipeline:
         ens = (jnp.asarray(state["enkf_ensemble"])
                if state is not None and start_t > 0
                and "enkf_ensemble" in state else None)
+        member_mode = (self.mesh is not None and sc.enkf_shard == "members")
+        if member_mode:
+            # P3 member parallelism: each device owns enkf_members/n_dev
+            # members end-to-end (kalman.member_parallel_enkf) — rays
+            # stay replicated, the ensemble axis shards
+            m_mesh = shard_mod.member_mesh()
+            if sc.enkf_members % m_mesh.devices.size:
+                raise ValueError(
+                    f"enkf_shard='members' needs enkf_members "
+                    f"({sc.enkf_members}) divisible by the device count "
+                    f"({m_mesh.devices.size})")
+            if ens is None:
+                ens = initial_ensemble(self.grid, self.cov, self.m_prior,
+                                       key, sc.enkf_members)
+            ens = jax.device_put(jnp.asarray(ens),
+                                 shard_mod.member_sharding(m_mesh))
         t0 = time.perf_counter()
         for c0 in range(start_t, nt, chunk):
             c1 = min(c0 + chunk, nt)
             rays_seq, inner_seq, d_chunk, noise_chunk = \
-                self._chunk_arrays(c0, c1)
-            res = ensemble_kalman_filter(
+                self._chunk_arrays(c0, c1, shard=not member_mode)
+            filter_fn = (partial(member_parallel_enkf, m_mesh)
+                         if member_mode else ensemble_kalman_filter)
+            res = filter_fn(
                 self.grid, rays_seq, d_chunk,
                 noise_chunk, self.m_prior, self.cov,
                 wind, dt_s, num_directions=nd, key=key,

@@ -66,6 +66,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+MEMBER_AXIS = "members"
+
+
+def member_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or given) devices, axis name 'members' — the
+    EnKF's per-realization (P3) parallelism across chips: each device
+    carries n_members/n_devices members end-to-end (advect + anchor +
+    Krylov member update all member-local); the only cross-chip traffic
+    is the grid-sized ensemble mean/std psum once per step and the
+    scalar reductions of the shared wind refinement. Near-linear scaling
+    when n_members % n_devices == 0 (required — members are not padded:
+    a phantom member would bias the ensemble mean)."""
+    devices = devices if devices is not None else jax.devices()
+    return jax.make_mesh((len(devices),), (MEMBER_AXIS,), devices=devices)
+
+
+def member_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (member) axis of an (n_members, *grid) ensemble."""
+    return NamedSharding(mesh, P(MEMBER_AXIS))
+
+
 def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
 
