@@ -29,7 +29,8 @@ from .forward.tec import vtec_map                             # noqa: F401
 from .utils.diagnostics import (phase_structure_function,     # noqa: F401
                                 structure_function,
                                 fit_structure_exponent)
-from .geometry.fermat import trace_rays, trace_rays_split     # noqa: F401
+from .geometry.fermat import (trace_rays, trace_rays_split,   # noqa: F401
+                              trace_rays_stochastic)
 from .geometry.rays import (RayBundle, calc_rays,             # noqa: F401
                             sample_straight_rays, make_ray_batch,
                             inner_bundle)

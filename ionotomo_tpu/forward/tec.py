@@ -341,3 +341,21 @@ def tec_linear_adjoint(y: jax.Array, grid: Grid3D, rays: RayBundle
     flat = jnp.zeros((grid.num_voxels,), y.dtype)
     flat = flat.at[idx.reshape(-1)].add(contrib.reshape(-1))
     return flat.reshape(grid.shape)
+
+
+def dtec_noise_from_beam(tec_std: jax.Array, num_directions: int,
+                         i0: int = 0) -> jax.Array:
+    """Per-(antenna, direction) dTEC observation-noise contribution from
+    per-ray chaotic TEC spreads (geometry.fermat.trace_rays_stochastic).
+
+    dTEC_ad = TEC_ad − TEC_{i0,d}: with independent beam-decoherence
+    errors per ray, σ_dTEC = sqrt(σ_ad² + σ_{i0,d}²) (the reference-
+    antenna row gets its own pairing with itself → exactly 0, matching
+    dtec_paired's identically-zero i0 rows). Add in quadrature to the
+    instrumental noise: noise_eff = sqrt(noise² + dtec_noise²) — the
+    strong-turbulence forward-model error bar entering C_d.
+    """
+    sd = jnp.asarray(tec_std).reshape(-1, num_directions)
+    ref = sd[i0][None, :]
+    out = jnp.sqrt(sd ** 2 + ref ** 2)
+    return out.at[i0].set(0.0)

@@ -262,3 +262,81 @@ def straight_line_limit_error(field_m, grid, origins, directions,
                            max_length_km, n_steps)
     straight_end = origins + max_length_km * directions
     return jnp.linalg.norm(bundle.points[:, -1] - straight_end, axis=-1)
+
+
+def trace_rays_stochastic(field_m: jax.Array, grid: Grid3D,
+                          origins: jax.Array, directions: jax.Array,
+                          frequency_hz, key, n_paths: int = 8,
+                          jitter_rad: float = None,
+                          max_length_km=constants.DEFAULT_MAX_LENGTH_KM,
+                          n_steps: int = 64, method: str = "leapfrog"):
+    """Beam-ensemble (stochastic) trace for the strong-turbulence regime.
+
+    At σ_log ≳ 0.3 the Fermat endpoint is chaotic: true neighbouring
+    rays diverge, a single deterministic trace is accurate only for its
+    exact launch direction, and the endpoint error vs an adaptive f64
+    oracle stops converging with step count (measured, DESIGN.md §9).
+    The physically meaningful observable there is the beam average —
+    an antenna receives power over its Fresnel zone, not along one
+    mathematical ray. This traces ``n_paths`` rays per (origin,
+    direction) with launch directions perturbed transversally by
+    N(0, jitter_rad²) per axis, and returns
+
+      (tec_mean, tec_std, endpoint_rms)  — each (R,)
+
+    tec_mean: the beam-averaged TEC (the robust forward value);
+    tec_std: per-ray chaotic TEC spread — the forward-model error bar
+    for this regime, directly usable as observation-noise inflation
+    (C_d ← C_d + diag(tec_std²) in the solvers' whitened misfits);
+    endpoint_rms: rms 3-D distance of path endpoints from their mean —
+    ≈ jitter·L geometric fan-out in the benign regime, amplified
+    ~1.0–1.6× by bending at ~8-outer-scale path lengths (measured;
+    the *discriminating* chaos observable is tec_std, which grows
+    ~50× from amp 0.02/150 MHz to amp 0.3/60 MHz in the same test).
+
+    ``jitter_rad`` defaults to the Fresnel angle sqrt(λ/L) — the
+    smallest transverse scale a physical beam distinguishes; in weak
+    turbulence this leaves tec_std ≪ |tec| (test_fermat.py), so the
+    function degrades gracefully to the deterministic trace. Cost:
+    n_paths × the deterministic trace, all paths one vmapped program
+    (gathers stay batched on the MXU-adjacent path). The per-path
+    randomness is keyed only by ``key`` — chunked/resumed callers get
+    identical beams from identical keys.
+    """
+    origins = jnp.asarray(origins, jnp.float32)
+    directions = jnp.asarray(directions, jnp.float32)
+    if jitter_rad is None:
+        lam_km = 299792.458 / float(frequency_hz)      # c [km/s] / f
+        jitter_rad = float(lam_km / max_length_km) ** 0.5
+
+    # transverse orthonormal basis per ray (any smooth completion works;
+    # the jitter is isotropic in the transverse plane)
+    helper = jnp.where(jnp.abs(directions[:, 2:3]) < 0.9,
+                       jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                       jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+    e1 = jnp.cross(directions, jnp.broadcast_to(helper, directions.shape))
+    e1 = e1 / jnp.linalg.norm(e1, axis=-1, keepdims=True)
+    e2 = jnp.cross(directions, e1)
+
+    # path 0 is the unperturbed central ray; paths 1..n-1 jittered
+    eps = jax.random.normal(key, (n_paths - 1, directions.shape[0], 2),
+                            jnp.float32) * jnp.float32(jitter_rad)
+    d_pert = (directions[None] + eps[..., 0:1] * e1[None]
+              + eps[..., 1:2] * e2[None])
+    d_all = jnp.concatenate([directions[None], d_pert], axis=0)
+    d_all = d_all / jnp.linalg.norm(d_all, axis=-1, keepdims=True)
+
+    def one(dirs_p):
+        bundle, tec = trace_rays(field_m, grid, origins, dirs_p,
+                                 frequency_hz, max_length_km,
+                                 n_steps=n_steps, keep_path=False,
+                                 method=method)
+        return tec, bundle.points[:, -1]
+
+    tec_p, ends = jax.vmap(one)(d_all)           # (P, R), (P, R, 3)
+    tec_mean = tec_p.mean(0)
+    tec_std = tec_p.std(0)
+    end_mu = ends.mean(0)
+    endpoint_rms = jnp.sqrt(
+        jnp.sum((ends - end_mu[None]) ** 2, axis=-1).mean(0))
+    return tec_mean, tec_std, endpoint_rms
