@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants
-from ..core import tricubic
+from ..core import boxspline, tricubic, triquadratic
 from ..core.grids import Grid3D
 from .rays import RayBundle
 
@@ -87,12 +87,46 @@ def _rhs(ne_vg, x: jax.Array, p: jax.Array, inv_f2: jax.Array):
     return tangent, grad_n, ne, dne_ds
 
 
-@partial(jax.jit, static_argnames=("n_steps", "keep_path", "method"))
+def field_evaluator(field_m: jax.Array, grid: Grid3D,
+                    interp: str = "cubic"):
+    """Build the log-density ``(m, ∇m)`` evaluator for a given C¹ field
+    model, paying any prefilter/layout cost once (outside scans).
+
+    - ``cubic``: Catmull-Rom tricubic, 16 row gathers/eval — the
+      historical model, the most accurate *convolution* kernel here.
+    - ``zp``: Zwart-Powell box spline ⊗ quadratic-z, **8 row gathers** —
+      one aligned gather group, measured 1.35× the tracer throughput
+      (330k vs 245k rays/s/chip at leapfrog@64, 128³) AND ~2× lower
+      value/gradient model error than ``cubic`` on band-limited fields
+      (core.boxspline; round-3 study, DESIGN.md §14).
+    - ``quadratic``: tensor quadratic B-spline, 9 row gathers — the
+      tensor-product C¹ minimum; accuracy of ``zp``, speed of ``cubic``
+      (9 rows falls off the aligned-gather fast path). Kept for study
+      parity (core.triquadratic).
+
+    All three are C¹ models of the same grid samples with exact AD.
+    """
+    nx, ny, nz = grid.shape
+    if interp == "cubic":
+        field2d = field_m.reshape(nx * ny, nz)
+        return lambda x: tricubic.interp_rows_with_grad(field2d, grid, x)
+    if interp == "zp":
+        coef2d = boxspline.prefilter(field_m).reshape(nx * ny, nz)
+        return lambda x: boxspline.interp_rows_with_grad(coef2d, grid, x)
+    if interp == "quadratic":
+        coef2d = triquadratic.prefilter(field_m).reshape(nx * ny, nz)
+        return lambda x: triquadratic.interp_rows_with_grad(coef2d, grid,
+                                                            x)
+    raise ValueError(f"unknown interp: {interp!r}")
+
+
+@partial(jax.jit, static_argnames=("n_steps", "keep_path", "method",
+                                   "interp"))
 def trace_rays(field_m: jax.Array, grid: Grid3D, origins: jax.Array,
                directions: jax.Array, frequency_hz,
                max_length_km=constants.DEFAULT_MAX_LENGTH_KM,
                n_steps: int = 128, keep_path: bool = True,
-               method: str = "rk4"):
+               method: str = "rk4", interp: str = "cubic"):
     """Trace all rays at once; returns (RayBundle, tec).
 
     origins, directions: (R, 3), directions unit-norm. The bundle holds
@@ -113,13 +147,12 @@ def trace_rays(field_m: jax.Array, grid: Grid3D, origins: jax.Array,
       arithmetic-intensity bottleneck on TPU, leapfrog dominates rk4 in
       accuracy-per-second; leapfrog@64 is solver-grade (PRECISION.md) and
       the benchmark/production configuration (see bench.py).
+
+    ``interp`` selects the C¹ field model (see ``field_evaluator``):
+    "cubic" (historical), "zp" (8-row box spline — faster AND lower
+    model error; the round-3 headline configuration), "quadratic".
     """
-    nx, ny, nz = grid.shape
-    field2d = field_m.reshape(nx * ny, nz)  # row-gather layout, paid once
-
-    def interp_vg(x):
-        return tricubic.interp_rows_with_grad(field2d, grid, x)
-
+    interp_vg = field_evaluator(field_m, grid, interp)
     return _trace_impl(log_field_ne_vg(interp_vg), origins, directions,
                        frequency_hz, max_length_km, n_steps, keep_path,
                        method)
@@ -269,7 +302,8 @@ def trace_rays_stochastic(field_m: jax.Array, grid: Grid3D,
                           frequency_hz, key, n_paths: int = 8,
                           jitter_rad: float = None,
                           max_length_km=constants.DEFAULT_MAX_LENGTH_KM,
-                          n_steps: int = 64, method: str = "leapfrog"):
+                          n_steps: int = 64, method: str = "leapfrog",
+                          interp: str = "cubic"):
     """Beam-ensemble (stochastic) trace for the strong-turbulence regime.
 
     At σ_log ≳ 0.3 the Fermat endpoint is chaotic: true neighbouring
@@ -330,7 +364,7 @@ def trace_rays_stochastic(field_m: jax.Array, grid: Grid3D,
         bundle, tec = trace_rays(field_m, grid, origins, dirs_p,
                                  frequency_hz, max_length_km,
                                  n_steps=n_steps, keep_path=False,
-                                 method=method)
+                                 method=method, interp=interp)
         return tec, bundle.points[:, -1]
 
     tec_p, ends = jax.vmap(one)(d_all)           # (P, R), (P, R, 3)

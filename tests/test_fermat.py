@@ -356,3 +356,89 @@ def test_dtec_noise_from_beam_pairing():
     assert np.allclose(out[1], 0.0)
     # antenna 0, dir 2: sqrt(sd[2]^2 + sd_ref[6]^2)
     assert np.isclose(out[0, 2], np.sqrt(0.2**2 + 0.6**2))
+
+
+def interior_rays(n=3, seed=0, zen_max=0.3):
+    """Rays that stay ≥2 cells inside the test world for their whole
+    1000-km length — the ZP f64 oracle evaluates the true compactly
+    supported element and is interior-only (boxspline_ref), unlike the
+    tricubic oracle which extrapolates analytically like the device."""
+    rng = np.random.default_rng(seed)
+    origins = np.concatenate([rng.uniform(-30, 30, (n, 2)),
+                              np.zeros((n, 1))], -1).astype(np.float32)
+    zen = rng.uniform(0.1, zen_max, n)
+    az = rng.uniform(0, 2 * np.pi, n)
+    dirs = np.stack([np.sin(zen) * np.sin(az), np.sin(zen) * np.cos(az),
+                     np.cos(zen)], -1).astype(np.float32)
+    return jnp.asarray(origins), jnp.asarray(dirs)
+
+
+def test_zp_tracer_matches_zp_oracle():
+    """interp="zp" traces through the box-spline field model exactly:
+    compare against the adaptive f64 oracle driven by the independent
+    boxspline_ref evaluator (same coefficients, no shared tables)."""
+    from reference_kernels import boxspline_ref
+    grid, m = world()
+    origins, dirs = interior_rays(3, seed=13)
+    bundle, tec = fermat.trace_rays(m, grid, origins, dirs, 60e6,
+                                    1000.0, n_steps=128, interp="zp")
+    coef64 = boxspline_ref.prefilter_ref(np.asarray(m, np.float64))
+    o64 = np.asarray(grid.origin, np.float64)
+    s64 = np.asarray(grid.spacing, np.float64)
+
+    def ne_and_grad(x):
+        v, g = boxspline_ref.interp_grad_ref(coef64, o64, s64, x[None, :])
+        ne = fermat_ref.K_NE * np.exp(v[0])
+        return ne, ne * g[0]
+
+    for i in range(3):
+        end_ref, tec_ref_v = fermat_ref.trace_ray_callable_ref(
+            ne_and_grad, np.asarray(origins[i]), np.asarray(dirs[i]),
+            60e6, 1000.0, rtol=1e-9, atol=1e-11)
+        end = np.asarray(bundle.points[i, -1])
+        assert np.linalg.norm(end - end_ref) < 5e-3, (i, end, end_ref)
+        assert abs(float(tec[i]) - tec_ref_v) / tec_ref_v < 1e-4
+
+
+def test_zp_leapfrog_solver_grade():
+    """The production configuration (leapfrog@64, interp="zp") must meet
+    the same solver-grade contract as the tricubic path (PRECISION.md):
+    endpoint within ~10 m and TEC within 1e-4 of the ZP-model oracle."""
+    from reference_kernels import boxspline_ref
+    grid, m = world()
+    origins, dirs = interior_rays(3, seed=17)
+    b, t = fermat.trace_rays(m, grid, origins, dirs, 60e6, 1000.0,
+                             n_steps=64, method="leapfrog", interp="zp")
+    coef64 = boxspline_ref.prefilter_ref(np.asarray(m, np.float64))
+    o64 = np.asarray(grid.origin, np.float64)
+    s64 = np.asarray(grid.spacing, np.float64)
+
+    def ne_and_grad(x):
+        v, g = boxspline_ref.interp_grad_ref(coef64, o64, s64, x[None, :])
+        ne = fermat_ref.K_NE * np.exp(v[0])
+        return ne, ne * g[0]
+
+    for i in range(3):
+        end_ref, tec_ref_v = fermat_ref.trace_ray_callable_ref(
+            ne_and_grad, np.asarray(origins[i]), np.asarray(dirs[i]),
+            60e6, 1000.0, rtol=1e-9, atol=1e-11)
+        assert np.linalg.norm(np.asarray(b.points[i, -1]) - end_ref) < 1e-2
+        assert abs(float(t[i]) - tec_ref_v) / tec_ref_v < 2e-4
+
+
+def test_zp_tracer_bends_like_cubic():
+    """Both C1 models of the same Chapman samples must agree physically:
+    endpoints within the inter-model error budget (≪ the bending itself),
+    and the quadratic tensor model sits in the same family."""
+    grid, m = world()
+    origins, dirs = slanted_rays(4, seed=19)
+    ends = {}
+    for interp in ("cubic", "zp", "quadratic"):
+        b, _ = fermat.trace_rays(m, grid, origins, dirs, 60e6, 1000.0,
+                                 n_steps=128, interp=interp)
+        ends[interp] = np.asarray(b.points[:, -1])
+    bend = np.asarray(fermat.straight_line_limit_error(
+        m, grid, origins, dirs, 60e6, 1000.0))
+    for a, b_ in (("cubic", "zp"), ("zp", "quadratic")):
+        gap = np.linalg.norm(ends[a] - ends[b_], axis=-1)
+        assert (gap < 0.2 * np.maximum(bend, 0.05)).all(), (a, b_, gap, bend)
