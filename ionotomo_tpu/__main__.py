@@ -52,6 +52,7 @@ def cmd_serve(args):
         grid=GridConfig(shape=(args.grid,) * 3),
         rays=RayConfig(n_samples=args.samples,
                        quadrature=args.quadrature,
+                       interp=args.interp,
                        inner_samples=args.inner_samples),
         prior=PriorConfig(sigma=args.prior_sigma,
                           length_scale_km=_prior_length(args.prior_length),
@@ -90,6 +91,7 @@ def cmd_invert(args):
         grid=GridConfig(shape=(args.grid,) * 3),
         rays=RayConfig(bent=args.bent, n_samples=args.samples,
                        quadrature=args.quadrature,
+                       interp=args.interp,
                        inner_samples=args.inner_samples,
                        n_steps=args.n_steps,
                        retrace_every=args.retrace_every),
@@ -174,14 +176,15 @@ def cmd_predict(args):
             rb, _ = fermat.trace_rays(m_t, grid, origins, dvecs,
                                       dp.frequency_hz, args.max_length,
                                       n_steps=args.n_steps,
-                                      keep_path=True, method="leapfrog")
+                                      keep_path=True, method="leapfrog",
+                                      interp=args.interp)
         else:
             rb = rays_mod.sample_straight_rays(
                 origins, dvecs, max_length_km=args.max_length,
                 n_samples=args.samples)
         pred[:, t, :] = np.asarray(
             tec_mod.dtec_paired_q(m_t, grid, rb, nd, i0,
-                                  args.quadrature))
+                                  args.quadrature, args.interp))
         if args.rm:
             # same bundle as the dTEC — bent RM along bent paths
             drm_out[:, t, :] = np.asarray(
@@ -330,6 +333,12 @@ def main(argv=None):
                    help="straight-ray operator quadrature rule (hermite: "
                         "gradient-augmented, equal accuracy at ~half the "
                         "samples)")
+    i.add_argument("--interp", default="cubic",
+                   choices=["cubic", "zp"],
+                   help="C1 field model for every interpolation (tracer "
+                        "and operators): cubic = Catmull-Rom tricubic; "
+                        "zp = 8-row Zwart-Powell box spline (faster and "
+                        "lower model error; DESIGN.md sec. 14)")
     i.add_argument("--inner-samples", type=int, default=0,
                    help="mixed-fidelity solves: the linear solve's "
                         "Jacobian from a coarse subsample at this many "
@@ -396,6 +405,9 @@ def main(argv=None):
                    choices=["simpson", "hermite"],
                    help="straight-ray prediction quadrature (matches the "
                         "inversion operator default)")
+    q.add_argument("--interp", default="cubic",
+                   choices=["cubic", "zp"],
+                   help="C1 field model (see invert --interp)")
     q.add_argument("--max-length", type=float, default=1000.0)
     q.add_argument("--bent", action="store_true")
     q.add_argument("--n-steps", type=int, default=64)
@@ -418,6 +430,9 @@ def main(argv=None):
     v.add_argument("--cg-iters", type=int, default=30)
     v.add_argument("--quadrature", default="hermite",
                    choices=["simpson", "hermite"])
+    v.add_argument("--interp", default="cubic",
+                   choices=["cubic", "zp"],
+                   help="C1 field model (see invert --interp)")
     v.add_argument("--inner-samples", type=int, default=0,
                    help="mixed-fidelity per-epoch updates (see invert "
                         "--inner-samples)")

@@ -64,6 +64,16 @@ class RayConfig:
                               # frontier in BENCH_LOCAL.md (config5 @65/
                               # inner@49: faster at BETTER held-out skill).
                               # Needs (n_samples-1) % (inner_samples-1)==0.
+    interp: str = "cubic"   # C1 field model of the gridded log-density,
+                            # everywhere the engine interpolates it (bent
+                            # tracer AND the straight-ray TEC operators):
+                            # "cubic" (Catmull-Rom tricubic, 16 row
+                            # gathers — the r2 model) | "zp" (prefiltered
+                            # Zwart-Powell box spline, 8 row gathers —
+                            # measured 1.35x tracer / 1.4x operator
+                            # throughput at ~2x LOWER model error on
+                            # band-limited fields; core.boxspline,
+                            # DESIGN.md sec. 14)
     n_steps: int = 64     # bent-ray integrator; solver-grade per the
                           # PRECISION.md convergence study (128 buys nothing)
     method: str = "leapfrog"                       # "leapfrog" | "rk4"

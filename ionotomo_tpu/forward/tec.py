@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants
-from ..core import tricubic
+from ..core import boxspline, tricubic
 from ..core.grids import Grid3D
 from ..geometry.rays import RayBundle, simpson_weights, trapezoid_weights
 
@@ -42,43 +42,67 @@ def _ref_row(arr: jax.Array, i0: int) -> jax.Array:
     return arr[i0]
 
 
-def _interp_fast(field_m: jax.Array, grid: Grid3D, pts2d: jax.Array):
-    """Row-gather tricubic interp (the TPU fast path for both the forward
-    gather and — via its AD transpose — the row-aligned adjoint scatter).
-    The (nx*ny, nz) reshape is a free layout view.
+def _coef2d(field_m: jax.Array, grid: Grid3D, interp: str) -> jax.Array:
+    """The (nx*ny, nz) row-gather table for the chosen C¹ field model:
+    a free layout view for "cubic" (convolution kernel, no prefilter), the
+    prefiltered box-spline coefficient grid for "zp" (one MXU matmul + two
+    5-point stencil passes — linear, AD-transposable, and CSE'd by XLA
+    across the repeated operator applications inside one jit program)."""
+    nx, ny, nz = grid.shape
+    if interp == "cubic":
+        return field_m.reshape(nx * ny, nz)
+    if interp == "zp":
+        return boxspline.prefilter(field_m).reshape(nx * ny, nz)
+    raise ValueError(f"unknown interp: {interp!r}")
+
+
+def _rows_of(interp: str):
+    return {"cubic": tricubic, "zp": boxspline}[interp]
+
+
+def _interp_fast(field_m: jax.Array, grid: Grid3D, pts2d: jax.Array,
+                 interp: str = "cubic"):
+    """Row-gather interp (the TPU fast path for both the forward gather
+    and — via its AD transpose — the row-aligned adjoint scatter), under
+    the selected C¹ field model ("cubic": Catmull-Rom tricubic, 16 rows;
+    "zp": prefiltered Zwart-Powell box spline, 8 rows — see
+    core.boxspline / DESIGN.md §14).
 
     Large point batches are processed in lax.map chunks so the gathered
-    (N, 16, nz) pencil intermediate stays bounded (~512 MB) — a 256³ grid
-    with 1.3M quadrature points would otherwise materialise ~21 GB and
-    exhaust HBM (config 4 scale). Chunked scan also bounds the VJP's
+    (N, rows, nz) pencil intermediate stays bounded (~512 MB) — a 256³
+    grid with 1.3M quadrature points would otherwise materialise ~21 GB
+    and exhaust HBM (config 4 scale). Chunked scan also bounds the VJP's
     memory, which is what the Krylov solvers differentiate through.
     """
-    nx, ny, nz = grid.shape
-    field2d = field_m.reshape(nx * ny, nz)
+    nz = grid.shape[2]
+    mod = _rows_of(interp)
+    table = _coef2d(field_m, grid, interp)
+    n_rows = 16 if interp == "cubic" else 8
     n = pts2d.shape[0]
     budget = 512 * 1024 * 1024  # bytes for the pencil intermediate
-    chunk = max(8192, budget // (16 * nz * 4))
+    chunk = max(8192, budget // (n_rows * nz * 4))
     if n <= chunk:
-        return tricubic.interp_rows(field2d, grid, pts2d)
+        return mod.interp_rows(table, grid, pts2d)
     n_chunks = -(-n // chunk)
     n_pad = n_chunks * chunk
     pts_p = jnp.concatenate(
         [pts2d, jnp.broadcast_to(pts2d[-1:], (n_pad - n, 3))], axis=0)
     out = jax.lax.map(
-        lambda p: tricubic.interp_rows(field2d, grid, p),
+        lambda p: mod.interp_rows(table, grid, p),
         pts_p.reshape(n_chunks, chunk, 3))
     return out.reshape(n_pad)[:n]
 
 
-def ne_at(field_m: jax.Array, grid: Grid3D, points: jax.Array) -> jax.Array:
+def ne_at(field_m: jax.Array, grid: Grid3D, points: jax.Array,
+          interp: str = "cubic") -> jax.Array:
     """n_e [m^-3] at points (..., 3) from the log-density field m."""
     shape = points.shape[:-1]
-    m = _interp_fast(field_m, grid, points.reshape(-1, 3))
+    m = _interp_fast(field_m, grid, points.reshape(-1, 3), interp)
     return constants.K_NE * jnp.exp(m).reshape(shape)
 
 
-def log_ne_at(field_m: jax.Array, grid: Grid3D, points: jax.Array
-              ) -> jax.Array:
+def log_ne_at(field_m: jax.Array, grid: Grid3D, points: jax.Array,
+              interp: str = "cubic") -> jax.Array:
     """Log-density m = log(n_e/K_NE) at points (..., 3) — the forward
     operator of point density observations (data/ionosonde.py). Because
     the solve unknown IS m, this observation is exactly *linear* in the
@@ -86,7 +110,7 @@ def log_ne_at(field_m: jax.Array, grid: Grid3D, points: jax.Array
     Krylov solve with the operator's own machinery and no extra
     linearisation error."""
     shape = points.shape[:-1]
-    m = _interp_fast(field_m, grid, points.reshape(-1, 3))
+    m = _interp_fast(field_m, grid, points.reshape(-1, 3), interp)
     return m.reshape(shape)
 
 
@@ -118,30 +142,33 @@ def dtec_paired_from_log_values(m_values: jax.Array, rays: RayBundle,
     return out / constants.TEC_SCALE
 
 
-def tec(field_m: jax.Array, grid: Grid3D, rays: RayBundle) -> jax.Array:
+def tec(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
+        interp: str = "cubic") -> jax.Array:
     """TEC per ray, (R,), in TEC_SCALE working units.
 
     TEC = ∫ n_e ds = Σ w_n · K_ne·exp(m(x_n)) · ds, ds in km → ×1e3 m.
     """
-    m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3))
+    m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3), interp)
     return tec_from_log_values(m, rays)
 
 
 def dtec(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
-         num_directions: int, i0: int = 0) -> jax.Array:
+         num_directions: int, i0: int = 0,
+         interp: str = "cubic") -> jax.Array:
     """Differential TEC w.r.t. reference antenna ``i0``.
 
     rays must be the row-major (antenna × direction) flat batch from
     geometry.rays.make_ray_batch: ray r = i*Nd + k. Returns (Na, Nd) with
     dtec[i0, :] ≡ 0 by construction.
     """
-    t = tec(field_m, grid, rays)
+    t = tec(field_m, grid, rays, interp)
     t = t.reshape(-1, num_directions)          # (Na, Nd)
     return t - _ref_row(t, i0)[None, :]
 
 
 def dtec_paired(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
-                num_directions: int, i0: int = 0) -> jax.Array:
+                num_directions: int, i0: int = 0,
+                interp: str = "cubic") -> jax.Array:
     """Cancellation-free differential TEC (straight-ray fast path).
 
     ``dtec`` subtracts two large, nearly equal TEC integrals, which in f32
@@ -156,7 +183,7 @@ def dtec_paired(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
     default forward path everywhere; ``dtec`` remains for externally
     supplied bundles with per-antenna ds.
     """
-    m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3))
+    m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3), interp)
     return dtec_paired_from_log_values(m, rays, num_directions, i0)
 
 
@@ -218,7 +245,8 @@ def dtec_paired_hermite_from_values(m_values: jax.Array, d0: jax.Array,
     return out * (constants.KM_TO_M / constants.TEC_SCALE)
 
 
-def _endpoint_dne_ds(field_m: jax.Array, grid: Grid3D, rays: RayBundle):
+def _endpoint_dne_ds(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
+                     interp: str = "cubic"):
     """Path derivative of n_e at each ray's first and last sample.
 
     dn_e/ds = n_e · (∇m · t̂) — the same identity the bent tracer's Hermite
@@ -231,14 +259,13 @@ def _endpoint_dne_ds(field_m: jax.Array, grid: Grid3D, rays: RayBundle):
     m⁻³/km.
     """
     ends, t_hat = _endpoint_tangents(rays.points)             # (2R, 3)
-    nx, ny, nz = grid.shape
-    m, gm = tricubic.interp_rows_with_grad(field_m.reshape(nx * ny, nz),
-                                           grid, ends)
+    m, gm = _rows_of(interp).interp_rows_with_grad(
+        _coef2d(field_m, grid, interp), grid, ends)
     return endpoint_dne_ds_from(m, gm, t_hat)
 
 
-def tec_hermite(field_m: jax.Array, grid: Grid3D, rays: RayBundle
-                ) -> jax.Array:
+def tec_hermite(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
+                interp: str = "cubic") -> jax.Array:
     """Gradient-augmented (composite cubic-Hermite) TEC per ray, (R,).
 
     The integral of the C¹ cubic-Hermite spline through (n_e, dn_e/ds)
@@ -250,20 +277,21 @@ def tec_hermite(field_m: jax.Array, grid: Grid3D, rays: RayBundle
     unresolved voxel-scale structure (see rays.trapezoid_weights and the
     round-3 quadrature study in PRECISION.md).
     """
-    m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3))
-    d0, d1 = _endpoint_dne_ds(field_m, grid, rays)
+    m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3), interp)
+    d0, d1 = _endpoint_dne_ds(field_m, grid, rays, interp)
     return tec_hermite_from_values(m, d0, d1, rays)
 
 
 def dtec_paired_hermite(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
-                        num_directions: int, i0: int = 0) -> jax.Array:
+                        num_directions: int, i0: int = 0,
+                        interp: str = "cubic") -> jax.Array:
     """Cancellation-free paired dTEC under the Hermite rule — the
     quadrature of ``tec_hermite`` with the reference-antenna subtraction
     commuted into the integrand sample-wise (see ``dtec_paired``), for
     both the value and the endpoint-derivative terms.
     """
-    m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3))
-    d0, d1 = _endpoint_dne_ds(field_m, grid, rays)
+    m = _interp_fast(field_m, grid, rays.points.reshape(-1, 3), interp)
+    d0, d1 = _endpoint_dne_ds(field_m, grid, rays, interp)
     return dtec_paired_hermite_from_values(m, d0, d1, rays,
                                            num_directions, i0)
 
@@ -274,29 +302,31 @@ def dtec_paired_hermite(field_m: jax.Array, grid: Grid3D, rays: RayBundle,
 #: accuracy with ~half the samples on solver-relevant fields (round-3
 #: study, PRECISION.md) at lower cost per sample.
 def dtec_paired_q(field_m, grid, rays, num_directions, i0=0,
-                  quadrature: str = "simpson"):
+                  quadrature: str = "simpson", interp: str = "cubic"):
     if quadrature == "hermite":
-        return dtec_paired_hermite(field_m, grid, rays, num_directions, i0)
+        return dtec_paired_hermite(field_m, grid, rays, num_directions, i0,
+                                   interp)
     if quadrature != "simpson":
         raise ValueError(f"unknown quadrature: {quadrature!r}")
-    return dtec_paired(field_m, grid, rays, num_directions, i0)
+    return dtec_paired(field_m, grid, rays, num_directions, i0, interp)
 
 
-def tec_q(field_m, grid, rays, quadrature: str = "simpson"):
+def tec_q(field_m, grid, rays, quadrature: str = "simpson",
+          interp: str = "cubic"):
     if quadrature == "hermite":
-        return tec_hermite(field_m, grid, rays)
+        return tec_hermite(field_m, grid, rays, interp)
     if quadrature != "simpson":
         raise ValueError(f"unknown quadrature: {quadrature!r}")
-    return tec(field_m, grid, rays)
+    return tec(field_m, grid, rays, interp)
 
 
-def tec_linear(ne_field: jax.Array, grid: Grid3D, rays: RayBundle
-               ) -> jax.Array:
+def tec_linear(ne_field: jax.Array, grid: Grid3D, rays: RayBundle,
+               interp: str = "cubic") -> jax.Array:
     """TEC as a *linear* operator of the n_e field itself (m^-3 in, working
     units out). This is the literal ray–voxel projection matrix applied
     matrix-free — the operator LSQR/CG invert in config 3."""
     r, n = rays.points.shape[:2]
-    v = _interp_fast(ne_field, grid, rays.points.reshape(-1, 3))
+    v = _interp_fast(ne_field, grid, rays.points.reshape(-1, 3), interp)
     v = v.reshape(r, n)
     w = simpson_weights(n, v.dtype)
     return jnp.einsum("rn,n->r", v, w) * rays.ds * constants.KM_TO_M \
@@ -315,23 +345,34 @@ def vtec_map(field_m: jax.Array, grid: Grid3D) -> jax.Array:
     return jnp.einsum("xyz,z->xy", ne, w) * dz / constants.TEC_SCALE
 
 
-def ray_coverage(grid: Grid3D, rays: RayBundle) -> jax.Array:
+def ray_coverage(grid: Grid3D, rays: RayBundle,
+                 interp: str = "cubic") -> jax.Array:
     """Per-voxel sampling weight: adjoint of the path integral applied to
     ones — how much total ray path (in quadrature-weight units) touches
     each voxel. Use as a diagnostic and to restrict error metrics to the
     constrained region (voxels with ~zero coverage are unobservable)."""
     ones = jnp.ones((rays.num_rays,), jnp.float32)
-    return tec_linear_adjoint(ones, grid, rays)
+    return tec_linear_adjoint(ones, grid, rays, interp)
 
 
-def tec_linear_adjoint(y: jax.Array, grid: Grid3D, rays: RayBundle
-                       ) -> jax.Array:
+def tec_linear_adjoint(y: jax.Array, grid: Grid3D, rays: RayBundle,
+                       interp: str = "cubic") -> jax.Array:
     """Exact transpose of ``tec_linear``: data-space (R,) → voxel grid.
 
-    Scatter-adds y_r · w_n · ds_r · 1e3 / TEC_SCALE through the tricubic
-    stencil weights. Implemented with segment-sum-style scatter (TPU
+    "cubic": scatter-adds y_r · w_n · ds_r · 1e3 / TEC_SCALE through the
+    tricubic stencil weights — segment-sum-style scatter (TPU
     deterministic; SURVEY.md §5.2) via jnp .at[].add on flat indices.
+    "zp": jax.linear_transpose of ``tec_linear`` — the prefilter is
+    linear, so XLA derives the exact coefficient-space scatter plus the
+    prefilter transpose automatically (a hand scatter would need the
+    quasi-interpolation filter's transpose spelled out for no measured
+    gain; the adjoint identity is tested either way).
     """
+    if interp != "cubic":
+        zeros = jnp.zeros(grid.shape, y.dtype)
+        (out,) = jax.linear_transpose(
+            lambda f: tec_linear(f, grid, rays, interp), zeros)(y)
+        return out
     r, n = rays.points.shape[:2]
     idx, w64 = tricubic.interp_weights(grid, rays.points.reshape(-1, 3))
     wq = simpson_weights(n, y.dtype)

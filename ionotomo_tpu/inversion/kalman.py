@@ -62,7 +62,7 @@ def initial_ensemble(grid: Grid3D, cov: GPCovariance, m0, key,
 
 def _wind_innovation_refine(grid, m_t, rays_t, d_t, cd_t, clim, wind,
                             dt_s, fade, num_directions, i0, quadrature,
-                            n_iters, damping, wind_mask):
+                            interp, n_iters, damping, wind_mask):
     """Damped Gauss-Newton on the innovation over the wind parameters
     (kalman_filter ``wind_adapt_iters`` doc) — a (3,) rigid wind or a
     (2,3) rigid+shear state (models.frozen_flow.advect_periodic). The
@@ -77,7 +77,7 @@ def _wind_innovation_refine(grid, m_t, rays_t, d_t, cd_t, clim, wind,
         return ((d_t.ravel()
                  - tec_mod.dtec_paired_q(m_pred_w, grid, rays_t,
                                          num_directions, i0,
-                                         quadrature).ravel())
+                                         quadrature, interp).ravel())
                 / jnp.sqrt(cd_t))
 
     basis = jnp.eye(k, dtype=wind.dtype).reshape((k,) + wind.shape)
@@ -111,7 +111,7 @@ class KalmanResult(NamedTuple):
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "cg_iters",
                                    "advect_first", "anchor_cg_iters",
-                                   "quadrature", "wind_adapt_iters",
+                                   "quadrature", "interp", "wind_adapt_iters",
                                    "wind_adapt_horizontal"))
 def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
                   m0, cov: GPCovariance, wind_kmps, dt_s,
@@ -121,7 +121,8 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
                   anchors=None, anchor_values_seq=None,
                   anchor_cov: GPCovariance = None,
                   anchor_cg_iters: int = 8,
-                  quadrature: str = "hermite", m_clim_seq=None,
+                  quadrature: str = "hermite", interp: str = "cubic",
+                  m_clim_seq=None,
                   rays_inner_seq: RayBundle = None,
                   wind_adapt_iters: int = 0,
                   wind_adapt_damping: float = 0.1,
@@ -208,7 +209,7 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
         inv_cd = 1.0 / cd_diag
         def fwd(m):
             return tec_mod.dtec_paired_q(m, grid, rays_t, num_directions,
-                                         i0, quadrature).ravel()
+                                         i0, quadrature, interp).ravel()
 
         g0, jvp = jax.linearize(fwd, m_pred)
         r = d_t.ravel() - g0
@@ -227,7 +228,7 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
             def fwd_c(m):
                 return tec_mod.dtec_paired_q(m, grid, rays_inner_t,
                                              num_directions, i0,
-                                             quadrature).ravel()
+                                             quadrature, interp).ravel()
             _, jvp_c = jax.linearize(fwd_c, m_pred)
         else:
             jvp_c = jvp
@@ -286,7 +287,7 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
     def refine_wind(wind, m_t, rays_t, d_t, cd_t, clim):
         return _wind_innovation_refine(
             grid, m_t, rays_t, d_t, cd_t, clim, wind, dt_s, fade,
-            num_directions, i0, quadrature, wind_adapt_iters,
+            num_directions, i0, quadrature, interp, wind_adapt_iters,
             wind_adapt_damping, wind_mask)
 
     def step(carry, inputs):
@@ -345,7 +346,7 @@ class EnsembleKalmanResult(NamedTuple):
                                    "n_members", "advect_first",
                                    "spectrum_blend", "spectrum_bins",
                                    "anchor_cg_iters", "anchor_update",
-                                   "quadrature", "wind_adapt_iters",
+                                   "quadrature", "interp", "wind_adapt_iters",
                                    "wind_adapt_horizontal", "member_axis"))
 def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                            noise_std, m0, cov: GPCovariance, wind_kmps,
@@ -362,7 +363,8 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                            anchor_cov: GPCovariance = None,
                            anchor_cg_iters: int = 8,
                            anchor_update: str = "sqrt",
-                           quadrature: str = "hermite", m_clim_seq=None,
+                           quadrature: str = "hermite",
+                           interp: str = "cubic", m_clim_seq=None,
                            rays_inner_seq: RayBundle = None,
                            wind_adapt_iters: int = 0,
                            wind_adapt_damping: float = 0.1,
@@ -501,7 +503,7 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
 
         def fwd(m):
             return tec_mod.dtec_paired_q(m, grid, rays_t, num_directions,
-                                         i0, quadrature).ravel()
+                                         i0, quadrature, interp).ravel()
 
         g0, jvp = jax.linearize(fwd, m_pred)
         if mixed:
@@ -511,7 +513,7 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
             def fwd_c(m):
                 return tec_mod.dtec_paired_q(m, grid, rays_inner_t,
                                              num_directions, i0,
-                                             quadrature).ravel()
+                                             quadrature, interp).ravel()
             _, jvp_c = jax.linearize(fwd_c, m_pred)
         else:
             jvp_c = jvp
@@ -556,8 +558,8 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
             # refined wind — drift is a bulk property, not per-member
             wind_new = _wind_innovation_refine(
                 grid, emean(ens), rays_t, d_t, cd_t, clim, wind, dt_s,
-                fade, num_directions, i0, quadrature, wind_adapt_iters,
-                wind_adapt_damping, wind_mask)
+                fade, num_directions, i0, quadrature, interp,
+                wind_adapt_iters, wind_adapt_damping, wind_mask)
             wind = jnp.where(is_first, wind, wind_new)
             shift_t = wind * dt_s
         else:

@@ -36,7 +36,8 @@ class OnlineKalman:
                  cg_iters: int = 30, cg_tol: float = 1e-4,
                  fade: float = 1.0, anchors=None,
                  anchor_cov: GPCovariance = None,
-                 quadrature: str = "hermite", inner_samples: int = 0,
+                 quadrature: str = "hermite", interp: str = "cubic",
+                 inner_samples: int = 0,
                  wind_adapt_iters: int = 0):
         self.grid = grid
         self.cov = cov
@@ -54,6 +55,7 @@ class OnlineKalman:
         self.anchors = anchors
         self.anchor_cov = anchor_cov
         self.quadrature = str(quadrature)
+        self.interp = str(interp)
         # >0: mixed-fidelity per-epoch updates — the linear solve's
         # Jacobian from a coarse subsample of each epoch's bundle, misfit
         # full-fidelity (kalman_filter rays_inner_seq; measured frontier
@@ -96,6 +98,7 @@ class OnlineKalman:
             advect_first=(self.t > 0), m_clim=self.m_clim,
             anchors=self.anchors, anchor_values_seq=a_seq,
             anchor_cov=self.anchor_cov, quadrature=self.quadrature,
+            interp=self.interp,
             m_clim_seq=clim_seq, rays_inner_seq=inner_seq,
             wind_adapt_iters=self.wind_adapt_iters)
         self.m = res.m_seq[0]
@@ -132,7 +135,7 @@ class OnlineEnsembleKalman:
                  fade: float = 1.0, process_sigma: float = 0.0,
                  inflation: float = 1.0, spectrum_blend: float = 0.0,
                  anchors=None, anchor_cov: GPCovariance = None,
-                 quadrature: str = "hermite",
+                 quadrature: str = "hermite", interp: str = "cubic",
                  anchor_update: str = "sqrt", inner_samples: int = 0,
                  wind_adapt_iters: int = 0):
         self.grid = grid
@@ -154,6 +157,7 @@ class OnlineEnsembleKalman:
         self.anchors = anchors
         self.anchor_cov = anchor_cov
         self.quadrature = str(quadrature)
+        self.interp = str(interp)
         self.inner_samples = int(inner_samples)   # see OnlineKalman
         self.wind_adapt_iters = int(wind_adapt_iters)   # see OnlineKalman
         self.ens = None      # built by the filter on the first step
@@ -187,8 +191,8 @@ class OnlineEnsembleKalman:
             step_offset=self.t, anchors=self.anchors,
             anchor_values_seq=a_seq, anchor_cov=self.anchor_cov,
             anchor_update=self.anchor_update,
-            quadrature=self.quadrature, m_clim_seq=clim_seq,
-            rays_inner_seq=inner_seq,
+            quadrature=self.quadrature, interp=self.interp,
+            m_clim_seq=clim_seq, rays_inner_seq=inner_seq,
             wind_adapt_iters=self.wind_adapt_iters)
         self.ens = res.ensemble
         if self.wind_adapt_iters > 0:

@@ -197,6 +197,7 @@ class InversionPipeline:
             self.cov, num_directions=nd, anchors=anchors, i0=self.i0,
             gn_iters=max(sc.gn_iters, 4), cg_iters=sc.cg_iters,
             quadrature=self.config.rays.quadrature,
+                interp=self.config.rays.interp,
             field_builder=build, probes=probes)
         theta_flat = (jnp.stack([res.theta.log_n_peak,
                                  res.theta.h_peak_km, res.theta.scale_km])
@@ -265,7 +266,8 @@ class InversionPipeline:
             bundle, _ = fermat.trace_rays(
                 field, self.grid, origins, dvecs,
                 self.datapack.frequency_hz, p.max_length_km,
-                n_steps=rc.n_steps, keep_path=True, method=rc.method)
+                n_steps=rc.n_steps, keep_path=True, method=rc.method,
+                interp=rc.interp)
             return bundle
         return rays_mod.sample_straight_rays(
             origins, dvecs, max_length_km=p.max_length_km,
@@ -359,19 +361,20 @@ class InversionPipeline:
     def _solve_once(self, rb, d_t, noise, m_start, nd, m0=None):
         sc = self.config.solver
         quad = self.config.rays.quadrature
+        itp = self.config.rays.interp
         if sc.solver == "lsqr_smoothness":
             return solvers.lsqr_smoothness(
                 self.grid, rb, d_t, noise, m_start, num_directions=nd,
                 i0=self.i0, damp=self.config.prior.damp,
                 smooth=self.config.prior.smooth, max_iters=sc.lsqr_iters,
-                quadrature=quad)
+                quadrature=quad, interp=itp)
         if sc.solver == "robust_gn":
             return solvers.map_gauss_newton_robust(
                 self.grid, rb, d_t, noise, m_start, self.cov,
                 num_directions=nd, i0=self.i0, gn_iters=sc.gn_iters,
                 cg_iters=sc.cg_iters, cg_tol=sc.cg_tol,
                 huber_k=sc.huber_k, irls_iters=sc.irls_iters,
-                quadrature=quad, rays_inner=self._inner(rb))
+                quadrature=quad, interp=itp, rays_inner=self._inner(rb))
         if sc.solver == "steepest":
             return solvers.steepest_descent_map(
                 self.grid, rb, d_t, noise, m_start, self.cov,
@@ -380,7 +383,7 @@ class InversionPipeline:
             self.grid, rb, d_t, noise, m_start, self.cov,
             num_directions=nd, i0=self.i0, gn_iters=sc.gn_iters,
             cg_iters=sc.cg_iters, cg_tol=sc.cg_tol, m0=m0,
-            anchors=self.anchors, quadrature=quad,
+            anchors=self.anchors, quadrature=quad, interp=itp,
             rays_inner=self._inner(rb))
 
     def solve_snapshot(self, t: int, m0=None):
@@ -421,6 +424,7 @@ class InversionPipeline:
                     cg_iters=sc.cg_iters, cg_tol=sc.cg_tol, m0=m_k,
                     anchors=self.anchors,
                     quadrature=self.config.rays.quadrature,
+                interp=self.config.rays.interp,
                     rays_inner=self._inner(rb))
                 m_k = res.m
                 done_iters += n_iters
@@ -675,6 +679,7 @@ class InversionPipeline:
                             else None),
                 anchor_update=sc.enkf_anchor_update,
                 quadrature=self.config.rays.quadrature,
+                interp=self.config.rays.interp,
                 m_clim_seq=self._clim_seq(c0, c1),
                 rays_inner_seq=inner_seq,
                 wind_adapt_iters=sc.wind_adapt_iters)
@@ -732,6 +737,7 @@ class InversionPipeline:
             num_directions=nd, i0=self.i0, gn_iters=sc.gn_iters,
             cg_iters=sc.cg_iters, cg_tol=sc.cg_tol,
             quadrature=self.config.rays.quadrature,
+                interp=self.config.rays.interp,
             rays_inner_seq=self._inner(rays_seq))
         jax.block_until_ready(res.m)
         dt = time.perf_counter() - t0
@@ -815,6 +821,7 @@ class InversionPipeline:
                 anchor_cov=(self.anchor_cov if self.anchors is not None
                             else None),
                 quadrature=self.config.rays.quadrature,
+                interp=self.config.rays.interp,
                 m_clim_seq=self._clim_seq(c0, c1),
                 rays_inner_seq=inner_seq,
                 wind_adapt_iters=sc.wind_adapt_iters)

@@ -132,7 +132,7 @@ class ProfileResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "gn_iters",
-                                   "cg_iters", "quadrature",
+                                   "cg_iters", "quadrature", "interp",
                                    "field_builder"))
 def map_gauss_newton_profile(grid: Grid3D, rays: RayBundle, d_obs,
                              noise_std, theta0, theta_sigma,
@@ -141,6 +141,7 @@ def map_gauss_newton_profile(grid: Grid3D, rays: RayBundle, d_obs,
                              i0: int = 0, gn_iters: int = 4,
                              cg_iters: int = 20, cg_tol: float = 1e-4,
                              quadrature: str = "hermite",
+                             interp: str = "cubic",
                              field_builder=None, probes=None):
     """Joint MAP over (profile parameters θ, voxel perturbation δm).
 
@@ -188,7 +189,7 @@ def map_gauss_newton_profile(grid: Grid3D, rays: RayBundle, d_obs,
 
     from .solvers import anchored_forward
     field_fwd = anchored_forward(grid, rays, num_directions, i0, anchors,
-                                 quadrature, probes)
+                                 quadrature, probes, interp)
 
     def fwd(theta_arr, dm):
         return field_fwd(build(theta_arr) + dm)

@@ -42,7 +42,7 @@ class InversionResult(NamedTuple):
 
 def anchored_forward(grid: Grid3D, rays: RayBundle, num_directions: int,
                      i0: int, anchors=None, quadrature: str = "hermite",
-                     probes=None):
+                     probes=None, interp: str = "cubic"):
     """``fwd(m) → stacked data vector`` — paired dTEC rows plus optional
     absolute-TEC anchor rows plus optional point-density probe rows
     (data/ionosonde.py; linear in m), with the sharded-rays/replicated-
@@ -52,14 +52,16 @@ def anchored_forward(grid: Grid3D, rays: RayBundle, num_directions: int,
 
     def fwd(m):
         g = tec_mod.dtec_paired_q(m, grid, rays, num_directions, i0,
-                                  quadrature).ravel()
+                                  quadrature, interp).ravel()
         if anchors is None and probes is None:
             return g
         extra = []
         if anchors is not None:
-            extra.append(tec_mod.tec_q(m, grid, anchors.rays, quadrature))
+            extra.append(tec_mod.tec_q(m, grid, anchors.rays, quadrature,
+                                       interp))
         if probes is not None:
-            extra.append(tec_mod.log_ne_at(m, grid, probes.points))
+            extra.append(tec_mod.log_ne_at(m, grid, probes.points,
+                                           interp))
         try:
             sh_g = jax.typeof(g).sharding
             if any(s is not None for s in sh_g.spec):
@@ -81,7 +83,8 @@ def anchored_forward(grid: Grid3D, rays: RayBundle, num_directions: int,
 
 def _dtec_operator(grid: Grid3D, rays: RayBundle, num_directions: int,
                    i0: int, m0: jax.Array, anchors=None,
-                   quadrature: str = "hermite", probes=None):
+                   quadrature: str = "hermite", probes=None,
+                   interp: str = "cubic"):
     """Linearised dTEC operator about m0 and its exact transpose.
 
     J δm = dtec'(m0)[δm]; both directions via jax JVP/VJP of the paired
@@ -99,7 +102,7 @@ def _dtec_operator(grid: Grid3D, rays: RayBundle, num_directions: int,
     """
 
     fwd = anchored_forward(grid, rays, num_directions, i0, anchors,
-                           quadrature, probes)
+                           quadrature, probes, interp)
     g0, jvp_lin = jax.linearize(fwd, m0)
     applyT = jax.linear_transpose(jvp_lin, m0)
 
@@ -133,11 +136,12 @@ def _join_anchor_rows(d, cd_diag, anchors, probes=None):
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "max_iters",
-                                   "quadrature"))
+                                   "quadrature", "interp"))
 def lsqr_smoothness(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                     m0, num_directions: int, i0: int = 0,
                     damp: float = 1e-2, smooth: float = 1.0,
-                    max_iters: int = 64, quadrature: str = "hermite"):
+                    max_iters: int = 64, quadrature: str = "hermite",
+                    interp: str = "cubic"):
     """Config 3: single-snapshot linear inversion with smoothness prior.
 
     Solves min ‖W(J δm − r)‖² + damp²‖δm‖² + smooth²‖L δm‖² by LSQR on the
@@ -147,7 +151,8 @@ def lsqr_smoothness(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
     w = 1.0 / jnp.maximum(jnp.asarray(noise_std), 1e-12)
     w = jnp.broadcast_to(w, d_obs.shape).ravel()
     apply_j, apply_jt, g0 = _dtec_operator(grid, rays, num_directions, i0,
-                                           m0, quadrature=quadrature)
+                                           m0, quadrature=quadrature,
+                                           interp=interp)
     r = (jnp.asarray(d_obs).ravel() - g0) * w
     nvox = grid.num_voxels
 
@@ -172,13 +177,14 @@ def lsqr_smoothness(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "gn_iters",
-                                   "cg_iters", "quadrature"))
+                                   "cg_iters", "quadrature", "interp"))
 def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                      m_prior, cov: GPCovariance, num_directions: int,
                      i0: int = 0, gn_iters: int = 3, cg_iters: int = 40,
                      cg_tol: float = 1e-4, m0=None, anchors=None,
                      quadrature: str = "hermite", probes=None,
-                     rays_inner: RayBundle = None):
+                     rays_inner: RayBundle = None,
+                     interp: str = "cubic"):
     """Config 4: Bayesian MAP with GP covariance prior.
 
     Minimises S(m) = ½‖g(m)−d‖²_{C_d⁻¹} + ½‖m−m_prior‖²_{C_m⁻¹}
@@ -222,7 +228,7 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
         apply_j, apply_jt, g0 = _dtec_operator(grid, rays, num_directions,
                                                i0, m_k, anchors,
                                                quadrature=quadrature,
-                                               probes=probes)
+                                               probes=probes, interp=interp)
         if rays_inner is not None:
             # mixed-fidelity (inexact Gauss-Newton; see kalman_filter,
             # measured on config 5, BENCH_LOCAL.md): data misfit and
@@ -232,7 +238,7 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
             # is no contraction) the coarser-sampled operator's
             apply_jc, apply_jtc, _ = _dtec_operator(
                 grid, rays_inner, num_directions, i0, m_k, anchors,
-                quadrature=quadrature, probes=probes)
+                quadrature=quadrature, probes=probes, interp=interp)
         else:
             apply_jc, apply_jtc = apply_j, apply_jt
         dm_prior = m_prior - m_k
@@ -258,7 +264,7 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "gn_iters",
-                                   "cg_iters", "irls_iters", "quadrature"))
+                                   "cg_iters", "irls_iters", "quadrature", "interp"))
 def map_gauss_newton_robust(grid: Grid3D, rays: RayBundle, d_obs,
                             noise_std, m_prior, cov: GPCovariance,
                             num_directions: int, i0: int = 0,
@@ -266,7 +272,8 @@ def map_gauss_newton_robust(grid: Grid3D, rays: RayBundle, d_obs,
                             cg_tol: float = 1e-4, huber_k: float = 3.0,
                             irls_iters: int = 3,
                             quadrature: str = "hermite",
-                            rays_inner: RayBundle = None):
+                            rays_inner: RayBundle = None,
+                            interp: str = "cubic"):
     """Outlier-robust MAP: Huber loss on the whitened data residual via
     IRLS — each round re-weights observations by w = min(1, k/|r/σ|) and
     runs Gauss-Newton with noise inflated to σ/√w, so unflagged corrupted
@@ -282,7 +289,7 @@ def map_gauss_newton_robust(grid: Grid3D, rays: RayBundle, d_obs,
 
     def irls_round(m_k, _):
         g = tec_mod.dtec_paired_q(m_k, grid, rays, num_directions, i0,
-                                  quadrature)
+                                  quadrature, interp)
         r_w = jnp.abs(g - d) / sigma
         w = jnp.minimum(1.0, huber_k / jnp.maximum(r_w, 1e-12))
         noise_eff = sigma / jnp.sqrt(jnp.maximum(w, 1e-12))
@@ -291,7 +298,7 @@ def map_gauss_newton_robust(grid: Grid3D, rays: RayBundle, d_obs,
                                gn_iters=gn_iters, cg_iters=cg_iters,
                                cg_tol=cg_tol, m0=m_k,
                                quadrature=quadrature,
-                               rays_inner=rays_inner)
+                               rays_inner=rays_inner, interp=interp)
         return res.m, (res.residual_norm, jnp.sum(w < 1.0))
 
     m_final, (res_hist, n_down) = jax.lax.scan(
@@ -301,12 +308,13 @@ def map_gauss_newton_robust(grid: Grid3D, rays: RayBundle, d_obs,
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "n_samples",
-                                   "cg_iters", "quadrature"))
+                                   "cg_iters", "quadrature", "interp"))
 def posterior_samples(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                       m_prior, cov: GPCovariance, num_directions: int,
                       key, n_samples: int = 8, i0: int = 0,
                       cg_iters: int = 40, cg_tol: float = 1e-4,
-                      anchors=None, quadrature: str = "hermite"):
+                      anchors=None, quadrature: str = "hermite",
+                      interp: str = "cubic"):
     """Randomise-then-optimise posterior sampling (uncertainty beyond MAP).
 
     Draws n_samples from the linearised Bayesian posterior by solving the
@@ -334,7 +342,8 @@ def posterior_samples(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
     inv_cd = 1.0 / cd_diag
     apply_j, apply_jt, g0 = _dtec_operator(grid, rays, num_directions, i0,
                                            m_prior, anchors,
-                                           quadrature=quadrature)
+                                           quadrature=quadrature,
+                                           interp=interp)
     r0 = d - g0
 
     def matvec(u):
@@ -363,14 +372,15 @@ def posterior_samples(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "gn_iters",
-                                   "cg_iters", "quadrature"))
+                                   "cg_iters", "quadrature", "interp"))
 def map_gauss_newton_batched(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                              noise_std, m_prior, cov: GPCovariance,
                              num_directions: int, i0: int = 0,
                              gn_iters: int = 2, cg_iters: int = 30,
                              cg_tol: float = 1e-4,
                              quadrature: str = "hermite",
-                             rays_inner_seq: RayBundle = None):
+                             rays_inner_seq: RayBundle = None,
+                             interp: str = "cubic"):
     """Independent snapshots inverted as one vmapped batch (SURVEY.md §2.1
     P2 — the reference ran time-chunks on separate dask workers; here they
     are a leading batch axis over the same compiled Gauss-Newton program,
@@ -393,7 +403,7 @@ def map_gauss_newton_batched(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                 grid, RayBundle(points=pts, ds=ds), d_t, noise_t,
                 m_prior, cov, num_directions=num_directions, i0=i0,
                 gn_iters=gn_iters, cg_iters=cg_iters, cg_tol=cg_tol,
-                quadrature=quadrature,
+                quadrature=quadrature, interp=interp,
                 rays_inner=RayBundle(points=ipts, ds=ids))
 
         return jax.vmap(solve_one_mixed)(
@@ -405,7 +415,8 @@ def map_gauss_newton_batched(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                                 noise_t, m_prior, cov,
                                 num_directions=num_directions, i0=i0,
                                 gn_iters=gn_iters, cg_iters=cg_iters,
-                                cg_tol=cg_tol, quadrature=quadrature)
+                                cg_tol=cg_tol, quadrature=quadrature,
+                                interp=interp)
 
     return jax.vmap(solve_one)(rays_seq.points, rays_seq.ds, d_seq,
                                noise_seq)

@@ -205,6 +205,7 @@ class EpochService:
                   fade=c.solver.kalman_fade, anchors=self._anchors,
                   anchor_cov=self._anchor_cov,
                   quadrature=c.rays.quadrature,
+                  interp=c.rays.interp,
                   inner_samples=c.rays.inner_samples)
         if c.solver.solver == "enkf":
             self.filter = OnlineEnsembleKalman(

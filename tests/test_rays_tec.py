@@ -412,3 +412,84 @@ def test_inner_bundle_subsamples_uniformly():
         inner_bundle(rb, 1)
     with pytest.raises(ValueError):
         inner_bundle(rb, 65)
+
+
+def test_zp_operator_matches_cubic_physics():
+    """The interp="zp" forward operators model the same field samples:
+    dTEC within the inter-model budget of "cubic", vanishing reference
+    row, and the Hermite/Simpson pair staying consistent under zp."""
+    ants, dirs, grid, m = small_world()
+    o, d = rays_mod.make_ray_batch(jnp.asarray(ants, jnp.float32),
+                                   jnp.asarray(dirs, jnp.float32))
+    rb = rays_mod.sample_straight_rays(o, d, max_length_km=1000.0,
+                                       n_samples=65)
+    nd = dirs.shape[0]
+    g_c = np.asarray(tec_mod.dtec_paired_q(m, grid, rb, nd, 0, "hermite"))
+    g_z = np.asarray(tec_mod.dtec_paired_q(m, grid, rb, nd, 0, "hermite",
+                                           "zp"))
+    assert np.allclose(g_z[0], 0.0)
+    scale = np.abs(g_c).max()
+    assert np.abs(g_z - g_c).max() < 0.02 * scale, (g_z, g_c)
+    g_zs = np.asarray(tec_mod.dtec_paired_q(m, grid, rb, nd, 0, "simpson",
+                                            "zp"))
+    assert np.abs(g_zs - g_z).max() < 0.02 * scale
+
+
+def test_zp_operator_adjoint_is_exact_transpose():
+    """<J x, y> == <x, Jᵀ y> through prefilter + gather + quadrature for
+    both the nonlinear paired-hermite Jacobian and the linear operator's
+    explicit adjoint (which routes through jax.linear_transpose)."""
+    ants, dirs, grid, m = small_world(nx=16)
+    o, d = rays_mod.make_ray_batch(jnp.asarray(ants, jnp.float32),
+                                   jnp.asarray(dirs, jnp.float32))
+    rb = rays_mod.sample_straight_rays(o, d, max_length_km=1000.0,
+                                       n_samples=33)
+    nd = dirs.shape[0]
+    rng = np.random.default_rng(5)
+
+    def fwd(mm):
+        return tec_mod.dtec_paired_hermite(mm, grid, rb, nd, 0, "zp")
+
+    x = jnp.asarray(rng.normal(size=grid.shape), jnp.float32)
+    _, jvp = jax.linearize(fwd, m)
+    y = jnp.asarray(rng.normal(size=(ants.shape[0], nd)), jnp.float32)
+    (jty,) = jax.linear_transpose(jvp, m)(y)
+    lhs = float(jnp.vdot(jvp(x), y))
+    rhs = float(jnp.vdot(x, jty))
+    assert abs(lhs - rhs) <= 1e-4 * max(abs(lhs), 1.0)
+
+    # linear operator + explicit adjoint entry point
+    ne = jnp.asarray(rng.normal(size=grid.shape), jnp.float32)
+    yr = jnp.asarray(rng.normal(size=(rb.num_rays,)), jnp.float32)
+    lhs = float(jnp.vdot(tec_mod.tec_linear(ne, grid, rb, "zp"), yr))
+    rhs = float(jnp.vdot(ne, tec_mod.tec_linear_adjoint(yr, grid, rb,
+                                                        "zp")))
+    assert abs(lhs - rhs) <= 1e-4 * max(abs(lhs), 1.0)
+
+
+def test_map_gn_zp_matches_cubic_solution():
+    """A MAP solve under interp="zp" reconstructs essentially the same
+    model as under "cubic" on a smooth world (same data, same prior):
+    the field-model choice is a numerics knob, not a physics change."""
+    from ionotomo_tpu.inversion.priors import GPCovariance
+    from ionotomo_tpu.inversion import solvers
+    ants, dirs, grid, m_true = small_world(nx=20, n_ants=6, n_dirs=4)
+    o, d = rays_mod.make_ray_batch(jnp.asarray(ants, jnp.float32),
+                                   jnp.asarray(dirs, jnp.float32))
+    rb = rays_mod.sample_straight_rays(o, d, max_length_km=1000.0,
+                                       n_samples=33)
+    nd = dirs.shape[0]
+    d_obs = tec_mod.dtec_paired_q(m_true, grid, rb, nd, 0, "hermite")
+    m_prior = chapman.log_parametrize(chapman.chapman_field(grid))
+    cov = GPCovariance.create(grid, kind="exponential", sigma=0.3,
+                              length_scale=80.0)
+    sols = {}
+    for interp in ("cubic", "zp"):
+        res = solvers.map_gauss_newton(
+            grid, rb, d_obs, 0.05, m_prior, cov, num_directions=nd,
+            i0=0, gn_iters=2, cg_iters=15, interp=interp)
+        sols[interp] = np.asarray(res.m)
+        assert np.isfinite(sols[interp]).all()
+    dm = np.abs(sols["zp"] - sols["cubic"]).max()
+    span = np.abs(sols["cubic"] - np.asarray(m_prior)).max()
+    assert dm < 0.15 * span, (dm, span)
