@@ -38,6 +38,7 @@ def main():
     # (PRECISION.md; hermite@65 loses 11% skill, so LSQR keeps 97)
     n_samples = int(os.environ.get("BENCH_N_SAMPLES", "97"))
     quadrature = os.environ.get("BENCH_QUADRATURE", "hermite")
+    interp = os.environ.get("BENCH_INTERP", "cubic")
     rb = rays_mod.sample_straight_rays(origins, dvecs,
                                        n_samples=n_samples)
     ants_h, dirs_h = make_rays(20, 50, seed=99)   # held-out rays
@@ -48,7 +49,8 @@ def main():
     iters = 48
     f = jax.jit(lambda d: solvers.lsqr_smoothness(
         grid, rb, d, noise, m_prior, num_directions=100, damp=3e-3,
-        smooth=0.2, max_iters=iters, quadrature=quadrature))
+        smooth=0.2, max_iters=iters, quadrature=quadrature,
+        interp=interp))
     res, secs = timed(f, jnp.asarray(d_obs), reps=1)
     err_pr = covered_rmse(m_prior, m_true, grid, rb)
     err_po = covered_rmse(res.m, m_true, grid, rb)
@@ -56,7 +58,7 @@ def main():
     ho_po = heldout_dtec_rms(res.m, grid, ants_h, dirs_h, d_h)
     emit("config3", "lsqr_seconds_to_solve", secs, "s",
          iters_per_sec=iters / secs, n_samples=n_samples,
-         quadrature=quadrature, covered_rmse_prior=err_pr,
+         quadrature=quadrature, interp=interp, covered_rmse_prior=err_pr,
          covered_rmse_post=err_po,
          heldout_dtec_rms_prior=ho_pr, heldout_dtec_rms_post=ho_po,
          under_10s=bool(secs < 10.0),

@@ -29,6 +29,7 @@ from ionotomo_tpu.inversion.priors import GPCovariance
 def main():
     n_samples = int(os.environ.get("BENCH_N_SAMPLES", "65"))
     quadrature = os.environ.get("BENCH_QUADRATURE", "hermite")
+    interp = os.environ.get("BENCH_INTERP", "cubic")
     ants, dirs = make_rays(100, 100)  # 10k rays
     grid = chapman.grid_enclosing_rays(ants, dirs, shape=(128, 128, 128),
                                        h_min_km=0.0)
@@ -50,12 +51,13 @@ def main():
     gn_iters, cg_iters = 2, 20
     f = jax.jit(lambda d: solvers.map_gauss_newton(
         grid, rb, d, noise, m_prior, cov, num_directions=100,
-        gn_iters=gn_iters, cg_iters=cg_iters, quadrature=quadrature))
+        gn_iters=gn_iters, cg_iters=cg_iters, quadrature=quadrature,
+        interp=interp))
     res, secs = timed(f, jnp.asarray(d_obs), reps=1)
     emit("config3b", "northstar_128_10k_seconds", secs, "s",
          under_10s=bool(secs < 10.0),
          cg_iters_per_sec=gn_iters * cg_iters / secs,
-         n_samples=n_samples, quadrature=quadrature,
+         n_samples=n_samples, quadrature=quadrature, interp=interp,
          covered_rmse_prior=covered_rmse(m_prior, m_true, grid, rb),
          covered_rmse_post=covered_rmse(res.m, m_true, grid, rb),
          heldout_dtec_rms_prior=heldout_dtec_rms(m_prior, grid, ants_h,

@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from bench.common import (make_rays, timed, emit, honest_truth,
-                          bent_dtec_data, covered_rmse,
+                          bent_dtec_data, bent_dtec_data_callable,
+                          analytic_world, covered_rmse,
                           heldout_dtec_rms)
 from ionotomo_tpu.models import chapman
 from ionotomo_tpu.geometry import rays as rays_mod
@@ -28,7 +29,18 @@ def main():
     grid = chapman.grid_enclosing_rays(ants, dirs, shape=(256, 256, 256),
                                        h_min_km=0.0)
     m_prior = chapman.log_parametrize(chapman.chapman_field(grid))
-    m_true = honest_truth(grid, m_prior, amplitude=0.25, seed=11)
+    # round-3 default: ANALYTIC world (closed-form Chapman x Fourier-mode
+    # von Karman, data traced through it exactly) — a gridded truth makes
+    # "reality" the generating interpolant and hands that interpolant's
+    # operator zero model error by construction (measured, DESIGN.md
+    # sec. 14). BENCH_WORLD=gridded restores the r2 world.
+    world = os.environ.get("BENCH_WORLD", "analytic")
+    if world == "analytic":
+        m_true, ne_fn = analytic_world(grid, amplitude=0.25,
+                                       outer_scale_km=120.0, seed=11)
+    else:
+        m_true = honest_truth(grid, m_prior, amplitude=0.25, seed=11)
+        ne_fn = None
     # physically-motivated prior family (von Kármán — what the ionosphere
     # actually does) with hyperparameters deliberately OFF the truth's
     # (L=80 vs 120 km, sigma=0.3 vs amplitude 0.25). Measured on-chip:
@@ -36,9 +48,15 @@ def main():
     # kills all sub-L structure); see DESIGN.md.
     cov = GPCovariance.create(grid, sigma=0.3, length_scale=80.0,
                               kind="von_karman")
-    d_obs, noise = bent_dtec_data(m_true, grid, ants, dirs,
-                                  frequency_hz=150e6, n_steps=256,
-                                  noise_frac=0.01)
+    if ne_fn is not None:
+        d_obs, noise = bent_dtec_data_callable(ne_fn, ants, dirs,
+                                               frequency_hz=150e6,
+                                               n_steps=256,
+                                               noise_frac=0.01)
+    else:
+        d_obs, noise = bent_dtec_data(m_true, grid, ants, dirs,
+                                      frequency_hz=150e6, n_steps=256,
+                                      noise_frac=0.01)
     origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
     # round-3 default: Hermite (gradient-augmented) operator at 65
     # samples — 12.1 s at held-out 1282 vs the r2 Simpson@129's 22.9 s at
@@ -46,6 +64,7 @@ def main():
     # gradient correction is free — PRECISION.md round-3 study)
     n_samples = int(os.environ.get("BENCH_N_SAMPLES", "65"))
     quadrature = os.environ.get("BENCH_QUADRATURE", "hermite")
+    interp = os.environ.get("BENCH_INTERP", "cubic")
     # measured default (BENCH_LOCAL.md round-3 frontier): progressive
     # fidelity — GN iter 1 entirely on the @33 bundle, iter 2 full @65 —
     # 9.67 s at held-out 1286 vs 12.08 s at 1281 full-fidelity (parity
@@ -59,9 +78,14 @@ def main():
                                               n_samples=inner)
                 if inner else None)
     ants_h, dirs_h = make_rays(20, 50, seed=99)   # held-out rays
-    d_h, _ = bent_dtec_data(m_true, grid, ants_h, dirs_h,
-                            frequency_hz=150e6, n_steps=256,
-                            noise_frac=0.0)
+    if ne_fn is not None:
+        d_h, _ = bent_dtec_data_callable(ne_fn, ants_h, dirs_h,
+                                         frequency_hz=150e6, n_steps=256,
+                                         noise_frac=0.0)
+    else:
+        d_h, _ = bent_dtec_data(m_true, grid, ants_h, dirs_h,
+                                frequency_hz=150e6, n_steps=256,
+                                noise_frac=0.0)
 
     gn_iters, cg_iters = 2, 20
     progressive = (os.environ.get("BENCH_PROGRESSIVE", "1") == "1"
@@ -76,31 +100,35 @@ def main():
             r1 = solvers.map_gauss_newton(
                 grid, rb_inner, d, noise, m_prior, cov,
                 num_directions=100, gn_iters=1, cg_iters=cg_iters,
-                quadrature=quadrature)
+                quadrature=quadrature, interp=interp)
             return solvers.map_gauss_newton(
                 grid, rb, d, noise, m_prior, cov, num_directions=100,
                 gn_iters=1, cg_iters=cg_iters, quadrature=quadrature,
-                m0=r1.m,
+                interp=interp, m0=r1.m,
                 rays_inner=(rb_inner if os.environ.get(
                     "BENCH_PROGRESSIVE_MIXED", "") == "1" else None))
     else:
         f = jax.jit(lambda d: solvers.map_gauss_newton(
             grid, rb, d, noise, m_prior, cov, num_directions=100,
             gn_iters=gn_iters, cg_iters=cg_iters, quadrature=quadrature,
-            rays_inner=rb_inner))
+            interp=interp, rays_inner=rb_inner))
     res, secs = timed(f, jnp.asarray(d_obs), reps=1)
     err_pr = covered_rmse(m_prior, m_true, grid, rb)
     err_po = covered_rmse(res.m, m_true, grid, rb)
-    ho_pr = heldout_dtec_rms(m_prior, grid, ants_h, dirs_h, d_h)
-    ho_po = heldout_dtec_rms(res.m, grid, ants_h, dirs_h, d_h)
+    ho_pr = heldout_dtec_rms(m_prior, grid, ants_h, dirs_h, d_h,
+                             interp=interp)
+    ho_po = heldout_dtec_rms(res.m, grid, ants_h, dirs_h, d_h,
+                             interp=interp)
     emit("config4", "map_gn_seconds_to_solve", secs, "s",
          cg_iters_per_sec=gn_iters * cg_iters / secs,
-         n_samples=n_samples, quadrature=quadrature,
+         n_samples=n_samples, quadrature=quadrature, interp=interp,
          inner_samples=inner, progressive=progressive,
          covered_rmse_prior=err_pr, covered_rmse_post=err_po,
          heldout_dtec_rms_prior=ho_pr, heldout_dtec_rms_post=ho_po,
-         data="bent-tracer 2x quadrature + 1% noise, von Karman truth, "
-              "von Karman prior at mismatched hyperparameters")
+         world=world,
+         data="bent-tracer 2x quadrature + 1% noise, von Karman truth "
+              f"({world} world), von Karman prior at mismatched "
+              "hyperparameters")
 
 
 if __name__ == "__main__":

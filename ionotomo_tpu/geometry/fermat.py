@@ -286,6 +286,23 @@ def trace_rays_split(field_m: jax.Array, grid: Grid3D, origins: jax.Array,
                        max_length_km, n_steps, keep_path, method)
 
 
+def trace_rays_callable(ne_and_grad, origins: jax.Array,
+                        directions: jax.Array, frequency_hz,
+                        max_length_km=constants.DEFAULT_MAX_LENGTH_KM,
+                        n_steps: int = 128, keep_path: bool = True,
+                        method: str = "rk4"):
+    """Bent trace over an arbitrary closed-form field evaluator
+    ``ne_and_grad(x (R, 3)) → (n_e (R,), ∇n_e (R, 3) [m⁻³/km])`` — no
+    grid, no interpolant (the device twin of the f64 oracle's
+    ``trace_ray_callable_ref``). Use for analytic worlds, e.g. the
+    Fourier-mode von Kármán truth of ``models.turbulence.analytic_ne_fn``
+    that the honest inversion benches trace data through (so no solver's
+    interpolation model secretly defines reality — bench/common.
+    analytic_world). Callers jit; ``ne_and_grad`` is closed over."""
+    return _trace_impl(ne_and_grad, origins, directions, frequency_hz,
+                       max_length_km, n_steps, keep_path, method)
+
+
 def straight_line_limit_error(field_m, grid, origins, directions,
                               frequency_hz, max_length_km, n_steps=128):
     """Max endpoint deviation [km] from the straight path — diagnostics and

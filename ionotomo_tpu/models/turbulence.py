@@ -78,3 +78,77 @@ def turbulent_realizations(grid: Grid3D, n, amplitude=0.5,
     f = jax.vmap(lambda k: _synthesize(grid, k, float(outer_scale_km),
                                        float(inner_scale_km)))
     return amplitude * f(keys)
+
+
+class FourierModes:
+    """Analytic band-limited von Kármán realization as an explicit
+    random-Fourier-mode sum (randomized spectral method):
+
+        m_pert(x) = a · Σ_j cos(k_j · x + φ_j),   a = amplitude·√(2/K)
+
+    with wavevector magnitudes drawn from the normalized radial spectral
+    density p(k) ∝ k²·(k² + k0²)^{-11/6}·exp(−(k l_i/2π)²) truncated to
+    [0, k_max] (inverse-CDF on a dense table), directions uniform on the
+    sphere, phases uniform. As K→∞ this converges to a Gaussian field
+    with the exact target spectrum; at K ~ hundreds it is a legitimate
+    non-Gaussian turbulent world whose value AND gradient have closed
+    forms everywhere — no grid, no interpolant.
+
+    Purpose (bench/common.analytic_world): an honest data-generating
+    world that is NOT the interpolation model of any solver — gridded
+    truths secretly define "reality" as the generating interpolant,
+    which hands that interpolant's operator a zero-model-error advantage
+    (measured: config4 256³, DESIGN.md §14).
+    """
+
+    def __init__(self, n_modes, amplitude, outer_scale_km, kmax_rad_km,
+                 inner_scale_km=2.0, seed=0):
+        rng = np.random.default_rng(seed)
+        k0 = 2 * np.pi / outer_scale_km
+        li = inner_scale_km / (2 * np.pi)
+        kt = np.linspace(0.0, kmax_rad_km, 4097)
+        pdf = kt**2 * (kt**2 + k0**2) ** (-11.0 / 6.0) \
+            * np.exp(-((kt * li) ** 2))
+        cdf = np.cumsum(pdf)
+        cdf = cdf / cdf[-1]
+        kmag = np.interp(rng.uniform(size=n_modes), cdf, kt)
+        u = rng.normal(size=(n_modes, 3))
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        self.ks = jnp.asarray((kmag[:, None] * u), jnp.float32)
+        self.phases = jnp.asarray(rng.uniform(0, 2 * np.pi, n_modes),
+                                  jnp.float32)
+        self.amp = jnp.float32(amplitude * np.sqrt(2.0 / n_modes))
+
+    def value(self, pts: jax.Array) -> jax.Array:
+        """m_pert at pts (N, 3) — lax.scan over modes, O(N) memory."""
+        def body(acc, kp):
+            k, ph = kp
+            return acc + jnp.cos(pts @ k + ph), None
+        acc0 = jnp.zeros(pts.shape[:1], jnp.float32)
+        out, _ = jax.lax.scan(body, acc0, (self.ks, self.phases))
+        return self.amp * out
+
+    def value_and_grad(self, pts: jax.Array):
+        """(m_pert (N,), ∇m_pert (N, 3)) in 1/km — exact."""
+        def body(carry, kp):
+            acc, g = carry
+            k, ph = kp
+            th = pts @ k + ph
+            return (acc + jnp.cos(th), g - jnp.sin(th)[:, None] * k), None
+        acc0 = jnp.zeros(pts.shape[:1], jnp.float32)
+        g0 = jnp.zeros(pts.shape, jnp.float32)
+        (v, g), _ = jax.lax.scan(body, (acc0, g0), (self.ks, self.phases))
+        return self.amp * v, self.amp * g
+
+
+def analytic_ne_fn(modes: FourierModes, background):
+    """Closed-form turbulent-world evaluator for the callable tracer:
+    n_e(x) = n_bg(x)·e^{m_pert(x)}, with the exact gradient
+    ∇n_e = e^{m_pert}·(∇n_bg + n_bg·∇m_pert). ``background`` is a
+    ``chapman.background_ne_fn`` evaluator."""
+    def ne_and_grad(x):
+        nb, gb = background(x)
+        mp, gmp = modes.value_and_grad(x)
+        e = jnp.exp(mp)
+        return nb * e, e[:, None] * (gb + nb[:, None] * gmp)
+    return ne_and_grad
