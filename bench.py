@@ -17,6 +17,7 @@ the f32/interpolant floor (PRECISION.md step-count tables); the 128-step
 rate is reported alongside in BENCH_LOCAL.md.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -55,9 +56,10 @@ def main():
                                               jnp.asarray(d))
     (m_r,) = shard_mod.replicate(mesh, m)
 
+    interp = os.environ.get("BENCH_INTERP", "cubic")
     f = jax.jit(lambda mm, oo, dd: fermat.trace_rays(
         mm, grid, oo, dd, 150e6, 1000.0, n_steps=n_steps,
-        keep_path=False, method="leapfrog"))
+        keep_path=False, method="leapfrog", interp=interp))
 
     out = f(m_r, o_s, d_s)
     jax.block_until_ready(out)
@@ -73,7 +75,8 @@ def main():
     print(json.dumps({
         "metric": "bent_rays_per_sec_with_tec",
         "value": round(rays_per_sec, 1),
-        "unit": f"rays/s ({n_dev} chip(s), leapfrog@{n_steps}, 128^3 grid)",
+        "unit": (f"rays/s ({n_dev} chip(s), leapfrog@{n_steps}, "
+                 f"128^3 grid, {interp})"),
         "vs_baseline": round(rays_per_sec / target_here, 3),
     }))
 

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from bench.common import (make_rays, timed, emit, honest_truth,
-                          bent_dtec_data, covered_rmse,
+                          bent_dtec_data, bent_dtec_data_callable,
+                          analytic_world, covered_rmse,
                           heldout_dtec_rms)
 from ionotomo_tpu.models import chapman
 from ionotomo_tpu.geometry import rays as rays_mod
@@ -28,10 +29,22 @@ def main():
     grid = chapman.grid_enclosing_rays(ants, dirs, shape=(128, 128, 128),
                                        h_min_km=0.0)
     m_prior = chapman.log_parametrize(chapman.chapman_field(grid))
-    m_true = honest_truth(grid, m_prior, amplitude=0.3, seed=7)
-    d_obs, noise = bent_dtec_data(m_true, grid, ants, dirs,
-                                  frequency_hz=150e6, n_steps=256,
-                                  noise_frac=0.01)
+    # round-3 default: analytic world (no interpolation model defines
+    # reality — DESIGN.md §15); BENCH_WORLD=gridded restores the r2 setup
+    world = os.environ.get("BENCH_WORLD", "analytic")
+    if world == "analytic":
+        m_true, ne_fn = analytic_world(grid, amplitude=0.3,
+                                       outer_scale_km=120.0, seed=7)
+        d_obs, noise = bent_dtec_data_callable(ne_fn, ants, dirs,
+                                               frequency_hz=150e6,
+                                               n_steps=256,
+                                               noise_frac=0.01)
+    else:
+        m_true = honest_truth(grid, m_prior, amplitude=0.3, seed=7)
+        ne_fn = None
+        d_obs, noise = bent_dtec_data(m_true, grid, ants, dirs,
+                                      frequency_hz=150e6, n_steps=256,
+                                      noise_frac=0.01)
     origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
     # round-3: Hermite operator at 97 samples — measured faster AND
     # better held-out than the r2 Simpson@129 for the weak-prior LSQR
@@ -42,9 +55,14 @@ def main():
     rb = rays_mod.sample_straight_rays(origins, dvecs,
                                        n_samples=n_samples)
     ants_h, dirs_h = make_rays(20, 50, seed=99)   # held-out rays
-    d_h, _ = bent_dtec_data(m_true, grid, ants_h, dirs_h,
-                            frequency_hz=150e6, n_steps=256,
-                            noise_frac=0.0)
+    if ne_fn is not None:
+        d_h, _ = bent_dtec_data_callable(ne_fn, ants_h, dirs_h,
+                                         frequency_hz=150e6, n_steps=256,
+                                         noise_frac=0.0)
+    else:
+        d_h, _ = bent_dtec_data(m_true, grid, ants_h, dirs_h,
+                                frequency_hz=150e6, n_steps=256,
+                                noise_frac=0.0)
 
     iters = 48
     f = jax.jit(lambda d: solvers.lsqr_smoothness(
@@ -54,15 +72,18 @@ def main():
     res, secs = timed(f, jnp.asarray(d_obs), reps=1)
     err_pr = covered_rmse(m_prior, m_true, grid, rb)
     err_po = covered_rmse(res.m, m_true, grid, rb)
-    ho_pr = heldout_dtec_rms(m_prior, grid, ants_h, dirs_h, d_h)
-    ho_po = heldout_dtec_rms(res.m, grid, ants_h, dirs_h, d_h)
+    ho_pr = heldout_dtec_rms(m_prior, grid, ants_h, dirs_h, d_h,
+                             interp=interp)
+    ho_po = heldout_dtec_rms(res.m, grid, ants_h, dirs_h, d_h,
+                             interp=interp)
     emit("config3", "lsqr_seconds_to_solve", secs, "s",
          iters_per_sec=iters / secs, n_samples=n_samples,
          quadrature=quadrature, interp=interp, covered_rmse_prior=err_pr,
          covered_rmse_post=err_po,
          heldout_dtec_rms_prior=ho_pr, heldout_dtec_rms_post=ho_po,
-         under_10s=bool(secs < 10.0),
-         data="bent-tracer 2x quadrature + 1% noise, von Karman truth")
+         under_10s=bool(secs < 10.0), world=world,
+         data="bent-tracer 2x quadrature + 1% noise, von Karman truth "
+              f"({world} world)")
 
 
 if __name__ == "__main__":

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from bench.common import (make_rays, timed, emit, honest_truth,
-                          bent_dtec_data, covered_rmse, heldout_dtec_rms)
+                          bent_dtec_data, bent_dtec_data_callable,
+                          analytic_world, covered_rmse, heldout_dtec_rms)
 from ionotomo_tpu.models import chapman
 from ionotomo_tpu.geometry import rays as rays_mod
 from ionotomo_tpu.inversion import solvers
@@ -34,19 +35,38 @@ def main():
     grid = chapman.grid_enclosing_rays(ants, dirs, shape=(128, 128, 128),
                                        h_min_km=0.0)
     m_prior = chapman.log_parametrize(chapman.chapman_field(grid))
-    m_true = honest_truth(grid, m_prior, amplitude=0.3, seed=7)
+    # round-3 default: analytic world (no interpolation model defines
+    # reality — DESIGN.md §15); BENCH_WORLD=gridded restores the r2 setup
+    world = os.environ.get("BENCH_WORLD", "analytic")
+    if world == "analytic":
+        m_true, ne_fn = analytic_world(grid, amplitude=0.3,
+                                       outer_scale_km=120.0, seed=7)
+    else:
+        m_true = honest_truth(grid, m_prior, amplitude=0.3, seed=7)
+        ne_fn = None
     cov = GPCovariance.create(grid, sigma=0.3, length_scale=80.0,
                               kind="von_karman")
-    d_obs, noise = bent_dtec_data(m_true, grid, ants, dirs,
-                                  frequency_hz=150e6, n_steps=256,
-                                  noise_frac=0.01)
+    if ne_fn is not None:
+        d_obs, noise = bent_dtec_data_callable(ne_fn, ants, dirs,
+                                               frequency_hz=150e6,
+                                               n_steps=256,
+                                               noise_frac=0.01)
+    else:
+        d_obs, noise = bent_dtec_data(m_true, grid, ants, dirs,
+                                      frequency_hz=150e6, n_steps=256,
+                                      noise_frac=0.01)
     origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
     rb = rays_mod.sample_straight_rays(origins, dvecs,
                                        n_samples=n_samples)
     ants_h, dirs_h = make_rays(20, 50, seed=99)
-    d_h, _ = bent_dtec_data(m_true, grid, ants_h, dirs_h,
-                            frequency_hz=150e6, n_steps=256,
-                            noise_frac=0.0)
+    if ne_fn is not None:
+        d_h, _ = bent_dtec_data_callable(ne_fn, ants_h, dirs_h,
+                                         frequency_hz=150e6, n_steps=256,
+                                         noise_frac=0.0)
+    else:
+        d_h, _ = bent_dtec_data(m_true, grid, ants_h, dirs_h,
+                                frequency_hz=150e6, n_steps=256,
+                                noise_frac=0.0)
 
     gn_iters, cg_iters = 2, 20
     f = jax.jit(lambda d: solvers.map_gauss_newton(
@@ -61,10 +81,14 @@ def main():
          covered_rmse_prior=covered_rmse(m_prior, m_true, grid, rb),
          covered_rmse_post=covered_rmse(res.m, m_true, grid, rb),
          heldout_dtec_rms_prior=heldout_dtec_rms(m_prior, grid, ants_h,
-                                                 dirs_h, d_h),
+                                                 dirs_h, d_h,
+                                                 interp=interp),
          heldout_dtec_rms_post=heldout_dtec_rms(res.m, grid, ants_h,
-                                                dirs_h, d_h),
-         data="bent-tracer 2x quadrature + 1% noise, von Karman truth")
+                                                dirs_h, d_h,
+                                                interp=interp),
+         world=world,
+         data="bent-tracer 2x quadrature + 1% noise, von Karman truth "
+              f"({world} world)")
 
 
 if __name__ == "__main__":

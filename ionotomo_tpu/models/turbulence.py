@@ -119,6 +119,21 @@ class FourierModes:
                                   jnp.float32)
         self.amp = jnp.float32(amplitude * np.sqrt(2.0 / n_modes))
 
+    def shifted(self, dx) -> "FourierModes":
+        """The world advected rigidly by ``dx`` (km) — EXACT frozen-flow
+        evolution in closed form: cos(k·(x−dx)+φ) = cos(k·x+(φ−k·dx)),
+        so translation is a phase shift, with no grid, no interpolation,
+        and no periodic wrap. This is what makes the mode sum the honest
+        data-generating world for time-evolving tomography: the filter's
+        spectral ``advect_periodic`` (periodic BC, gridded) then carries
+        its true model error instead of being the truth's own evolution
+        operator (bench/config5.py analytic world)."""
+        out = object.__new__(FourierModes)
+        out.ks = self.ks
+        out.phases = self.phases - self.ks @ jnp.asarray(dx, jnp.float32)
+        out.amp = self.amp
+        return out
+
     def value(self, pts: jax.Array) -> jax.Array:
         """m_pert at pts (N, 3) — lax.scan over modes, O(N) memory."""
         def body(acc, kp):

@@ -110,3 +110,28 @@ def test_analytic_world_samples_match_evaluator():
     m_eval = jnp.log(ne / constants.K_NE).reshape(grid.shape)
     np.testing.assert_allclose(np.asarray(m_true), np.asarray(m_eval),
                                atol=5e-4)
+
+
+def test_fourier_modes_shifted_is_exact_translation():
+    """Frozen-flow evolution in closed form: shifted(dx) evaluates the
+    UNSHIFTED world at x−dx exactly (a phase shift, no grid, no wrap) —
+    the property that makes the mode sum the honest time-evolving truth
+    for config 5 (the filter's advect_periodic is then a model, not the
+    truth's own evolution operator)."""
+    modes = FourierModes(64, amplitude=0.3, outer_scale_km=120.0,
+                         kmax_rad_km=0.5, seed=7)
+    dx = jnp.asarray([37.5, -12.25, 4.0], jnp.float32)
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.uniform(-300, 300, (256, 3)), jnp.float32)
+    v_shift = modes.shifted(dx).value(pts)
+    v_ref = modes.value(pts - dx)
+    np.testing.assert_allclose(np.asarray(v_shift), np.asarray(v_ref),
+                               rtol=0, atol=5e-5)
+    # gradients translate identically
+    vs, gs = modes.shifted(dx).value_and_grad(pts)
+    vr, gr = modes.value_and_grad(pts - dx)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gr), atol=5e-6)
+    # composition: two shifts = one combined shift (exact group action)
+    v2 = modes.shifted(dx).shifted(dx).value(pts)
+    v2r = modes.shifted(2 * dx).value(pts)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v2r), atol=5e-5)
