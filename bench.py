@@ -56,7 +56,14 @@ def main():
                                               jnp.asarray(d))
     (m_r,) = shard_mod.replicate(mesh, m)
 
-    interp = os.environ.get("BENCH_INTERP", "cubic")
+    # round-3 production default: the Zwart-Powell box-spline field model
+    # (ONE aligned 8-row gather group per evaluation vs tricubic's 16
+    # pencils — DESIGN.md §14). Measured: 338k vs 248k rays/s/chip at the
+    # same solver-grade contract, with ~2× LOWER model error than the
+    # Catmull-Rom tricubic on band-limited fields (tests/test_boxspline.py,
+    # test_fermat.py::test_zp_leapfrog_solver_grade). BENCH_INTERP=cubic
+    # reports the historical tricubic configuration.
+    interp = os.environ.get("BENCH_INTERP", "zp")
     f = jax.jit(lambda mm, oo, dd: fermat.trace_rays(
         mm, grid, oo, dd, 150e6, 1000.0, n_steps=n_steps,
         keep_path=False, method="leapfrog", interp=interp))

@@ -51,7 +51,9 @@ def main():
     # (PRECISION.md; hermite@65 loses 11% skill, so LSQR keeps 97)
     n_samples = int(os.environ.get("BENCH_N_SAMPLES", "97"))
     quadrature = os.environ.get("BENCH_QUADRATURE", "hermite")
-    interp = os.environ.get("BENCH_INTERP", "cubic")
+    # zp field model: measured 2.23 s vs 4.49 s at equal held-out skill
+    # (2358 vs 2386) on the analytic world — DESIGN.md §14
+    interp = os.environ.get("BENCH_INTERP", "zp")
     rb = rays_mod.sample_straight_rays(origins, dvecs,
                                        n_samples=n_samples)
     ants_h, dirs_h = make_rays(20, 50, seed=99)   # held-out rays

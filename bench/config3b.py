@@ -30,7 +30,9 @@ from ionotomo_tpu.inversion.priors import GPCovariance
 def main():
     n_samples = int(os.environ.get("BENCH_N_SAMPLES", "65"))
     quadrature = os.environ.get("BENCH_QUADRATURE", "hermite")
-    interp = os.environ.get("BENCH_INTERP", "cubic")
+    # zp field model: measured 2.56 s vs 5.16 s at equal held-out skill
+    # (1628 vs 1631) on the analytic world — DESIGN.md §14
+    interp = os.environ.get("BENCH_INTERP", "zp")
     ants, dirs = make_rays(100, 100)  # 10k rays
     grid = chapman.grid_enclosing_rays(ants, dirs, shape=(128, 128, 128),
                                        h_min_km=0.0)

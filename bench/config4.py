@@ -64,6 +64,11 @@ def main():
     # gradient correction is free — PRECISION.md round-3 study)
     n_samples = int(os.environ.get("BENCH_N_SAMPLES", "65"))
     quadrature = os.environ.get("BENCH_QUADRATURE", "hermite")
+    # cubic stays the 256³ default: the zp field model is 1.7× faster
+    # (5.66 vs 9.68 s) but loses held-out skill 1891 vs 1435 — at 3-km
+    # voxels the truth's near-Nyquist power is real signal that ZP's xy
+    # response attenuates (resolution-dependent model choice, measured —
+    # DESIGN.md §14). BENCH_INTERP=zp reports the latency frontier.
     interp = os.environ.get("BENCH_INTERP", "cubic")
     # measured default (BENCH_LOCAL.md round-3 frontier): progressive
     # fidelity — GN iter 1 entirely on the @33 bundle, iter 2 full @65 —

@@ -37,7 +37,9 @@ from ionotomo_tpu.models.turbulence import FourierModes, analytic_ne_fn
 
 def main(n_samples=65, cg_iters=10, inner_samples=49):
     import os
-    interp = os.environ.get("BENCH_INTERP", "cubic")
+    # zp field model: measured 17.4 s vs 35.0 s at better held-out skill
+    # (836 vs 843) on the analytic world — DESIGN.md §14
+    interp = os.environ.get("BENCH_INTERP", "zp")
     world = os.environ.get("BENCH_WORLD", "analytic")
     # inner_samples=49 (mixed-fidelity update, kalman_filter
     # rays_inner_seq) is the measured default: 35.1 s at held-out 699
