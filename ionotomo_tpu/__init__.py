@@ -40,6 +40,8 @@ from .inversion.kalman import (kalman_filter,                 # noqa: F401
                                member_parallel_enkf)
 from .inversion.online import (OnlineKalman,                  # noqa: F401
                                OnlineEnsembleKalman)
+from .inversion.empirical_bayes import (log_marginal_family,  # noqa: F401
+                                        fit_hyperparameters)
 from .inversion.model_selection import (gcv_score,            # noqa: F401
                                         select_prior)
 from .inversion.pipeline import InversionPipeline             # noqa: F401

@@ -387,9 +387,13 @@ def main(argv=None):
                         "above the curved Earth with a per-column solar "
                         "factor (astropy-exact geometry; matters beyond "
                         "~200 km grid half-width)")
-    i.add_argument("--auto-prior", action="store_true",
-                   help="GCV-select (sigma, L, kind) from the data at "
-                        "setup (18 candidates around the configured prior)")
+    i.add_argument("--auto-prior", nargs="?", const="gcv", default=False,
+                   choices=["gcv", "evidence"],
+                   help="select (sigma, L, kind) from the data at setup: "
+                        "'gcv' (generalised cross-validation over a "
+                        "candidate grid; the bare-flag default) or "
+                        "'evidence' (SLQ marginal likelihood — dense "
+                        "sigma axis priced free per candidate L)")
     i.add_argument("--checkpoint-dir", default="checkpoints")
     i.add_argument("--metrics", default="metrics.jsonl")
     i.add_argument("--resume", action="store_true")

@@ -93,9 +93,11 @@ class PriorConfig:
                                      # anisotropic prior (priors.GPCovariance)
     smooth: float = 1.0              # Laplacian weight (config-3 solver)
     damp: float = 1e-2
-    auto_select: bool = False        # GCV over a candidate grid around
-                                     # (sigma, L) at pipeline setup
-                                     # (inversion/model_selection.py)
+    auto_select: object = False      # False | True/"gcv" (GCV over a
+                                     # candidate grid, model_selection.py)
+                                     # | "evidence" (SLQ marginal
+                                     # likelihood, empirical_bayes.py —
+                                     # prices the whole sigma axis per L)
 
 
 @dataclasses.dataclass(frozen=True)

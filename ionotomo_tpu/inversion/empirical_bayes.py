@@ -66,23 +66,33 @@ def _lanczos_batch(matvec, v0s, k):
     def step(carry, _):
         V, v, v_prev, beta_prev, j = carry
         w = matvec(v)
-        alpha = jnp.einsum("mn,mn->m", w, v)
+        # contractions over the data axis as axis-reductions, not
+        # dot_general: the data axis may be ray-sharded (pipeline use),
+        # and reductions lower to an unambiguous psum while a sharded
+        # dot contraction needs an explicit out_sharding
+        alpha = jnp.sum(w * v, axis=1)
         w = w - alpha[:, None] * v - beta_prev[:, None] * v_prev
         # full reorthogonalisation against all stored vectors (V holds
         # zeros beyond step j, which project to nothing)
-        proj = jnp.einsum("mkn,mn->mk", V, w)
-        w = w - jnp.einsum("mk,mkn->mn", proj, V)
+        proj = jnp.sum(V * w[:, None, :], axis=-1)
+        w = w - jnp.sum(proj[:, :, None] * V, axis=1)
         beta = jnp.linalg.norm(w, axis=1)
         ok = beta > 1e-7
         v_next = jnp.where(ok[:, None], w / jnp.maximum(beta, 1e-30)[:, None],
                            v)
-        V_next = V.at[:, j + 1].set(jnp.where(ok[:, None], v_next, 0.0))
+        # one-hot write (not .at[].set): propagates a sharded data axis
+        # cleanly, and the final step (j+1 == k) is naturally a no-op
+        onehot = (jnp.arange(V.shape[1]) == j + 1)
+        V_next = jnp.where(onehot[None, :, None],
+                           jnp.where(ok[:, None], v_next, 0.0)[:, None, :],
+                           V)
         carry = (V_next, jnp.where(ok[:, None], v_next, v),
                  jnp.where(ok[:, None], v, v_prev),
                  jnp.where(ok, beta, 0.0), j + 1)
         return carry, (alpha, jnp.where(ok, beta, 0.0))
 
-    V0 = jnp.zeros((m, k, n), v0s.dtype).at[:, 0].set(v0s)
+    V0 = jnp.where((jnp.arange(k) == 0)[None, :, None], v0s[:, None, :],
+                   jnp.zeros((m, k, n), v0s.dtype))
     carry = (V0, v0s, jnp.zeros_like(v0s), jnp.zeros((m,), v0s.dtype),
              jnp.asarray(0))
     _, (alphas, betas) = jax.lax.scan(step, carry, None, length=k)
@@ -121,11 +131,20 @@ def log_marginal_family(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                                            m_prior, None,
                                            quadrature=quadrature,
                                            interp=interp)
-    r = d - g0
+    # heteroscedastic noise (scalar or per-datum): whiten so the family
+    # stays affine — S̃ = D^{-1/2} S D^{-1/2} = γ·Ã + I with
+    # Ã = D^{-1/2} J C₀ Jᵀ D^{-1/2}; logdet S = logdet S̃ + Σ log σᵢ²
+    sd = jnp.broadcast_to(
+        jnp.asarray(noise_std, jnp.float32).ravel()
+        if jnp.ndim(jnp.asarray(noise_std)) else
+        jnp.asarray(noise_std, jnp.float32), (n,))
+    inv_sd = 1.0 / jnp.maximum(sd, 1e-30)
+    r = inv_sd * (d - g0)
+    logdet_noise = 2.0 * jnp.sum(jnp.log(sd))
 
     def a_single(y):
-        v = cov_unit.apply(apply_jt(y))
-        return apply_j(v)
+        v = cov_unit.apply(apply_jt(inv_sd * y))
+        return inv_sd * apply_j(v)
 
     a_batched = jax.vmap(a_single)
 
@@ -139,13 +158,12 @@ def log_marginal_family(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
     th_z, w_z = theta[:-1], w[:-1]   # probe runs → logdet
     th_r, w_r = theta[-1], w[-1]     # data-seeded run → quadratic form
 
-    sig2 = jnp.float32(noise_std) ** 2
     gammas = jnp.asarray(gammas, jnp.float32)
 
     def one_gamma(g):
         logdet = jnp.float32(n) * jnp.mean(
-            jnp.sum(w_z * jnp.log(g * th_z + sig2), axis=1))
-        quad = r_norm**2 * jnp.sum(w_r / (g * th_r + sig2))
+            jnp.sum(w_z * jnp.log(g * th_z + 1.0), axis=1)) + logdet_noise
+        quad = r_norm**2 * jnp.sum(w_r / (g * th_r + 1.0))
         return -0.5 * (quad + logdet + n * jnp.log(2 * jnp.pi))
 
     log_ml = jax.vmap(one_gamma)(gammas)
@@ -169,6 +187,8 @@ def fit_hyperparameters(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
     """
     length_scales = [float(v) for v in np.asarray(length_scales).ravel()]
     sigmas = np.asarray(sigmas, np.float64).ravel()
+    lanczos_iters = min(lanczos_iters, int(np.prod(np.shape(d_obs))))
+    # (k > n buys nothing: the Krylov space is exhausted)
     gammas = jnp.asarray(sigmas**2, jnp.float32)
     template = None
     rows = []

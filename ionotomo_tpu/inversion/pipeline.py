@@ -221,12 +221,20 @@ class InversionPipeline:
         self.metrics.write(ev)
 
     def _auto_select_prior(self):
-        """GCV over a candidate grid around the configured (σ, L) plus the
-        physically-motivated kernel families, scored on timestep-0 data
-        with straight rays (inversion/model_selection.py); winner becomes
-        the run's covariance, choice + scores logged to metrics."""
-        from .model_selection import select_prior
+        """Data-driven prior hyperparameters at pipeline setup, scored on
+        timestep-0 data with straight rays; the winner becomes the run's
+        covariance, choice + scores logged to metrics. Two methods:
+        ``auto_select="gcv"`` (or True) — generalised cross-validation
+        over a candidate grid (inversion/model_selection.py);
+        ``auto_select="evidence"`` — SLQ marginal likelihood
+        (inversion/empirical_bayes.py), which prices a dense σ axis for
+        free per (kind, L) Lanczos batch."""
         pr = self.config.prior
+        method = (pr.auto_select if isinstance(pr.auto_select, str)
+                  else ("gcv" if pr.auto_select else "off"))
+        if method == "evidence":
+            return self._auto_select_prior_evidence()
+        from .model_selection import select_prior
         candidates = []
         ls0 = pr.length_scale_km
         for kind in dict.fromkeys([pr.kind, "von_karman", "exponential"]):
@@ -251,6 +259,42 @@ class InversionPipeline:
                                 chosen=params,
                                 n_candidates=len(candidates),
                                 best_score=float(min(scores))))
+
+    def _auto_select_prior_evidence(self):
+        """Marginal-likelihood (σ, L, kind) fit on timestep-0 data —
+        inversion/empirical_bayes.py. L and kind candidates around the
+        configured prior; the σ axis is a dense log grid priced for free
+        from each (kind, L) Lanczos batch."""
+        from .empirical_bayes import fit_hyperparameters
+        pr = self.config.prior
+        ls0 = pr.length_scale_km
+        l_base = (float(np.mean(ls0)) if isinstance(ls0, (tuple, list))
+                  else float(ls0))
+        ells = [l_base * f for f in (0.5, 1.0, 2.0)]
+        sigmas = pr.sigma * np.logspace(-0.9, 0.9, 9)
+        ants, d0, noise0, _ = self._padded_data(0)
+        origins, dvecs = rays_mod.make_ray_batch(ants, self.directions[0])
+        rb = self._shard(rays_mod.sample_straight_rays(
+            origins, dvecs, max_length_km=self.config.physics.max_length_km,
+            n_samples=self.config.rays.n_samples))
+        best = None
+        for kind in dict.fromkeys([pr.kind, "von_karman", "exponential"]):
+            s_star, l_star, table, cov_star = fit_hyperparameters(
+                self.grid, rb, d0, noise0, self.m_prior,
+                num_directions=self.directions.shape[1],
+                length_scales=ells, sigmas=sigmas, kind=kind, i0=self.i0,
+                quadrature=self.config.rays.quadrature,
+                interp=self.config.rays.interp,
+                seed=self.config.runtime.seed)
+            ll = float(table.max())
+            if best is None or ll > best[0]:
+                best = (ll, s_star, l_star, kind, cov_star)
+        ll, s_star, l_star, kind, cov_star = best
+        self.cov = cov_star
+        self.metrics.write(dict(
+            event="prior_auto_selected", method="evidence",
+            chosen=dict(sigma=s_star, length_scale=l_star, kind=kind),
+            log_evidence=ll))
 
     # --- ray building -------------------------------------------------------
 

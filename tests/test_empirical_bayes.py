@@ -100,7 +100,8 @@ def test_data_seeded_ritz_matches_dense_spectrum():
         n_probes=2, lanczos_iters=n, key=jax.random.key(3))
     A64 = 0.5 * (np.asarray(A, np.float64) + np.asarray(A, np.float64).T)
     ev_top = np.sort(np.linalg.eigvalsh(A64))[-5:]
-    th_top = np.sort(np.asarray(diag["ritz_data"], np.float64))[-5:]
+    # the family is solved in whitened form: Ã = A/σ_n² for scalar noise
+    th_top = np.sort(np.asarray(diag["ritz_data"], np.float64))[-5:] * 25.0**2
     np.testing.assert_allclose(th_top, ev_top, rtol=5e-3)
 
 

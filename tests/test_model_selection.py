@@ -121,3 +121,37 @@ def test_pipeline_auto_selects_prior(tmp_path):
     assert pipe.cov.kind == chosen["kind"]
     sol = pipe.run(resume=False)
     assert np.isfinite(sol.m).all()
+
+
+def test_pipeline_auto_selects_prior_by_evidence(tmp_path):
+    """prior.auto_select="evidence" fits (σ, L, kind) by SLQ marginal
+    likelihood at setup (inversion/empirical_bayes.py) and logs the
+    choice; the run completes with the fitted covariance."""
+    from ionotomo_tpu.config import (EngineConfig, GridConfig, RayConfig,
+                                     SolverConfig, RuntimeConfig,
+                                     PriorConfig)
+    from ionotomo_tpu.data.synth import generate_example_datapack
+    from ionotomo_tpu.inversion.pipeline import InversionPipeline
+
+    dp, _ = generate_example_datapack(
+        n_antennas=8, n_directions=4, n_times=1, mjd0=58000.45,
+        grid_shape=(12, 12, 12), n_samples=17)
+    cfg = EngineConfig(
+        grid=GridConfig(shape=(12, 12, 12)),
+        rays=RayConfig(n_samples=17),
+        prior=PriorConfig(sigma=0.3, length_scale_km=90.0, kind="sqexp",
+                          auto_select="evidence"),
+        solver=SolverConfig(gn_iters=1, cg_iters=10),
+        runtime=RuntimeConfig(checkpoint_dir=str(tmp_path / "c"),
+                              metrics_path=str(tmp_path / "m.jsonl")))
+    pipe = InversionPipeline(dp, cfg)
+    events = [r for r in pipe.metrics.read_all()
+              if r.get("event") == "prior_auto_selected"]
+    assert len(events) == 1
+    assert events[0]["method"] == "evidence"
+    assert np.isfinite(events[0]["log_evidence"])
+    chosen = events[0]["chosen"]
+    assert pipe.cov.kind == chosen["kind"]
+    assert pipe.cov.sigma == chosen["sigma"]
+    sol = pipe.run(resume=False)
+    assert np.isfinite(sol.m).all()
