@@ -98,7 +98,8 @@ def cmd_invert(args):
         prior=PriorConfig(sigma=args.prior_sigma,
                           length_scale_km=_prior_length(args.prior_length),
                           kind=args.prior_kind,
-                          auto_select=args.auto_prior),
+                          auto_select=args.auto_prior,
+                          fit_noise=getattr(args, "fit_noise", False)),
         solver=SolverConfig(solver=args.solver, gn_iters=args.gn_iters,
                             cg_iters=args.cg_iters,
                             kalman_chunk=args.kalman_chunk,
@@ -394,6 +395,11 @@ def main(argv=None):
                         "candidate grid; the bare-flag default) or "
                         "'evidence' (SLQ marginal likelihood — dense "
                         "sigma axis priced free per candidate L)")
+    i.add_argument("--fit-noise", action="store_true",
+                   help="with --auto-prior evidence: also fit a common "
+                        "noise-std rescaling rho by marginal likelihood "
+                        "(free from the same Lanczos batches) and scale "
+                        "the run's noise by rho*")
     i.add_argument("--checkpoint-dir", default="checkpoints")
     i.add_argument("--metrics", default="metrics.jsonl")
     i.add_argument("--resume", action="store_true")

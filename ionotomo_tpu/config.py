@@ -98,6 +98,10 @@ class PriorConfig:
                                      # | "evidence" (SLQ marginal
                                      # likelihood, empirical_bayes.py —
                                      # prices the whole sigma axis per L)
+    fit_noise: bool = False          # evidence mode only: also fit a common
+                                     # noise rescaling rho from the same
+                                     # Ritz decomposition (free) and scale
+                                     # the run's noise_std by rho*
 
 
 @dataclasses.dataclass(frozen=True)

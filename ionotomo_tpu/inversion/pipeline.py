@@ -261,10 +261,12 @@ class InversionPipeline:
                                 best_score=float(min(scores))))
 
     def _auto_select_prior_evidence(self):
-        """Marginal-likelihood (σ, L, kind) fit on timestep-0 data —
+        """Marginal-likelihood (σ, L, kind[, ρ]) fit on timestep-0 data —
         inversion/empirical_bayes.py. L and kind candidates around the
-        configured prior; the σ axis is a dense log grid priced for free
-        from each (kind, L) Lanczos batch."""
+        configured prior; the σ axis (and, with ``prior.fit_noise``, the
+        noise-rescaling ρ axis) is a dense log grid priced for free from
+        each (kind, L) Lanczos batch. A fitted ρ* rescales the run's
+        noise_std (flag-inflated entries stay effectively infinite)."""
         from .empirical_bayes import fit_hyperparameters
         pr = self.config.prior
         ls0 = pr.length_scale_km
@@ -272,6 +274,7 @@ class InversionPipeline:
                   else float(ls0))
         ells = [l_base * f for f in (0.5, 1.0, 2.0)]
         sigmas = pr.sigma * np.logspace(-0.9, 0.9, 9)
+        rhos = np.logspace(-0.6, 0.6, 7) if pr.fit_noise else None
         ants, d0, noise0, _ = self._padded_data(0)
         origins, dvecs = rays_mod.make_ray_batch(ants, self.directions[0])
         rb = self._shard(rays_mod.sample_straight_rays(
@@ -279,21 +282,29 @@ class InversionPipeline:
             n_samples=self.config.rays.n_samples))
         best = None
         for kind in dict.fromkeys([pr.kind, "von_karman", "exponential"]):
-            s_star, l_star, table, cov_star = fit_hyperparameters(
+            fit = fit_hyperparameters(
                 self.grid, rb, d0, noise0, self.m_prior,
                 num_directions=self.directions.shape[1],
                 length_scales=ells, sigmas=sigmas, kind=kind, i0=self.i0,
                 quadrature=self.config.rays.quadrature,
                 interp=self.config.rays.interp,
-                seed=self.config.runtime.seed)
+                seed=self.config.runtime.seed, noise_scales=rhos)
+            if rhos is None:
+                s_star, l_star, table, cov_star = fit
+                rho_star = 1.0
+            else:
+                s_star, l_star, rho_star, table, cov_star = fit
             ll = float(table.max())
             if best is None or ll > best[0]:
-                best = (ll, s_star, l_star, kind, cov_star)
-        ll, s_star, l_star, kind, cov_star = best
+                best = (ll, s_star, l_star, rho_star, kind, cov_star)
+        ll, s_star, l_star, rho_star, kind, cov_star = best
         self.cov = cov_star
+        if pr.fit_noise:
+            self.noise_std = self.noise_std * rho_star
         self.metrics.write(dict(
             event="prior_auto_selected", method="evidence",
-            chosen=dict(sigma=s_star, length_scale=l_star, kind=kind),
+            chosen=dict(sigma=s_star, length_scale=l_star, kind=kind,
+                        noise_scale=rho_star),
             log_evidence=ll))
 
     # --- ray building -------------------------------------------------------

@@ -140,7 +140,7 @@ def test_pipeline_auto_selects_prior_by_evidence(tmp_path):
         grid=GridConfig(shape=(12, 12, 12)),
         rays=RayConfig(n_samples=17),
         prior=PriorConfig(sigma=0.3, length_scale_km=90.0, kind="sqexp",
-                          auto_select="evidence"),
+                          auto_select="evidence", fit_noise=True),
         solver=SolverConfig(gn_iters=1, cg_iters=10),
         runtime=RuntimeConfig(checkpoint_dir=str(tmp_path / "c"),
                               metrics_path=str(tmp_path / "m.jsonl")))
@@ -153,5 +153,12 @@ def test_pipeline_auto_selects_prior_by_evidence(tmp_path):
     chosen = events[0]["chosen"]
     assert pipe.cov.kind == chosen["kind"]
     assert pipe.cov.sigma == chosen["sigma"]
+    # fit_noise: the run's noise_std is the datapack's scaled by rho*
+    rho = chosen["noise_scale"]
+    assert rho > 0
+    unflagged = pipe.noise_std < 1e5
+    np.testing.assert_allclose(
+        pipe.noise_std[unflagged],
+        np.asarray(dp.noise_std)[unflagged] * rho, rtol=1e-6)
     sol = pipe.run(resume=False)
     assert np.isfinite(sol.m).all()
