@@ -108,7 +108,9 @@ def cmd_invert(args):
                             enkf_spectrum_blend=args.enkf_spectrum_blend,
                             enkf_shard=args.enkf_shard,
                             wind_adapt_iters=args.wind_adapt,
-                            wind_shear=args.wind_shear),
+                            wind_shear=args.wind_shear,
+                            posterior_samples=getattr(
+                                args, "posterior_samples", 0)),
         runtime=RuntimeConfig(checkpoint_dir=args.checkpoint_dir,
                               metrics_path=args.metrics),
     )
@@ -310,6 +312,12 @@ def main(argv=None):
                             "kalman", "enkf"])
     i.add_argument("--gn-iters", type=int, default=2)
     i.add_argument("--cg-iters", type=int, default=40)
+    i.add_argument("--posterior-samples", type=int, default=0,
+                   metavar="N",
+                   help="snapshot modes: draw N linearised-posterior RTO "
+                        "samples per timestep (one batched-Krylov "
+                        "program) and store the per-voxel std in the "
+                        "solution (diagnostics/std_seq)")
     i.add_argument("--estimate-profile", action="store_true",
                    help="MAP-estimate the profile parameters from "
                         "timestep-0 data + the --vtec-anchors rows "

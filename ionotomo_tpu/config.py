@@ -160,6 +160,12 @@ class SolverConfig:
     kalman_chunk: int = 8     # timesteps per scan: checkpoint granularity,
                               # and keeps each device program well under the
                               # environment's ~60 s execution watchdog
+    posterior_samples: int = 0  # snapshot modes: >0 draws N linearised-
+                                # posterior RTO samples per timestep
+                                # (solvers.posterior_samples) and stores
+                                # the per-voxel std as the solution's
+                                # std_seq diagnostic (checkpointed,
+                                # resumable)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -501,6 +501,30 @@ class InversionPipeline:
                                    else None))
         return res.m, diag
 
+    def posterior_std(self, t: int, n_samples: int, m_field=None):
+        """Per-voxel posterior std at timestep t from ``n_samples``
+        linearised-posterior RTO draws (solvers.posterior_samples — all
+        draws one batched-Krylov program). The spread depends only on
+        (J, C, C_d), not on the point estimate, so it applies to every
+        snapshot solver; with bent rays pass the converged field as
+        ``m_field`` so J is linearised along the solved-through paths.
+        Sequentially-assimilated anchors tighten the prior *mean* only —
+        their spread contraction is represented in joint anchor mode
+        (self.anchors is passed through as extra RTO rows)."""
+        sc, rc = self.config.solver, self.config.rays
+        nd = self.directions.shape[1]
+        ants, d_t, noise, _ = self._padded_data(t)
+        rb = self._shard(self.rays_for_time(
+            t, m_field=(m_field if rc.bent else None), antennas=ants))
+        key = jax.random.fold_in(
+            jax.random.key(self.config.runtime.seed), 1000003 + t)
+        _, _, std = solvers.posterior_samples(
+            self.grid, rb, d_t, noise, self.m_prior, self.cov,
+            num_directions=nd, key=key, n_samples=n_samples, i0=self.i0,
+            cg_iters=sc.cg_iters, cg_tol=sc.cg_tol, anchors=self.anchors,
+            quadrature=rc.quadrature, interp=rc.interp)
+        return std
+
     def _config_compatible(self, cfg_json: str) -> bool:
         """A checkpoint is resumable only if its engine config matches ours
         on every physics/grid/ray/prior/solver field (runtime fields —
@@ -653,17 +677,29 @@ class InversionPipeline:
 
         # warm start from the last checkpointed state, exactly as the
         # uninterrupted run would have chained timesteps
+        sc = self.config.solver
         m_prev = (jnp.asarray(m_list[-1]) if m_list else None)
+        std_list = (list(state["m_std"][:start_t])
+                    if state is not None and "m_std" in state else [])
         for t in range(start_t, nt):
             m_t, diag = self.solve_snapshot(t, m0=m_prev)
             m_list.append(np.asarray(m_t))
             m_prev = m_t
+            if sc.posterior_samples > 0:
+                std = self.posterior_std(t, sc.posterior_samples,
+                                         m_field=m_t)
+                std_list.append(np.asarray(std))
+                diag["posterior_std_mean"] = float(jnp.mean(std))
             self.metrics.write(diag)
             if (t + 1) % rt.checkpoint_every == 0 or t == nt - 1:
+                state_out = {"m_seq": np.stack(m_list)}
+                if std_list:
+                    state_out["m_std"] = np.stack(std_list)
                 ckpt_mod.save_checkpoint(
                     rt.checkpoint_dir, t + 1,
-                    {"m_seq": np.stack(m_list)}, self.config.to_json())
-        return Solution(self.grid, np.stack(m_list),
+                    state_out, self.config.to_json())
+        diags = dict(std_seq=np.stack(std_list)) if std_list else None
+        return Solution(self.grid, np.stack(m_list), diagnostics=diags,
                         config_json=self.config.to_json())
 
     def _run_enkf(self, start_t: int = 0, state=None) -> Solution:

@@ -512,3 +512,47 @@ def test_pipeline_kalman_wind_shear_state(tmp_path):
     pipe2 = InversionPipeline(dp, cfg)
     sol2 = pipe2.run(resume=True)
     np.testing.assert_allclose(sol2.m[-1], sol.m[-1], atol=1e-5)
+
+
+def test_pipeline_snapshot_posterior_std(tmp_path):
+    """solver.posterior_samples > 0: the snapshot run stores a per-voxel
+    posterior std per timestep (RTO draws — pipeline.posterior_std),
+    deterministic for a fixed seed, checkpointed under m_std, and the
+    resumed run reproduces the uninterrupted std sequence exactly."""
+    dp, _ = make_dp()
+    cfg = small_config(tmp_path, posterior_samples=4)
+    pipe = InversionPipeline(dp, cfg)
+    sol = pipe.run(resume=False)
+    std = sol.diagnostics["std_seq"]
+    assert std.shape == sol.m.shape
+    assert np.isfinite(std).all() and (std > 0).all()
+    # the posterior contracts: sampled spread must sit below the prior
+    # sigma on average (and nowhere blow past it by more than sampling
+    # noise at 4 draws)
+    assert std.mean() < 0.3
+    assert std.max() < 0.3 * 2.5
+
+    recs = [r for r in pipe.metrics.read_all()
+            if "posterior_std_mean" in r]
+    assert len(recs) == 2
+
+    # determinism: a fresh pipeline reproduces the std bit-exactly
+    pipe_b = InversionPipeline(dp, cfg)
+    sol_b = pipe_b.run(resume=False)
+    np.testing.assert_array_equal(sol_b.diagnostics["std_seq"], std)
+
+    # crash-resume identity, including the std sequence
+    import shutil
+    shutil.rmtree(cfg.runtime.checkpoint_dir)
+    ckpt.save_checkpoint(cfg.runtime.checkpoint_dir, 1,
+                         {"m_seq": sol.m[:1], "m_std": std[:1]},
+                         cfg.to_json())
+    pipe2 = InversionPipeline(dp, cfg)
+    sol2 = pipe2.run(resume=True)
+    np.testing.assert_array_equal(sol2.diagnostics["std_seq"][0], std[0])
+    np.testing.assert_allclose(sol2.diagnostics["std_seq"][1], std[1],
+                               atol=1e-5)
+    # solution round-trips with the std diagnostic
+    p = tmp_path / "sol.h5"
+    sol.save(p)
+    assert np.array_equal(Solution.load(p).diagnostics["std_seq"], std)
