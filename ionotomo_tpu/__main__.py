@@ -110,7 +110,9 @@ def cmd_invert(args):
                             wind_adapt_iters=args.wind_adapt,
                             wind_shear=args.wind_shear,
                             posterior_samples=getattr(
-                                args, "posterior_samples", 0)),
+                                args, "posterior_samples", 0),
+                            noise_adapt_every=getattr(
+                                args, "noise_adapt", 0)),
         runtime=RuntimeConfig(checkpoint_dir=args.checkpoint_dir,
                               metrics_path=args.metrics),
     )
@@ -318,6 +320,11 @@ def main(argv=None):
                         "samples per timestep (one batched-Krylov "
                         "program) and store the per-voxel std in the "
                         "solution (diagnostics/std_seq)")
+    i.add_argument("--noise-adapt", type=int, default=0, metavar="N",
+                   help="kalman/enkf: adaptive R — re-fit a common noise "
+                        "rescaling every N-th chunk boundary by exact "
+                        "evidence on that epoch's innovation (tracks "
+                        "drifting instrument noise; checkpointed)")
     i.add_argument("--estimate-profile", action="store_true",
                    help="MAP-estimate the profile parameters from "
                         "timestep-0 data + the --vtec-anchors rows "

@@ -166,6 +166,12 @@ class SolverConfig:
                                 # the per-voxel std as the solution's
                                 # std_seq diagnostic (checkpointed,
                                 # resumable)
+    noise_adapt_every: int = 0  # kalman/enkf: >0 re-fits a common noise
+                                # rescaling every N-th chunk boundary by
+                                # the exact dense evidence on that
+                                # epoch's innovation (adaptive R —
+                                # pipeline._fit_noise_scale); the scale
+                                # is checkpointed and resume-identical
 
 
 @dataclasses.dataclass(frozen=True)

@@ -525,6 +525,36 @@ class InversionPipeline:
             quadrature=rc.quadrature, interp=rc.interp)
         return std
 
+    def _fit_noise_scale(self, t: int, m_lin, scale: float) -> float:
+        """One online noise-adaptation event (solver.noise_adapt_every):
+        empirical-Bayes ρ fit on timestep t's innovation, linearised
+        about the current filter state — the exact dense (γ, ρ) evidence
+        family of inversion/empirical_bayes.py with the run's covariance
+        as the prior hypothesis (γ around cov.σ² absorbs correlated
+        signal so ρ isolates the white floor). Returns the multiplicative
+        correction to the CURRENT scale (already applied to the noise
+        passed in). Data spaces at pipeline scale (Na·Nd ≲ 4k) use the
+        exact dense path; the SLQ ρ axis is untrustworthy (module doc).
+        Flag-inflated rows shift the evidence by a (γ, ρ)-constant, so
+        the argmax is unaffected."""
+        from .empirical_bayes import log_marginal_family
+        nd = self.directions.shape[1]
+        ants, d_t, noise, _ = self._padded_data(t)
+        rb = self._shard(self.rays_for_time(t, antennas=ants))
+        cov1 = GPCovariance.create(self.grid, sigma=1.0,
+                                   length_scale=self.cov.length_scale,
+                                   kind=self.cov.kind)
+        gammas = (self.cov.sigma * np.logspace(-0.6, 0.6, 9)) ** 2
+        rhos = np.logspace(-0.6, 0.6, 9)
+        ll, _ = log_marginal_family(
+            self.grid, rb, d_t, noise * scale, m_lin, cov1,
+            jnp.asarray(gammas, jnp.float32), nd, i0=self.i0,
+            quadrature=self.config.rays.quadrature,
+            interp=self.config.rays.interp,
+            noise_scales=jnp.asarray(rhos, jnp.float32), method="dense")
+        _, i_r = np.unravel_index(int(np.argmax(ll)), ll.shape)
+        return float(rhos[i_r])
+
     def _config_compatible(self, cfg_json: str) -> bool:
         """A checkpoint is resumable only if its engine config matches ours
         on every physics/grid/ray/prior/solver field (runtime fields —
@@ -746,16 +776,30 @@ class InversionPipeline:
                                        key, sc.enkf_members)
             ens = jax.device_put(jnp.asarray(ens),
                                  shard_mod.member_sharding(m_mesh))
+        noise_scale = (float(state["noise_scale"])
+                       if state is not None and "noise_scale" in state
+                       else 1.0)
         t0 = time.perf_counter()
         for c0 in range(start_t, nt, chunk):
             c1 = min(c0 + chunk, nt)
+            if (sc.noise_adapt_every > 0 and c0 > 0
+                    and (c0 // chunk) % sc.noise_adapt_every == 0):
+                # online R adaptation at chunk boundaries, linearised
+                # about the ensemble mean (the point filter's doc above;
+                # same cold-start skip)
+                m_lin = (jnp.asarray(mean_list[-1]) if mean_list
+                         else self.m_prior)
+                rho = self._fit_noise_scale(c0, m_lin, noise_scale)
+                noise_scale *= rho
+                self.metrics.write(dict(event="noise_adapted", t=c0,
+                                        rho=rho, noise_scale=noise_scale))
             rays_seq, inner_seq, d_chunk, noise_chunk = \
                 self._chunk_arrays(c0, c1, shard=not member_mode)
             filter_fn = (partial(member_parallel_enkf, m_mesh)
                          if member_mode else ensemble_kalman_filter)
             res = filter_fn(
                 self.grid, rays_seq, d_chunk,
-                noise_chunk, self.m_prior, self.cov,
+                noise_chunk * noise_scale, self.m_prior, self.cov,
                 wind, dt_s, num_directions=nd, key=key,
                 n_members=sc.enkf_members, i0=self.i0,
                 cg_iters=sc.cg_iters, cg_tol=sc.cg_tol,
@@ -786,7 +830,8 @@ class InversionPipeline:
                 {"m_seq": np.stack(mean_list),
                  "enkf_std": np.stack(std_list),
                  "kalman_pre": np.asarray(pre),
-                 "enkf_ensemble": np.asarray(ens), "wind_kmps": wind},
+                 "enkf_ensemble": np.asarray(ens), "wind_kmps": wind,
+                 "noise_scale": noise_scale},
                 self.config.to_json())
             self.metrics.write(dict(solver="enkf", event="chunk",
                                     t_from=c0, t_to=c1,
@@ -897,13 +942,28 @@ class InversionPipeline:
         post = (list(state["kalman_post"][:start_t])
                 if state is not None and "kalman_post" in state else [])
         m_cur = jnp.asarray(m_list[-1]) if m_list else self.m_prior
+        noise_scale = (float(state["noise_scale"])
+                       if state is not None and "noise_scale" in state
+                       else 1.0)
         t0 = time.perf_counter()
         for c0 in range(start_t, nt, chunk):
             c1 = min(c0 + chunk, nt)
+            if (sc.noise_adapt_every > 0 and c0 > 0
+                    and (c0 // chunk) % sc.noise_adapt_every == 0):
+                # online R adaptation: per-chunk-boundary empirical-Bayes
+                # ρ fit on the incoming innovation (absolute chunk index,
+                # so resumed and uninterrupted runs adapt at the same
+                # epochs). The cold c0=0 boundary is skipped: against an
+                # unassimilated prior the innovation is all signal and
+                # the fit conflates prior misspecification with noise
+                rho = self._fit_noise_scale(c0, m_cur, noise_scale)
+                noise_scale *= rho
+                self.metrics.write(dict(event="noise_adapted", t=c0,
+                                        rho=rho, noise_scale=noise_scale))
             rays_seq, inner_seq, d_chunk, noise_chunk = \
                 self._chunk_arrays(c0, c1)
             res = kalman_filter(
-                self.grid, rays_seq, d_chunk, noise_chunk,
+                self.grid, rays_seq, d_chunk, noise_chunk * noise_scale,
                 m_cur, self.cov, wind, dt_s,
                 num_directions=nd, i0=self.i0, cg_iters=sc.cg_iters,
                 cg_tol=sc.cg_tol, fade=sc.kalman_fade,
@@ -928,7 +988,8 @@ class InversionPipeline:
             ckpt_mod.save_checkpoint(
                 rt.checkpoint_dir, c1,
                 {"m_seq": np.stack(m_list), "kalman_pre": np.asarray(pre),
-                 "kalman_post": np.asarray(post), "wind_kmps": wind},
+                 "kalman_post": np.asarray(post), "wind_kmps": wind,
+                 "noise_scale": noise_scale},
                 self.config.to_json())
             self.metrics.write(dict(solver="kalman", event="chunk",
                                     t_from=c0, t_to=c1,

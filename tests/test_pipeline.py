@@ -556,3 +556,47 @@ def test_pipeline_snapshot_posterior_std(tmp_path):
     p = tmp_path / "sol.h5"
     sol.save(p)
     assert np.array_equal(Solution.load(p).diagnostics["std_seq"], std)
+
+
+def test_pipeline_kalman_noise_adaptation(tmp_path):
+    """solver.noise_adapt_every: a world whose actual observation noise
+    is 3x the datapack's claimed noise_std — the adaptive filter's
+    evidence events must recover the inflation (checkpointed
+    noise_scale ~ 3), not hurt skill vs the static filter, and the
+    crash-resumed run must reproduce the adapted run exactly."""
+    dp, truth = make_dp(n_times=4)
+    dp.noise_std = dp.noise_std / 3.0   # claim 3x less noise than injected
+
+    def run(sub, **kw):
+        cfg = small_config(tmp_path / sub, solver="kalman",
+                           kalman_chunk=2, **kw)
+        pipe = InversionPipeline(dp, cfg)
+        return pipe, cfg, pipe.run(resume=False)
+
+    pipe_s, _, sol_s = run("static")
+    pipe_a, cfg_a, sol_a = run("adapt", noise_adapt_every=1)
+
+    events = [r for r in pipe_a.metrics.read_all()
+              if r.get("event") == "noise_adapted"]
+    assert len(events) == 1     # warm chunk boundaries only (c0=2; the
+                                # cold c0=0 innovation is all signal)
+    scale = events[-1]["noise_scale"]
+    assert 1.8 < scale < 5.0, events
+    step, state, _ = ckpt.resume(cfg_a.runtime.checkpoint_dir)
+    assert step == 4
+    assert float(state["noise_scale"]) == scale
+
+    # correct R must not hurt the reconstruction (the static filter
+    # overweights what is actually noise)
+    err_s = float(np.sqrt(((sol_s.m[-1] - truth["m"]) ** 2).mean()))
+    err_a = float(np.sqrt(((sol_a.m[-1] - truth["m"]) ** 2).mean()))
+    assert err_a <= err_s * 1.02, (err_a, err_s)
+
+    # crash-resume identity including the adapted scale
+    import os
+    for f in sorted(os.listdir(cfg_a.runtime.checkpoint_dir)):
+        if f.endswith(".npz") and "0004" in f:
+            os.remove(os.path.join(cfg_a.runtime.checkpoint_dir, f))
+    pipe2 = InversionPipeline(dp, cfg_a)
+    sol2 = pipe2.run(resume=True)
+    np.testing.assert_allclose(sol2.m[-1], sol_a.m[-1], atol=1e-5)
