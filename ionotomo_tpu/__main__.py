@@ -12,6 +12,21 @@ import json
 import sys
 
 
+def _interp_arg(value):
+    """Validate --interp: "cubic" | "zp" | "zp<order>" (e.g. zp4 — the
+    xy-prefilter Neumann order; core.boxspline.zp_order)."""
+    if value == "cubic":
+        return value
+    try:
+        from .core.boxspline import zp_order
+        zp_order(value)
+        return value
+    except ValueError:
+        raise SystemExit(
+            f"--interp must be 'cubic', 'zp', or 'zp<order>=2>' "
+            f"(e.g. zp4), got {value!r}")
+
+
 def _prior_length(values):
     """Validate --prior-length arity: 1 (isotropic) or 3 (Lx Ly Lz).
     Any other count would be silently truncated / crash deep inside
@@ -349,12 +364,14 @@ def main(argv=None):
                    help="straight-ray operator quadrature rule (hermite: "
                         "gradient-augmented, equal accuracy at ~half the "
                         "samples)")
-    i.add_argument("--interp", default="cubic",
-                   choices=["cubic", "zp"],
+    i.add_argument("--interp", default="cubic", type=_interp_arg,
                    help="C1 field model for every interpolation (tracer "
                         "and operators): cubic = Catmull-Rom tricubic; "
                         "zp = 8-row Zwart-Powell box spline (faster and "
-                        "lower model error; DESIGN.md sec. 14)")
+                        "lower model error); zp<N> = zp with an order-N "
+                        "xy prefilter (zp4: sharper pointwise response — "
+                        "best for forward prediction; measured WORSE for "
+                        "256^3 inversion, keep zp; DESIGN.md sec. 14)")
     i.add_argument("--inner-samples", type=int, default=0,
                    help="mixed-fidelity solves: the linear solve's "
                         "Jacobian from a coarse subsample at this many "
@@ -430,8 +447,7 @@ def main(argv=None):
                    choices=["simpson", "hermite"],
                    help="straight-ray prediction quadrature (matches the "
                         "inversion operator default)")
-    q.add_argument("--interp", default="cubic",
-                   choices=["cubic", "zp"],
+    q.add_argument("--interp", default="cubic", type=_interp_arg,
                    help="C1 field model (see invert --interp)")
     q.add_argument("--max-length", type=float, default=1000.0)
     q.add_argument("--bent", action="store_true")
@@ -455,8 +471,7 @@ def main(argv=None):
     v.add_argument("--cg-iters", type=int, default=30)
     v.add_argument("--quadrature", default="hermite",
                    choices=["simpson", "hermite"])
-    v.add_argument("--interp", default="cubic",
-                   choices=["cubic", "zp"],
+    v.add_argument("--interp", default="cubic", type=_interp_arg,
                    help="C1 field model (see invert --interp)")
     v.add_argument("--inner-samples", type=int, default=0,
                    help="mixed-fidelity per-epoch updates (see invert "

@@ -92,19 +92,49 @@ def _apply_a_xy(f: jax.Array) -> jax.Array:
                        + fp[1:-1, :-2] + fp[1:-1, 2:]))
 
 
-def prefilter(field: jax.Array) -> jax.Array:
+def prefilter(field: jax.Array, order: int = 2) -> jax.Array:
     """Field samples (nx, ny, nz) → box-spline coefficient grid.
 
     z axis: exact quadratic-B-spline inverse (dense MXU matmul, shared
-    with core.triquadratic). (x, y) plane: order-3 quasi-interpolation
-    q = I + D + D², D = I − A. Linear in the field (AD-exact transpose).
+    with core.triquadratic). (x, y) plane: quasi-interpolation by the
+    truncated Neumann series q = Σ_{j≤order} Dʲ, D = I − A (``order`` =
+    number of correction terms beyond the identity; the symbol of A
+    vanishes at the (π,π) corner so the exact inverse does not exist,
+    but the series sharpens the near-Nyquist response monotonically
+    where |D̂| < 1). ``order=2`` restores exact quadratic reproduction
+    (the default); ``order=4`` roughly halves near-Nyquist pointwise
+    rms (tested in test_boxspline) and is the right choice for FORWARD
+    work — prediction/simulation through a known fine field. For
+    INVERSION it is measured WORSE at 256³ (held-out 2273 vs 1567 for
+    order 2; DESIGN.md §14 addendum): the order-2 attenuation acts as
+    implicit regularization of the barely-constrained near-Nyquist
+    band, so the solvers keep ``zp`` ≡ ``zp2``. Each extra term is one
+    5-point stencil pass — linear in the field (AD-exact transpose),
+    negligible next to the per-ray gathers.
     """
     nz = field.shape[2]
     pz = jnp.asarray(_prefilter_matrix(nz))
     c = jnp.einsum("ck,abk->abc", pz, field, precision="highest")
-    d1 = c - _apply_a_xy(c)
-    d2 = d1 - _apply_a_xy(d1)
-    return c + d1 + d2
+    acc = c
+    d = c
+    for _ in range(order):
+        d = d - _apply_a_xy(d)
+        acc = acc + d
+    return acc
+
+
+def zp_order(interp: str) -> int:
+    """Parse the ``interp`` grammar ``"zp"`` / ``"zp<order>"`` →
+    xy-prefilter Neumann order (``"zp"`` ≡ ``"zp2"``, the exact-quadratic
+    -reproduction minimum). Raises on anything else."""
+    if interp == "zp":
+        return 2
+    if interp.startswith("zp") and interp[2:].isdigit():
+        order = int(interp[2:])
+        if order >= 2:
+            return order
+    raise ValueError(
+        f"unknown zp interp spec {interp!r} (use 'zp' or 'zp<order>=2>')")
 
 
 def _neighborhood(grid: Grid3D, points: jax.Array):

@@ -51,13 +51,16 @@ def _coef2d(field_m: jax.Array, grid: Grid3D, interp: str) -> jax.Array:
     nx, ny, nz = grid.shape
     if interp == "cubic":
         return field_m.reshape(nx * ny, nz)
-    if interp == "zp":
-        return boxspline.prefilter(field_m).reshape(nx * ny, nz)
+    if interp.startswith("zp"):
+        order = boxspline.zp_order(interp)
+        return boxspline.prefilter(field_m, order).reshape(nx * ny, nz)
     raise ValueError(f"unknown interp: {interp!r}")
 
 
 def _rows_of(interp: str):
-    return {"cubic": tricubic, "zp": boxspline}[interp]
+    if interp.startswith("zp"):
+        return boxspline
+    return {"cubic": tricubic}[interp]
 
 
 def _interp_fast(field_m: jax.Array, grid: Grid3D, pts2d: jax.Array,

@@ -110,8 +110,9 @@ def field_evaluator(field_m: jax.Array, grid: Grid3D,
     if interp == "cubic":
         field2d = field_m.reshape(nx * ny, nz)
         return lambda x: tricubic.interp_rows_with_grad(field2d, grid, x)
-    if interp == "zp":
-        coef2d = boxspline.prefilter(field_m).reshape(nx * ny, nz)
+    if interp.startswith("zp"):
+        order = boxspline.zp_order(interp)
+        coef2d = boxspline.prefilter(field_m, order).reshape(nx * ny, nz)
         return lambda x: boxspline.interp_rows_with_grad(coef2d, grid, x)
     if interp == "quadratic":
         coef2d = triquadratic.prefilter(field_m).reshape(nx * ny, nz)

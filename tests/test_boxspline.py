@@ -206,3 +206,54 @@ def test_more_accurate_than_tricubic_on_bandlimited_field(rng):
     err_gz = np.sqrt(np.mean((np.asarray(gz) - gtruth) ** 2))
     assert err_vz < 0.8 * err_vc, (err_vz, err_vc)
     assert err_gz < 0.8 * err_gc, (err_gz, err_gc)
+
+
+def test_zp_order_grammar():
+    assert boxspline.zp_order("zp") == 2
+    assert boxspline.zp_order("zp2") == 2
+    assert boxspline.zp_order("zp4") == 4
+    assert boxspline.zp_order("zp8") == 8
+    for bad in ("zp1", "zp0", "zpx", "cubic", "qp4"):
+        try:
+            boxspline.zp_order(bad)
+        except ValueError:
+            pass
+        else:
+            raise AssertionError(f"zp_order accepted {bad!r}")
+
+
+def test_higher_prefilter_order_sharpens_near_nyquist(rng):
+    """DESIGN.md §14 addendum: raising the xy quasi-interpolation
+    Neumann order from 2 to 4 roughly halves near-Nyquist diagonal
+    pointwise rms while leaving quadratic reproduction exact. (That is
+    a FORWARD-model property: for 256³ inversion the order-2
+    attenuation measured better held-out skill — see the addendum —
+    so zp4 is a prediction knob, not a solver default.)"""
+    n = 48
+    grid = Grid3D.create((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (n, n, 16))
+    kx = ky = np.pi * 0.75 / np.sqrt(2.0)   # diagonal, 3/4 Nyquist
+
+    def f(x, y, z):
+        return np.cos(kx * x + ky * y) + 0.0 * z
+
+    field = jnp.asarray(sample_field(grid, f), jnp.float32)
+    pts = interior_points(grid, 3000, np.random.default_rng(3), margin=5.0)
+    truth = f(pts[:, 0], pts[:, 1], pts[:, 2])
+    errs = []
+    for order in (2, 4):
+        coef = boxspline.prefilter(field, order=order)
+        got = np.asarray(boxspline.interp(coef, grid, jnp.asarray(pts)))
+        errs.append(np.sqrt(np.mean((got - truth) ** 2)))
+    assert errs[1] < 0.5 * errs[0], errs
+
+    # quadratic reproduction stays exact at the higher order
+    def quad(x, y, z):
+        return 0.3 * x * y + 0.1 * x * x - 0.2 * y + 0.05 * z * z + 1.0
+
+    qgrid = make_grid(shape=(16, 17, 18))
+    qfield = jnp.asarray(sample_field(qgrid, quad), jnp.float32)
+    qpts = interior_points(qgrid, 300, rng, margin=6.0)
+    got = boxspline.interp(boxspline.prefilter(qfield, order=4), qgrid,
+                           jnp.asarray(qpts))
+    want = quad(qpts[:, 0], qpts[:, 1], qpts[:, 2])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=5e-4)
