@@ -50,7 +50,8 @@ from .inversion.priors import (GPCovariance, fit_shell_spectrum,  # noqa: F401
 from .inversion.anchors import (TecAnchors,                   # noqa: F401
                                 vertical_anchor_bundle,
                                 anchors_from_field,
-                                assimilate_probes)
+                                assimilate_probes,
+                                probe_sqrt_update)
 from .inversion.profile import (ProfileParams,                # noqa: F401
                                 map_gauss_newton_profile,
                                 chapman_log_field, log_profile_rms)

@@ -460,8 +460,11 @@ def main(argv=None):
     q.set_defaults(fn=cmd_predict)
 
     v = sub.add_parser("serve", help="streaming service: watch a "
-                                     "directory for DataPack epochs, "
-                                     "filter online, emit Solutions")
+                                     "directory for DataPack epochs "
+                                     "(and *.sounding.npz ionosonde "
+                                     "files — assimilated as they "
+                                     "arrive), filter online, emit "
+                                     "Solutions")
     v.add_argument("watch_dir")
     v.add_argument("out_dir")
     v.add_argument("--solver", default="kalman",

@@ -151,7 +151,10 @@ def bottomside_probes(field_m, grid: Grid3D, stations_xy,
     m_floor = np.log(min_ne / constants.K_NE)
     pts = []
     for s in range(xy.shape[0]):
-        col = m_cols[s]
+        # a field holding -inf (or NaN through interpolation of one)
+        # would poison np.argmax, which returns the first NaN index;
+        # treat any non-finite column value as "no density"
+        col = np.where(np.isfinite(m_cols[s]), m_cols[s], -np.inf)
         i_pk = int(np.argmax(col))
         vis = np.flatnonzero(col[: i_pk + 1] >= m_floor)
         if vis.size == 0:

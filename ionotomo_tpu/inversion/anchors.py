@@ -224,13 +224,13 @@ def anchor_map_step(grid: Grid3D, m_k: jax.Array, cov,
                            values, inv_cd, cg_iters, cg_tol, m_pull)
 
 
-def anchor_sqrt_update(grid: Grid3D, ens: jax.Array, cov,
-                       rays: RayBundle, values, inv_cd,
-                       cg_iters: int, cg_tol: float = 1e-5,
-                       member_axis: str = None):
-    """Deterministic (square-root / ensemble-adjustment) anchored update
-    of an ensemble — the noise-free alternative to per-member perturbed
-    anchor values (VERDICT r2 weak #4).
+def linear_sqrt_update(grid: Grid3D, ens: jax.Array, cov, fwd,
+                       values, inv_cd, cg_iters: int,
+                       cg_tol: float = 1e-5, member_axis: str = None):
+    """Deterministic (square-root / ensemble-adjustment) update of an
+    ensemble for any linearisable observation operator ``fwd`` — the
+    shared core of ``anchor_sqrt_update`` (absolute-TEC rows) and
+    ``probe_sqrt_update`` (ionosonde log-density rows).
 
     With the fixed background-error covariance B (``cov``) and the
     measurement operator H linearised at the ensemble mean, the gain
@@ -241,10 +241,10 @@ def anchor_sqrt_update(grid: Grid3D, ens: jax.Array, cov,
       anomalies: δᵢ ← (I − K H) δᵢ = δᵢ + K(0 − H δᵢ)
 
     For tiny ensembles (8 members) this removes the O(1/√n) sampling
-    noise the stochastic perturbed-anchor update injects through K εᵢ.
-    The anomaly covariance becomes (I−KH) P_f (I−KH)ᵀ — the Joseph form
-    minus the (small) K R Kᵀ term, i.e. marginally tighter than the
-    exact posterior in the anchored directions, vs the stochastic form
+    noise the stochastic perturbed-observation update injects through
+    K εᵢ. The anomaly covariance becomes (I−KH) P_f (I−KH)ᵀ — the Joseph
+    form minus the (small) K R Kᵀ term, i.e. marginally tighter than the
+    exact posterior in the observed directions, vs the stochastic form
     which attains the exact posterior only in expectation over members.
     Returns the updated (n_members, *grid.shape) ensemble.
     """
@@ -255,9 +255,6 @@ def anchor_sqrt_update(grid: Grid3D, ens: jax.Array, cov,
     # mean — the only cross-member quantity here — is a pmean collective
     m_bar = (ens.mean(0) if member_axis is None
              else jax.lax.pmean(ens.mean(0), member_axis))
-
-    def fwd(m):
-        return tec_mod.tec(m, grid, rays)
 
     g0, jvp = jax.linearize(fwd, m_bar)
     vjp = jax.linear_transpose(jvp, m_bar)
@@ -280,6 +277,42 @@ def anchor_sqrt_update(grid: Grid3D, ens: jax.Array, cov,
         return d + k_apply(-jvp(d))          # (I − K H) δ
 
     return m_bar_a[None] + jax.vmap(anom)(ens)
+
+
+def anchor_sqrt_update(grid: Grid3D, ens: jax.Array, cov,
+                       rays: RayBundle, values, inv_cd,
+                       cg_iters: int, cg_tol: float = 1e-5,
+                       member_axis: str = None):
+    """Square-root anchored ensemble update (VERDICT r2 weak #4):
+    ``linear_sqrt_update`` with the absolute-TEC forward. See that
+    function for the algebra and the noise-removal rationale."""
+    return linear_sqrt_update(grid, ens, cov,
+                              lambda m: tec_mod.tec(m, grid, rays),
+                              values, inv_cd, cg_iters, cg_tol,
+                              member_axis)
+
+
+def probe_sqrt_update(grid: Grid3D, ens: jax.Array, probes, cov=None,
+                      cg_iters: int = 30, cg_tol: float = 1e-5,
+                      member_axis: str = None):
+    """Square-root ensemble update from point-density probes
+    (data.ionosonde.NeProbes) — the ensemble analogue of
+    ``assimilate_probes`` for the streaming EnKF path.
+
+    ``cov`` defaults to the probe-specific short-vertical background
+    covariance (see ``assimilate_probes``: ~80 km vertical — profile
+    corrections flip sign across one scale height, so the anchor default
+    of 150 km measurably degrades the profile instead of fixing it)."""
+    from ..forward.tec import log_ne_at
+
+    if cov is None:
+        cov = background_covariance(grid, vertical_scale_km=80.0)
+    inv_cd = 1.0 / jnp.broadcast_to(
+        jnp.asarray(probes.noise_std), probes.values.shape).ravel() ** 2
+    return linear_sqrt_update(grid, ens, cov,
+                              lambda m: log_ne_at(m, grid, probes.points),
+                              probes.values, inv_cd, cg_iters, cg_tol,
+                              member_axis)
 
 
 def assimilate_anchors(grid: Grid3D, m_prior: jax.Array, cov,

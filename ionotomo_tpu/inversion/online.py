@@ -112,6 +112,26 @@ class OnlineKalman:
             diag["wind_kmps"] = self.wind.tolist()  # nested for (2,3) shear
         return self.m, diag
 
+    def assimilate_probes(self, probes, cov=None, gn_iters: int = 2,
+                          cg_iters: int = None, cg_tol: float = 1e-5):
+        """Between-epoch sequential update from ionosonde soundings
+        (data.ionosonde.NeProbes) — point log-density rows are exactly
+        linear in the state, so this is one (CG-truncated) Kalman update
+        of the current field with the probe-specific short-vertical
+        background covariance (anchors.assimilate_probes). Returns the
+        applied log-field increment, which the serving layer folds into
+        the climatology pull target so the learned profile correction
+        persists instead of fading back out (serving.EpochService)."""
+        from . import anchors as anchors_mod
+
+        m_new = anchors_mod.assimilate_probes(
+            self.grid, self.m, probes, cov=cov, gn_iters=gn_iters,
+            cg_iters=self.cg_iters if cg_iters is None else cg_iters,
+            cg_tol=cg_tol)
+        delta = m_new - self.m
+        self.m = m_new
+        return delta
+
     # --- service restart ----------------------------------------------------
 
     def state_dict(self):
@@ -202,6 +222,27 @@ class OnlineEnsembleKalman:
         if self.wind_adapt_iters > 0:
             diag["wind_kmps"] = self.wind.tolist()  # nested for (2,3) shear
         return res.mean_seq[0], res.std_seq[0], diag
+
+    def assimilate_probes(self, probes, cov=None, cg_iters: int = None,
+                          cg_tol: float = 1e-5):
+        """Between-epoch square-root ensemble update from ionosonde
+        soundings (anchors.probe_sqrt_update — deterministic, so the
+        streaming restart identity is preserved). Before the first epoch
+        the ensemble does not exist yet; the serving layer holds sounding
+        files until ``t > 0``. Returns the ensemble-mean increment."""
+        from . import anchors as anchors_mod
+
+        if self.ens is None:
+            raise RuntimeError(
+                "assimilate_probes before the first epoch: the ensemble "
+                "is built by the first step(); hold the sounding until "
+                "an epoch has been assimilated")
+        mean0 = self.ens.mean(0)
+        self.ens = anchors_mod.probe_sqrt_update(
+            self.grid, self.ens, probes, cov=cov,
+            cg_iters=self.cg_iters if cg_iters is None else cg_iters,
+            cg_tol=cg_tol)
+        return self.ens.mean(0) - mean0
 
     def state_dict(self):
         return {"ensemble": np.asarray(self.ens), "t": np.int64(self.t),

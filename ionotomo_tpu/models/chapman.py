@@ -217,8 +217,16 @@ def background_ne_fn(n_peak=1.0e12, h_peak_km=350.0, scale_km=80.0,
 
 
 def log_parametrize(n_e):
-    """m = log(n_e / K_NE), clipped away from -inf for vanishing density."""
-    return jnp.log(jnp.maximum(n_e, 1e-30) / constants.K_NE)
+    """m = log(n_e / K_NE), clipped away from -inf for vanishing density.
+
+    The clip is applied to the *ratio*: clipping n_e before the division
+    (the obvious form) fails in f32 — a clipped 1e-30 becomes 1e-41
+    after /K_NE, which is subnormal and flushed to zero on TPU and XLA
+    CPU alike, so deep Chapman tails (e.g. 25 km below a 420 km peak)
+    came out -inf and NaN-poisoned every interpolation touching the
+    bottom grid nodes. 1e-37 is a normal f32 number; the floor is
+    m = -85.2, far below any physical density."""
+    return jnp.log(jnp.maximum(n_e / constants.K_NE, 1e-37))
 
 
 def ne_from_log(m):

@@ -28,6 +28,22 @@ Contract:
   ``state.npz`` and produces bit-identical output to an uninterrupted
   service (OnlineKalman is deterministic; the EnKF is keyed by the
   global epoch index).
+- **Ionosonde soundings** (streaming profile constraints): files named
+  ``*.sounding.npz`` in the watch directory (the ``invert --ionosonde``
+  npz schema — ``points_enu`` (P,3) ENU km, ``ne_m3`` (P,),
+  ``noise_frac``) are assimilated as point log-density rows when they
+  arrive (``OnlineKalman.assimilate_probes`` /
+  ``anchors.probe_sqrt_update`` for the EnKF — deterministic, so restart
+  identity is preserved). Real sounders report on a 5–15 min cadence
+  alongside the 30 s dTEC epochs; this is the live channel for the
+  profile shape that no TEC-derived data can constrain (the measured
+  result behind data/ionosonde.py). By default the learned correction is
+  also folded into the climatology pull target (``probe_update_clim``),
+  so it persists under fade instead of decaying back to the uncorrected
+  background between soundings. Soundings arriving before the first
+  epoch are held until the filter exists (grid + state are fixed by the
+  first epoch's geometry); invalid soundings (out-of-grid points, bad
+  schema) are recorded in the JSONL and skipped permanently.
 
 CLI: ``python -m ionotomo_tpu serve IN_DIR OUT_DIR [--solver enkf] …``.
 """
@@ -55,13 +71,20 @@ class EpochService:
 
     def __init__(self, watch_dir, out_dir, config: EngineConfig = None,
                  wind_kmps=(0.0, 0.0, 0.0), anchors=None, anchor_cov=None,
-                 vtec_anchors_npz=None, key=None):
+                 vtec_anchors_npz=None, key=None, probe_cov=None,
+                 probe_update_clim: bool = True):
         """``vtec_anchors_npz``: path to an npz of external VTEC
         constraints (``points_xy`` (A,2) ENU km, ``values_tecu`` (A,),
         ``noise_tecu`` scalar — the invert CLI's format); the anchors are
         built at bootstrap, once the grid exists. Alternatively pass a
         ready ``TecAnchors`` via ``anchors`` (+ optional ``anchor_cov``;
-        defaults to a long-horizontal background covariance)."""
+        defaults to a long-horizontal background covariance).
+
+        ``probe_cov``: background covariance for ionosonde sounding
+        assimilation (None = the measured probe default, ~80 km vertical
+        — anchors.assimilate_probes). ``probe_update_clim``: fold each
+        sounding's correction into the climatology pull target so it
+        persists under fade (module docstring)."""
         import jax
 
         self.watch_dir = str(watch_dir)
@@ -82,6 +105,9 @@ class EpochService:
         self._anchors = anchors
         self._anchor_cov = anchor_cov
         self._anchors_npz = vtec_anchors_npz
+        self._probe_cov = probe_cov
+        self._probe_update_clim = bool(probe_update_clim)
+        self._clim_delta = None    # accumulated sounding corrections
         self._key = key if key is not None else jax.random.key(0)
         if os.path.exists(self.state_path):
             self._load_state()
@@ -103,6 +129,13 @@ class EpochService:
             state["anchor_points"] = np.asarray(self._anchors.rays.points)
             state["anchor_values"] = np.asarray(self._anchors.values)
             state["anchor_noise"] = np.asarray(self._anchors.noise_std)
+        if self._clim_delta is not None:
+            # assimilated-sounding corrections: the accumulated delta
+            # (added to per-epoch time-varying climatologies) and the
+            # shifted pull target itself, restored verbatim so restarts
+            # reproduce the uninterrupted float sequence bit-exactly
+            state["probe_clim_delta"] = np.asarray(self._clim_delta)
+            state["probe_m_clim"] = np.asarray(self.filter.m_clim)
         ckpt_mod.save_checkpoint(self.out_dir, self.filter.t, state,
                                  self.config.to_json(),
                                  name=os.path.basename(self.state_path))
@@ -127,6 +160,9 @@ class EpochService:
                 "mix two runs; point the service at a fresh out_dir or "
                 "restore the original configuration")
         self._build_filter()
+        if "probe_clim_delta" in state:
+            self._clim_delta = jnp.asarray(state.pop("probe_clim_delta"))
+            self.filter.m_clim = jnp.asarray(state.pop("probe_m_clim"))
         saved_anchor = {k: state.pop(k) for k in
                         ("anchor_points", "anchor_values", "anchor_noise")
                         if k in state}
@@ -242,9 +278,53 @@ class EpochService:
 
     def _pending(self):
         names = sorted(f for f in os.listdir(self.watch_dir)
-                       if f.endswith((".h5", ".hdf5"))
+                       if f.endswith((".h5", ".hdf5", ".sounding.npz"))
                        and f not in self.processed)
         return names
+
+    def _ingest_sounding(self, name: str, path: str):
+        """Assimilate one ``*.sounding.npz`` ionosonde file (module
+        docstring). Held (left pending) until the filter state exists;
+        permanently invalid files are recorded and marked processed."""
+        import zipfile
+
+        from .data.ionosonde import probes_from_npz
+
+        if self.filter is None or self.filter.t == 0:
+            return                       # retry once an epoch has landed
+        try:
+            probes = probes_from_npz(self.grid, path)
+        except (OSError, zipfile.BadZipFile) as e:
+            # partially-written: retry next poll. Soundings do not gate
+            # the epoch files' time order, so no need to stop ingestion.
+            with open(self.metrics_path, "a") as f:
+                f.write(json.dumps(dict(event="unreadable", file=name,
+                                        error=str(e)[:200])) + "\n")
+            return
+        except (ValueError, KeyError) as e:
+            # permanently invalid (out-of-grid points / wrong schema):
+            # record and never retry
+            with open(self.metrics_path, "a") as f:
+                f.write(json.dumps(dict(event="bad_sounding", file=name,
+                                        error=str(e)[:200])) + "\n")
+            self.processed.append(name)
+            self._save_state()
+            return
+        t0 = time.perf_counter()
+        delta = self.filter.assimilate_probes(probes, cov=self._probe_cov)
+        if self._probe_update_clim:
+            self.filter.m_clim = self.filter.m_clim + delta
+            self._clim_delta = (delta if self._clim_delta is None
+                                else self._clim_delta + delta)
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(dict(
+                event="sounding", file=name,
+                n_probes=int(probes.values.shape[0]),
+                seconds=round(time.perf_counter() - t0, 3),
+                mean_abs_dlogne=round(float(jnp.mean(jnp.abs(delta))), 6),
+            )) + "\n")
+        self.processed.append(name)
+        self._save_state()
 
     def process_available(self) -> int:
         """Ingest every unprocessed epoch file currently present; returns
@@ -252,6 +332,9 @@ class EpochService:
         n_epochs = 0
         for name in self._pending():
             path = os.path.join(self.watch_dir, name)
+            if name.endswith(".sounding.npz"):
+                self._ingest_sounding(name, path)
+                continue
             try:
                 dp = DataPack.load(path)
             except (OSError, KeyError) as e:
@@ -277,6 +360,11 @@ class EpochService:
                 m_clim_t = (self._epoch_clim(dp, t)
                             if self.config.physics.time_varying_clim
                             else None)
+                if m_clim_t is not None and self._clim_delta is not None:
+                    # carry the sounding-learned profile correction on
+                    # top of the terminator-tracking background (the
+                    # static-clim path is shifted in _ingest_sounding)
+                    m_clim_t = m_clim_t + self._clim_delta
                 # advection step = actual time since the last assimilated
                 # epoch (across files too; persisted for restarts)
                 if self.last_mjd is not None:

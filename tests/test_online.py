@@ -172,3 +172,89 @@ def test_online_shear_wind_state():
                       wind_adapt_iters=1)
     f2.load_state(state)
     np.testing.assert_allclose(f2.wind, f.wind)
+
+
+def test_online_probe_assimilation_updates_state_and_clim_delta():
+    """Streaming ionosonde soundings: OnlineKalman.assimilate_probes
+    applies the sequential point-density update to the current state (the
+    profile correction no TEC-derived epoch can supply — data/ionosonde
+    module docstring) and returns the increment the serving layer folds
+    into the climatology pull target."""
+    from ionotomo_tpu.data import ionosonde as iono
+    from ionotomo_tpu.inversion.profile import log_profile_rms
+    from ionotomo_tpu.models import chapman as chap
+
+    w = moving_world(nt=1)
+    grid = w["grid"]
+    cov = GPCovariance.create(grid, sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+    # the stream's background carries a wrong vertical profile; the
+    # "true" ionosphere peaks 60 km higher
+    m_true = chap.log_parametrize(chap.chapman_field(grid,
+                                                     h_peak_km=420.0))
+    f = OnlineKalman(grid, cov, w["m_bg"], w["wind"], w["dt_s"],
+                     num_directions=w["n_dirs"], cg_iters=15)
+    rb = RayBundle(points=w["rays_seq"].points[0], ds=w["rays_seq"].ds[0])
+    f.step(rb, w["d_seq"][0], w["noise"])
+
+    probes = iono.bottomside_probes(m_true, grid,
+                                    [[-30.0, 20.0], [25.0, -35.0]],
+                                    n_per_station=10, noise_log=0.05,
+                                    seed=3)
+    rms0 = float(log_profile_rms(f.m, m_true, grid))
+    m_before = np.asarray(f.m)
+    delta = f.assimilate_probes(probes)
+    rms1 = float(log_profile_rms(f.m, m_true, grid))
+    assert rms1 < 0.6 * rms0, (rms0, rms1)          # profile corrected
+    np.testing.assert_array_equal(np.asarray(delta),
+                                  np.asarray(f.m) - m_before)
+
+
+def test_online_enkf_probe_sqrt_update_deterministic():
+    """EnKF probe assimilation is the square-root (deterministic) form —
+    bitwise repeatable so service restarts stay bit-identical — and is
+    refused before the first epoch builds the ensemble."""
+    import pytest
+
+    from ionotomo_tpu.data import ionosonde as iono
+    from ionotomo_tpu.forward.tec import log_ne_at
+    from ionotomo_tpu.models import chapman as chap
+
+    w = moving_world(nt=1)
+    grid = w["grid"]
+    cov = GPCovariance.create(grid, sigma=0.3, length_scale=80.0,
+                              kind="sqexp")
+    m_true = chap.log_parametrize(chap.chapman_field(grid,
+                                                     h_peak_km=420.0))
+    probes = iono.bottomside_probes(m_true, grid, [[0.0, 0.0]],
+                                    n_per_station=8, noise_log=0.05,
+                                    seed=5)
+
+    def run():
+        f = OnlineEnsembleKalman(grid, cov, w["m_bg"], w["wind"],
+                                 w["dt_s"], num_directions=w["n_dirs"],
+                                 key=jax.random.key(7), n_members=4,
+                                 cg_iters=10)
+        with pytest.raises(RuntimeError, match="first epoch"):
+            f.assimilate_probes(probes)
+        rb = RayBundle(points=w["rays_seq"].points[0],
+                       ds=w["rays_seq"].ds[0])
+        f.step(rb, w["d_seq"][0], w["noise"])
+
+        def obs_spread(ens):
+            h = jax.vmap(lambda m: log_ne_at(m, grid, probes.points))(ens)
+            return float(jnp.std(h, axis=0).mean())
+
+        spread0 = obs_spread(f.ens)
+        delta = f.assimilate_probes(probes)
+        return np.asarray(f.ens), np.asarray(delta), spread0, \
+            obs_spread(f.ens)
+
+    ens_a, delta_a, spread0, spread1 = run()
+    ens_b, delta_b, _, _ = run()
+    np.testing.assert_array_equal(ens_a, ens_b)      # deterministic
+    np.testing.assert_array_equal(delta_a, delta_b)
+    # the (I-KH) anomaly contraction tightens the OBSERVED directions
+    # (the global grid-mean spread need not shrink — the update is local
+    # to the sounder columns)
+    assert spread1 < spread0, (spread0, spread1)

@@ -289,3 +289,83 @@ def test_service_time_varying_climatology(tmp_path):
         a = Solution.load(out_tv / f"epoch_{i:06d}.h5").m
         b = Solution.load(out_b / f"epoch_{i:06d}.h5").m
         np.testing.assert_array_equal(a, b)
+
+
+def test_service_soundings_streaming_and_restart(tmp_path):
+    """Streaming ionosonde assimilation (*.sounding.npz in the watch
+    dir): held until the filter exists, assimilated once on arrival,
+    folded into the climatology pull target, recorded in the JSONL, and
+    bit-identical across a crash/restart."""
+    import jax.numpy as jnp
+
+    from ionotomo_tpu.data import ionosonde as iono
+    from ionotomo_tpu.models import chapman
+
+    watch = tmp_path / "in"; watch.mkdir()
+    out_a = tmp_path / "out_a"; out_b = tmp_path / "out_b"
+    _epoch_files(str(watch), 2)
+
+    svc = EpochService(str(watch), str(out_a), _cfg())
+    svc_b = EpochService(str(watch), str(out_b), _cfg())
+
+    # a sounding arriving before any epoch is held (the filter/grid are
+    # fixed by the first epoch's geometry): "a0..." sorts before the
+    # epoch files, so the loop visits it first and must leave it pending
+    np.savez(watch / "a0.sounding.npz",
+             points_enu=np.array([[0.0, 0.0, 350.0]]),
+             ne_m3=np.array([3e11]), noise_frac=np.array(0.05))
+    assert svc.process_available() == 2
+    assert "a0.sounding.npz" not in svc.processed    # held, not dropped
+    assert svc_b.process_available() == 2
+
+    # build a sounding from a wrong-profile truth on the service grid
+    grid = svc.grid
+    m_true = chapman.log_parametrize(chapman.chapman_field(
+        grid, h_peak_km=420.0))
+    origin = np.asarray(grid.origin); span = np.asarray(
+        grid.spacing) * (np.asarray(grid.shape) - 1)
+    cx, cy = origin[0] + 0.5 * span[0], origin[1] + 0.5 * span[1]
+    probes = iono.bottomside_probes(m_true, grid, [[cx, cy]],
+                                    n_per_station=6, noise_log=0.05,
+                                    seed=2)
+    iono.probes_to_npz(watch / "a1.sounding.npz", probes)
+    _epoch_files(str(watch), 1, start=2)
+
+    m_clim_before = np.asarray(svc.filter.m_clim)
+    assert svc.process_available() == 1     # epoch 2 + both soundings
+    assert "a1.sounding.npz" in svc.processed
+    assert "a0.sounding.npz" in svc.processed    # held one now ingested
+    assert svc.process_available() == 0          # ingest-once
+    # the learned correction is folded into the pull target
+    assert not np.array_equal(np.asarray(svc.filter.m_clim),
+                              m_clim_before)
+    recs = [json.loads(l) for l in open(out_a / "epochs.jsonl")]
+    snd = [r for r in recs if r.get("event") == "sounding"]
+    assert [r["file"] for r in snd] == ["a0.sounding.npz",
+                                       "a1.sounding.npz"]
+    assert snd[1]["n_probes"] == 6
+    assert all(r["mean_abs_dlogne"] > 0 for r in snd)
+
+    # crash/restart twin: svc_b never sees the new files; a fresh
+    # service over out_b must reproduce svc's stream bit-exactly
+    del svc_b
+    svc_b2 = EpochService(str(watch), str(out_b), _cfg())
+    assert svc_b2.process_available() == 1
+    for i in range(3):
+        sa = Solution.load(out_a / f"epoch_{i:06d}.h5")
+        sb = Solution.load(out_b / f"epoch_{i:06d}.h5")
+        np.testing.assert_allclose(sa.m, sb.m, atol=0)
+    np.testing.assert_array_equal(np.asarray(svc_b2.filter.m_clim),
+                                  np.asarray(svc.filter.m_clim))
+    np.testing.assert_array_equal(np.asarray(svc_b2._clim_delta),
+                                  np.asarray(svc._clim_delta))
+
+    # a permanently invalid sounding (out-of-grid) is recorded + skipped
+    bad = iono.NeProbes(points=jnp.asarray([[1e5, 1e5, 300.0]]),
+                        values=jnp.asarray([0.0]),
+                        noise_std=jnp.asarray(0.05))
+    iono.probes_to_npz(watch / "bad.sounding.npz", bad)
+    assert svc.process_available() == 0
+    assert "bad.sounding.npz" in svc.processed
+    recs = [json.loads(l) for l in open(out_a / "epochs.jsonl")]
+    assert any(r.get("event") == "bad_sounding" for r in recs)
