@@ -55,6 +55,28 @@ def cmd_simulate(args):
         sol = Solution(truth["grid"], truth["m"])
         sol.save(args.truth_out)
         print(f"wrote ground truth to {args.truth_out}")
+    if args.ionosonde_out:
+        import jax
+        import numpy as np
+        from .data import ionosonde as iono
+        grid = truth["grid"]
+        o = np.asarray(jax.device_get(grid.origin), np.float64)
+        span = np.asarray(jax.device_get(grid.spacing), np.float64) * (
+            np.asarray(grid.shape) - 1)
+        # stations in the central half of the footprint so every probe
+        # stays safely inside the grid (out-of-grid probes are refused)
+        rng = np.random.default_rng(args.seed + 1)
+        xy = np.stack([rng.uniform(o[a] + 0.25 * span[a],
+                                   o[a] + 0.75 * span[a],
+                                   args.ionosonde_stations)
+                       for a in (0, 1)], -1)
+        probes = iono.bottomside_probes(truth["m"], grid, xy,
+                                        noise_log=args.ionosonde_noise,
+                                        seed=args.seed + 1)
+        iono.probes_to_npz(args.ionosonde_out, probes)
+        print(f"wrote {int(probes.values.shape[0])} synthetic ionosonde "
+              f"probe(s) from {args.ionosonde_stations} station(s) to "
+              f"{args.ionosonde_out}")
 
 
 def cmd_serve(args):
@@ -299,6 +321,16 @@ def main(argv=None):
     s.add_argument("--curved-earth", action="store_true",
                    help="build the truth world with curved-Earth "
                         "geometry (true altitudes + solar terminator)")
+    s.add_argument("--ionosonde-out", default=None,
+                   help="also write synthetic bottomside ionosonde "
+                        "soundings of the truth world to this npz "
+                        "(the invert --ionosonde schema; name it "
+                        "*.sounding.npz and drop it in a serve watch "
+                        "directory to stream it)")
+    s.add_argument("--ionosonde-stations", type=int, default=2,
+                   help="number of synthetic sounder stations")
+    s.add_argument("--ionosonde-noise", type=float, default=0.05,
+                   help="log-space (≈relative) sounding noise")
     s.set_defaults(fn=cmd_simulate)
 
     i = sub.add_parser("invert", help="invert a DataPack to a Solution")

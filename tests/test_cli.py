@@ -115,3 +115,34 @@ def test_cli_serve_and_h5parm_predict(tmp_path):
     assert r.returncode == 0 and "h5parm" in r.stdout
     from ionotomo_tpu.data.datapack import DataPack
     assert DataPack.from_h5parm(pred).shape == (6, 1, 3)
+
+
+def test_cli_simulate_soundings_streamed_into_serve(tmp_path):
+    """simulate --ionosonde-out writes synthetic bottomside soundings of
+    the truth world; dropped into a serve watch dir as *.sounding.npz
+    they are assimilated live and recorded in the diagnostics stream."""
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    watch = tmp_path / "in"; watch.mkdir()
+    out = tmp_path / "out"
+    for i in range(2):
+        r = run(["simulate", "--out", str(watch / f"e{i}.h5"),
+                 "--antennas", "6", "--directions", "3", "--grid", "12",
+                 "--times", "1",
+                 "--mjd0", str(58000.45 + i * 30.0 / 86400.0)], repo)
+        assert r.returncode == 0, r.stderr[-500:]
+    r = run(["simulate", "--out", str(tmp_path / "unused.h5"),
+             "--antennas", "6", "--directions", "3", "--grid", "12",
+             "--ionosonde-out", str(watch / "s0.sounding.npz"),
+             "--ionosonde-stations", "2"], repo)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "synthetic ionosonde probe(s)" in r.stdout
+
+    r = run(["serve", str(watch), str(out), "--grid", "14",
+             "--samples", "17", "--cg-iters", "6", "--max-epochs", "2",
+             "--prior-kind", "sqexp"], repo)
+    assert r.returncode == 0, r.stderr[-500:]
+    recs = [json.loads(l) for l in open(out / "epochs.jsonl")]
+    snd = [x for x in recs if x.get("event") == "sounding"]
+    assert len(snd) == 1 and snd[0]["file"] == "s0.sounding.npz", recs
