@@ -44,6 +44,7 @@ from ..core import linalg
 from ..core.grids import Grid3D
 from ..forward import tec as tec_mod
 from ..geometry.rays import RayBundle
+from ..models import chapman
 from .priors import GPCovariance
 
 
@@ -92,11 +93,12 @@ def chapman_log_field(grid: Grid3D, theta: ProfileParams,
     h = _altitude(grid, curved)
     zt = (h - theta.h_peak_km) / theta.scale_km
     log_ne = theta.log_n_peak + 0.5 * (1.0 - zt - jnp.exp(-zt))
-    # same vacuum floor as models.chapman.log_parametrize — the steep
-    # bottomside otherwise reaches log-densities of -100s (physically
-    # all zero) that would dominate norms and stiffen the solve
-    log_ne = jnp.maximum(log_ne, jnp.log(1e-30))
-    prof = log_ne - jnp.log(constants.K_NE)
+    # the shared vacuum floor (models.chapman.M_FLOOR, applied to m
+    # itself) — the steep bottomside otherwise reaches log-densities of
+    # -100s (physically all zero) that would dominate norms and stiffen
+    # the solve; one constant keeps parametric and gridded log-fields
+    # identical in the vacuum tail (ADVICE r3)
+    prof = jnp.maximum(log_ne - jnp.log(constants.K_NE), chapman.M_FLOOR)
     if curved:
         return prof
     return jnp.broadcast_to(prof[None, None, :], grid.shape)
@@ -118,8 +120,7 @@ def multi_chapman_log_field(grid: Grid3D, theta_arr: jax.Array,
         zt = (hh - hp) / sc
         logs.append(ln + 0.5 * (1.0 - zt - jnp.exp(-zt)))
     log_ne = jax.scipy.special.logsumexp(jnp.stack(logs, axis=0), axis=0)
-    log_ne = jnp.maximum(log_ne, jnp.log(1e-30))
-    prof = log_ne - jnp.log(constants.K_NE)
+    prof = jnp.maximum(log_ne - jnp.log(constants.K_NE), chapman.M_FLOOR)
     return jnp.broadcast_to(prof, grid.shape)
 
 

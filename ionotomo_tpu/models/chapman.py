@@ -216,6 +216,15 @@ def background_ne_fn(n_peak=1.0e12, h_peak_km=350.0, scale_km=80.0,
     return fn
 
 
+#: Vacuum floor of the log-parametrization m = log(n_e/K_NE) ≈ -85.2:
+#: the ratio floor 1e-37 is a normal f32 number (no FTZ), far below any
+#: physical density. ONE constant shared by ``log_parametrize`` and the
+#: parametric profile fields (inversion/profile.py) so gridded and
+#: parametric log-fields agree in the vacuum tail (ADVICE r3: the floors
+#: had diverged by ~9 log units).
+M_FLOOR = float(np.log(1e-37))
+
+
 def log_parametrize(n_e):
     """m = log(n_e / K_NE), clipped away from -inf for vanishing density.
 
@@ -224,8 +233,7 @@ def log_parametrize(n_e):
     after /K_NE, which is subnormal and flushed to zero on TPU and XLA
     CPU alike, so deep Chapman tails (e.g. 25 km below a 420 km peak)
     came out -inf and NaN-poisoned every interpolation touching the
-    bottom grid nodes. 1e-37 is a normal f32 number; the floor is
-    m = -85.2, far below any physical density."""
+    bottom grid nodes. The floor is ``M_FLOOR`` = log(1e-37) ≈ -85.2."""
     return jnp.log(jnp.maximum(n_e / constants.K_NE, 1e-37))
 
 

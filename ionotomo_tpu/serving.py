@@ -108,6 +108,7 @@ class EpochService:
         self._probe_cov = probe_cov
         self._probe_update_clim = bool(probe_update_clim)
         self._clim_delta = None    # accumulated sounding corrections
+        self._sounding_fail = {}   # name -> size at last schema failure
         self._key = key if key is not None else jax.random.key(0)
         if os.path.exists(self.state_path):
             self._load_state()
@@ -136,6 +137,12 @@ class EpochService:
             # reproduce the uninterrupted float sequence bit-exactly
             state["probe_clim_delta"] = np.asarray(self._clim_delta)
             state["probe_m_clim"] = np.asarray(self.filter.m_clim)
+        # probe settings are part of the run's identity too: a restart
+        # with a different probe covariance or probe_update_clim would
+        # silently change the stream's response to future soundings
+        # (ADVICE r3) — fingerprint and refuse on mismatch in _load_state
+        state["probe_fingerprint"] = np.asarray(self._probe_fingerprint(),
+                                                dtype="U")
         ckpt_mod.save_checkpoint(self.out_dir, self.filter.t, state,
                                  self.config.to_json(),
                                  name=os.path.basename(self.state_path))
@@ -159,6 +166,14 @@ class EpochService:
                 "different engine configuration — resuming would silently "
                 "mix two runs; point the service at a fresh out_dir or "
                 "restore the original configuration")
+        saved_probe_fp = str(state.pop("probe_fingerprint", ""))
+        if saved_probe_fp and saved_probe_fp != self._probe_fingerprint():
+            raise ValueError(
+                "state.npz was produced with different ionosonde-probe "
+                "settings (probe_cov / probe_update_clim) than this "
+                "service is configured with — resuming would silently "
+                "change the stream's response to future soundings; use a "
+                "fresh out_dir or restore the original probe settings")
         self._build_filter()
         if "probe_clim_delta" in state:
             self._clim_delta = jnp.asarray(state.pop("probe_clim_delta"))
@@ -189,12 +204,40 @@ class EpochService:
             with open(self.metrics_path) as f:
                 for line in f:
                     try:
-                        if json.loads(line)["epoch"] < self.filter.t:
-                            kept.append(line)
-                    except (ValueError, KeyError):
-                        pass
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    # event records (sounding / bad_sounding / unreadable)
+                    # carry no "epoch" key — they are the audit trail for
+                    # skipped files and must survive restarts (ADVICE r3:
+                    # the old epoch-only keep silently deleted them)
+                    if "epoch" not in rec or rec["epoch"] < self.filter.t:
+                        kept.append(line)
             with open(self.metrics_path, "w") as f:
                 f.writelines(kept)
+
+    def _probe_fingerprint(self) -> str:
+        """Canonical JSON of the sounding-assimilation settings — the
+        restart-identity record for ``probe_cov``/``probe_update_clim``.
+        A custom covariance is fingerprinted by its defining parameters
+        (GPCovariance carries them); an object without them is recorded
+        by type name only — such covariances are compared by identity of
+        configuration, not numerics (document custom operators in the
+        run's own config management)."""
+        cov = self._probe_cov
+        if cov is None:
+            cov_fp = None
+        else:
+            try:
+                ls = cov.length_scale
+                ls = (list(np.asarray(ls, np.float64).ravel())
+                      if np.ndim(ls) else float(ls))
+                cov_fp = dict(sigma=float(cov.sigma), length_scale=ls,
+                              kind=str(cov.kind))
+            except AttributeError:
+                cov_fp = dict(type=type(cov).__name__)
+        return json.dumps(dict(update_clim=self._probe_update_clim,
+                               cov=cov_fp), sort_keys=True)
 
     def _config_compatible(self, cfg_json: str) -> bool:
         """Same contract as InversionPipeline._config_compatible: every
@@ -242,7 +285,8 @@ class EpochService:
                   anchor_cov=self._anchor_cov,
                   quadrature=c.rays.quadrature,
                   interp=c.rays.interp,
-                  inner_samples=c.rays.inner_samples)
+                  inner_samples=c.rays.inner_samples,
+                  adapt_r=c.solver.adapt_r)
         if c.solver.solver == "enkf":
             self.filter = OnlineEnsembleKalman(
                 self.grid, cov, m_prior, self._wind, dt_s=30.0,
@@ -285,31 +329,73 @@ class EpochService:
     def _ingest_sounding(self, name: str, path: str):
         """Assimilate one ``*.sounding.npz`` ionosonde file (module
         docstring). Held (left pending) until the filter state exists;
-        permanently invalid files are recorded and marked processed."""
+        permanently invalid files are recorded and marked processed.
+
+        Producers should write-then-rename atomically; as a safety net a
+        file failing schema validation is retried until its size is
+        stable across two polls before being marked permanently bad — a
+        truncated npz member from a non-atomic writer raises the same
+        ValueError a genuinely malformed file does (ADVICE r3).
+
+        Returns True when an ingest was attempted (the filter existed),
+        False when the file was held — process_available uses this to
+        revisit held soundings once the first epoch lands without
+        re-attempting same-poll failures."""
         import zipfile
 
-        from .data.ionosonde import probes_from_npz
+        from .data.ionosonde import probes_from_arrays
 
         if self.filter is None or self.filter.t == 0:
-            return                       # retry once an epoch has landed
-        try:
-            probes = probes_from_npz(self.grid, path)
-        except (OSError, zipfile.BadZipFile) as e:
-            # partially-written: retry next poll. Soundings do not gate
-            # the epoch files' time order, so no need to stop ingestion.
+            return False                 # retry once an epoch has landed
+
+        def _unreadable(e):
             with open(self.metrics_path, "a") as f:
                 f.write(json.dumps(dict(event="unreadable", file=name,
                                         error=str(e)[:200])) + "\n")
-            return
-        except (ValueError, KeyError) as e:
-            # permanently invalid (out-of-grid points / wrong schema):
-            # record and never retry
+
+        def _bad(e):
+            self._sounding_fail.pop(name, None)
             with open(self.metrics_path, "a") as f:
                 f.write(json.dumps(dict(event="bad_sounding", file=name,
                                         error=str(e)[:200])) + "\n")
             self.processed.append(name)
             self._save_state()
-            return
+
+        # stage 1 — read the raw arrays. Errors here are I/O-shaped: a
+        # non-atomic writer's truncated file raises OSError/BadZipFile
+        # (no zip directory yet) or ValueError/KeyError (directory
+        # present, member truncated/missing) — retry until the file size
+        # is stable across two polls before declaring the schema bad.
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                raw = dict(points_enu=np.array(z["points_enu"]),
+                           ne_m3=np.array(z["ne_m3"]),
+                           noise_frac=np.array(z["noise_frac"]))
+        except (OSError, zipfile.BadZipFile) as e:
+            # partially-written: retry next poll. Soundings do not gate
+            # the epoch files' time order, so no need to stop ingestion.
+            _unreadable(e)
+            return True
+        except (ValueError, KeyError) as e:
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                return True              # vanished mid-read: retry
+            if self._sounding_fail.get(name) != size:
+                self._sounding_fail[name] = size
+                _unreadable(e)
+                return True              # retry once the size is stable
+            _bad(e)
+            return True
+        # stage 2 — semantic validation (out-of-grid points, bad shapes):
+        # the file read cleanly, so this is permanently invalid
+        try:
+            probes = probes_from_arrays(self.grid, raw["points_enu"],
+                                        raw["ne_m3"], raw["noise_frac"])
+        except (ValueError, KeyError) as e:
+            _bad(e)
+            return True
+        self._sounding_fail.pop(name, None)
         t0 = time.perf_counter()
         delta = self.filter.assimilate_probes(probes, cov=self._probe_cov)
         if self._probe_update_clim:
@@ -325,15 +411,18 @@ class EpochService:
             )) + "\n")
         self.processed.append(name)
         self._save_state()
+        return True
 
     def process_available(self) -> int:
         """Ingest every unprocessed epoch file currently present; returns
         the number of epochs (timesteps) assimilated."""
         n_epochs = 0
+        tried_soundings = set()
         for name in self._pending():
             path = os.path.join(self.watch_dir, name)
             if name.endswith(".sounding.npz"):
-                self._ingest_sounding(name, path)
+                if self._ingest_sounding(name, path):
+                    tried_soundings.add(name)
                 continue
             try:
                 dp = DataPack.load(path)
@@ -411,6 +500,16 @@ class EpochService:
                 n_epochs += 1
             self.processed.append(name)
             self._save_state()
+        # soundings held while the filter didn't exist sort BEFORE the
+        # first epoch file and were skipped above; revisit them now that
+        # epochs have landed, so run(max_epochs=N) can never exit with an
+        # assimilable sounding left permanently pending (ADVICE r3)
+        if self.filter is not None and self.filter.t > 0:
+            for name in self._pending():
+                if (name.endswith(".sounding.npz")
+                        and name not in tried_soundings):
+                    self._ingest_sounding(
+                        name, os.path.join(self.watch_dir, name))
         return n_epochs
 
     def run(self, poll_s: float = 2.0, max_epochs: int = None):

@@ -308,14 +308,15 @@ def test_service_soundings_streaming_and_restart(tmp_path):
     svc = EpochService(str(watch), str(out_a), _cfg())
     svc_b = EpochService(str(watch), str(out_b), _cfg())
 
-    # a sounding arriving before any epoch is held (the filter/grid are
-    # fixed by the first epoch's geometry): "a0..." sorts before the
-    # epoch files, so the loop visits it first and must leave it pending
+    # a sounding arriving before any epoch is held while the filter
+    # doesn't exist ("a0..." sorts before the epoch files, so the loop
+    # visits it first), then assimilated by the end-of-poll revisit pass
+    # in the SAME call that lands the epochs (ADVICE r3)
     np.savez(watch / "a0.sounding.npz",
              points_enu=np.array([[0.0, 0.0, 350.0]]),
              ne_m3=np.array([3e11]), noise_frac=np.array(0.05))
     assert svc.process_available() == 2
-    assert "a0.sounding.npz" not in svc.processed    # held, not dropped
+    assert "a0.sounding.npz" in svc.processed    # held, then ingested
     assert svc_b.process_available() == 2
 
     # build a sounding from a wrong-profile truth on the service grid
@@ -332,9 +333,8 @@ def test_service_soundings_streaming_and_restart(tmp_path):
     _epoch_files(str(watch), 1, start=2)
 
     m_clim_before = np.asarray(svc.filter.m_clim)
-    assert svc.process_available() == 1     # epoch 2 + both soundings
+    assert svc.process_available() == 1     # epoch 2 + the a1 sounding
     assert "a1.sounding.npz" in svc.processed
-    assert "a0.sounding.npz" in svc.processed    # held one now ingested
     assert svc.process_available() == 0          # ingest-once
     # the learned correction is folded into the pull target
     assert not np.array_equal(np.asarray(svc.filter.m_clim),
@@ -369,3 +369,97 @@ def test_service_soundings_streaming_and_restart(tmp_path):
     assert "bad.sounding.npz" in svc.processed
     recs = [json.loads(l) for l in open(out_a / "epochs.jsonl")]
     assert any(r.get("event") == "bad_sounding" for r in recs)
+
+def test_service_advice_r3_sounding_hardening(tmp_path):
+    """ADVICE r3 regression battery for the sounding channel:
+    (1) a held sounding sorting before the first epoch file is
+    assimilated within the SAME process_available call that lands the
+    epochs (run(max_epochs) can no longer exit with it pending);
+    (2) a truncated/incomplete sounding npz is retried until its size is
+    stable across two polls before being marked permanently bad;
+    (3) sounding/bad_sounding/unreadable event records survive the
+    restart JSONL prune;
+    (4) restarting with different probe settings refuses."""
+    watch = tmp_path / "in"; watch.mkdir()
+    out = tmp_path / "out"
+
+    # (1) sounding present BEFORE any epoch file: one call must land the
+    # epochs AND the held sounding (the end-of-poll revisit pass)
+    np.savez(watch / "a0.sounding.npz",
+             points_enu=np.array([[0.0, 0.0, 350.0]]),
+             ne_m3=np.array([3e11]), noise_frac=np.array(0.05))
+    _epoch_files(str(watch), 1)
+    svc = EpochService(str(watch), str(out), _cfg())
+    assert svc.process_available() == 1
+    assert "a0.sounding.npz" in svc.processed
+    recs = [json.loads(l) for l in open(out / "epochs.jsonl")]
+    assert any(r.get("event") == "sounding" for r in recs)
+
+    # (2) an npz missing a schema member (what a truncated write looks
+    # like once the zip directory exists): first poll retries, second
+    # poll (size stable) marks it permanently bad
+    np.savez(watch / "t0.sounding.npz",
+             points_enu=np.array([[0.0, 0.0, 350.0]]))
+    assert svc.process_available() == 0
+    assert "t0.sounding.npz" not in svc.processed       # retried
+    recs = [json.loads(l) for l in open(out / "epochs.jsonl")]
+    assert any(r.get("event") == "unreadable"
+               and r["file"] == "t0.sounding.npz" for r in recs)
+    assert svc.process_available() == 0
+    assert "t0.sounding.npz" in svc.processed           # size stable: bad
+    recs = [json.loads(l) for l in open(out / "epochs.jsonl")]
+    assert any(r.get("event") == "bad_sounding"
+               and r["file"] == "t0.sounding.npz" for r in recs)
+
+    # (3) restart: the event audit trail must survive the JSONL prune
+    svc2 = EpochService(str(watch), str(out), _cfg())
+    recs = [json.loads(l) for l in open(out / "epochs.jsonl")]
+    assert any(r.get("event") == "sounding" for r in recs)
+    assert any(r.get("event") == "bad_sounding" for r in recs)
+    assert [r["epoch"] for r in recs if "epoch" in r] == [0]
+    assert svc2.process_available() == 0
+
+    # (4) different probe settings refuse to resume over the same state
+    with pytest.raises(ValueError, match="probe"):
+        EpochService(str(watch), str(out), _cfg(),
+                     probe_update_clim=False)
+
+def test_service_adaptive_r_streams_and_restarts(tmp_path):
+    """Streaming adaptive R through the service (VERDICT r3 #3): with
+    solver.adapt_r > 0 every epoch logs the learned r_scale, the scale
+    persists in state.npz, and a killed/restarted service reproduces the
+    adapted stream bit-exactly."""
+    import dataclasses
+
+    watch = tmp_path / "in"; watch.mkdir()
+    out_a = tmp_path / "out_a"; out_b = tmp_path / "out_b"
+    _epoch_files(str(watch), 3)
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, adapt_r=0.3))
+
+    svc = EpochService(str(watch), str(out_a), cfg)
+    assert svc.process_available() == 3
+    recs = [json.loads(l) for l in open(out_a / "epochs.jsonl")]
+    assert all("r_scale" in r for r in recs if "epoch" in r)
+    assert svc.filter.r_scale != 1.0      # the EMA moved
+
+    # interrupted twin: 2 epochs, crash, restart, finish
+    svc_b = EpochService(str(watch), str(out_b), cfg)
+    os.rename(watch / "epoch_002.h5", tmp_path / "stash.h5")
+    assert svc_b.process_available() == 2
+    del svc_b
+    os.rename(tmp_path / "stash.h5", watch / "epoch_002.h5")
+    svc_b2 = EpochService(str(watch), str(out_b), cfg)
+    assert svc_b2.filter.r_scale != 1.0   # scale restored from state.npz
+    assert svc_b2.process_available() == 1
+    assert svc_b2.filter.r_scale == svc.filter.r_scale
+    for i in range(3):
+        sa = Solution.load(out_a / f"epoch_{i:06d}.h5")
+        sb = Solution.load(out_b / f"epoch_{i:06d}.h5")
+        np.testing.assert_array_equal(sa.m, sb.m)
+    ra = [json.loads(l)["r_scale"] for l in open(out_a / "epochs.jsonl")
+          if "epoch" in json.loads(l)]
+    rb = [json.loads(l)["r_scale"] for l in open(out_b / "epochs.jsonl")
+          if "epoch" in json.loads(l)]
+    assert ra == rb
