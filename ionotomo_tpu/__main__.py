@@ -97,7 +97,8 @@ def cmd_serve(args):
         solver=SolverConfig(solver=args.solver, cg_iters=args.cg_iters,
                             kalman_fade=args.fade,
                             wind_adapt_iters=args.wind_adapt,
-                            wind_shear=args.wind_shear),
+                            wind_shear=args.wind_shear,
+                            adapt_r=args.adapt_r),
     )
     svc = EpochService(args.watch_dir, args.out_dir, cfg,
                        wind_kmps=args.wind,
@@ -517,6 +518,13 @@ def main(argv=None):
     v.add_argument("--wind-adapt", type=int, default=0, metavar="N",
                    help="online wind tracking per epoch (see invert "
                         "--wind-adapt)")
+    v.add_argument("--adapt-r", type=float, default=0.0, metavar="ALPHA",
+                   help="streaming adaptive observation-noise scale: "
+                        "EMA weight of the per-epoch innovation-"
+                        "consistency noise MLE (0 = off; ~0.1 typical). "
+                        "The learned scale multiplies each epoch's "
+                        "noise, persists in state.npz, and is logged as "
+                        "r_scale in epochs.jsonl")
     v.add_argument("--fade", type=float, default=1.0,
                    help="per-step pull toward the climatology (1.0 = "
                         "pure frozen flow; <1 enables the clim pull)")

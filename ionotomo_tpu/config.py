@@ -169,9 +169,16 @@ class SolverConfig:
     noise_adapt_every: int = 0  # kalman/enkf: >0 re-fits a common noise
                                 # rescaling every N-th chunk boundary by
                                 # the exact dense evidence on that
-                                # epoch's innovation (adaptive R —
+                                # epoch's innovation (batch adaptive R —
                                 # pipeline._fit_noise_scale); the scale
                                 # is checkpointed and resume-identical
+    adapt_r: float = 0.0        # streaming adaptive R (online filters +
+                                # serving): per-epoch innovation-
+                                # consistency noise-scale MLE, EMA'd with
+                                # this weight into the running scale
+                                # (kalman._innov_noise_scale_sq /
+                                # online._ema_scale); the scale persists
+                                # in state.npz, restart-bit-identical
 
 
 @dataclasses.dataclass(frozen=True)

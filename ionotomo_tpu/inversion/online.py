@@ -28,6 +28,19 @@ from .kalman import ensemble_kalman_filter, kalman_filter
 from .priors import GPCovariance
 
 
+def _ema_scale(scale: float, rho2_inst: float, alpha: float,
+               bounds) -> float:
+    """One EMA step of the adaptive observation-noise scale: the current
+    scale S and this epoch's instantaneous noise-scale-squared MLE ρ̂²
+    (relative to the APPLIED noise S·σ) combine as
+    S² ← S²·((1−α) + α·ρ̂²), clipped to ``bounds``. Pure float64 host
+    arithmetic on a device scalar — deterministic, so restarted streams
+    reproduce the adapted sequence bit-exactly."""
+    s2 = (scale * scale) * ((1.0 - alpha) + alpha * rho2_inst)
+    lo, hi = bounds
+    return float(min(max(np.sqrt(s2), lo), hi))
+
+
 class OnlineKalman:
     """Streaming frozen-flow Kalman filter (point estimate)."""
 
@@ -38,7 +51,9 @@ class OnlineKalman:
                  anchor_cov: GPCovariance = None,
                  quadrature: str = "hermite", interp: str = "cubic",
                  inner_samples: int = 0,
-                 wind_adapt_iters: int = 0):
+                 wind_adapt_iters: int = 0,
+                 adapt_r: float = 0.0,
+                 adapt_r_bounds=(0.1, 30.0)):
         self.grid = grid
         self.cov = cov
         self.m_clim = jnp.asarray(m0)
@@ -68,6 +83,21 @@ class OnlineKalman:
         # persists through state_dict, so a long-running service follows
         # real drift changes instead of the bootstrap estimate
         self.wind_adapt_iters = int(wind_adapt_iters)
+        # >0: adaptive observation-noise scale (variance-matched EMA).
+        # Each epoch's innovation yields the one-parameter MLE ρ̂² of the
+        # noise-scale-squared under the filter's own assumed statistics
+        # (kalman._innov_noise_scale_sq), and the running scale S is
+        # updated as S² ← S²·((1−α) + α·ρ̂²) with α = adapt_r — a
+        # mis-stated noise floor in the stream's DataPacks is learned
+        # online instead of mis-weighting every update. S multiplies the
+        # nominal noise_std each step, persists in state_dict
+        # ("r_scale"), and the probe randomness is keyed by epoch index,
+        # so restarts reproduce the adapted stream bit-exactly.
+        # adapt_r_bounds clips S (safety rails against transients).
+        self.adapt_r = float(adapt_r)
+        self.adapt_r_bounds = (float(adapt_r_bounds[0]),
+                               float(adapt_r_bounds[1]))
+        self.r_scale = 1.0
         self.t = 0
 
     def step(self, rays_t: RayBundle, d_t, noise_t, anchor_values=None,
@@ -89,9 +119,16 @@ class OnlineKalman:
                              ds=rays_t.ds[None])
         inner_seq = (inner_bundle(rays_seq, self.inner_samples)
                      if self.inner_samples > 0 else None)
+        adapt = self.adapt_r > 0.0
+        # the adapted scale multiplies the nominal per-epoch noise; the
+        # statistic's probe key derives from the global epoch index, so
+        # a restarted service consumes identical randomness (t persists)
+        noise_eff = jnp.asarray(noise_t) * jnp.float32(self.r_scale)
+        stats_key = (jax.random.fold_in(jax.random.key(0xADA0), self.t)
+                     if adapt else None)
         res = kalman_filter(
             self.grid, rays_seq,
-            jnp.asarray(d_t)[None], jnp.asarray(noise_t),
+            jnp.asarray(d_t)[None], noise_eff,
             self.m, self.cov, self.wind, self.dt_s,
             num_directions=self.nd, i0=self.i0, cg_iters=self.cg_iters,
             cg_tol=self.cg_tol, fade=self.fade,
@@ -100,7 +137,8 @@ class OnlineKalman:
             anchor_cov=self.anchor_cov, quadrature=self.quadrature,
             interp=self.interp,
             m_clim_seq=clim_seq, rays_inner_seq=inner_seq,
-            wind_adapt_iters=self.wind_adapt_iters)
+            wind_adapt_iters=self.wind_adapt_iters,
+            innov_stats=adapt, stats_key=stats_key)
         self.m = res.m_seq[0]
         if self.wind_adapt_iters > 0:
             self.wind = np.asarray(res.wind_seq[0], np.float64)
@@ -110,6 +148,11 @@ class OnlineKalman:
                     post_residual=float(res.post_residuals[0]))
         if self.wind_adapt_iters > 0:
             diag["wind_kmps"] = self.wind.tolist()  # nested for (2,3) shear
+        if adapt:
+            self.r_scale = _ema_scale(self.r_scale,
+                                      float(res.innov_q[0]),
+                                      self.adapt_r, self.adapt_r_bounds)
+            diag["r_scale"] = self.r_scale
         return self.m, diag
 
     def assimilate_probes(self, probes, cov=None, gn_iters: int = 2,
@@ -127,7 +170,7 @@ class OnlineKalman:
         m_new = anchors_mod.assimilate_probes(
             self.grid, self.m, probes, cov=cov, gn_iters=gn_iters,
             cg_iters=self.cg_iters if cg_iters is None else cg_iters,
-            cg_tol=cg_tol)
+            cg_tol=cg_tol, interp=self.interp)
         delta = m_new - self.m
         self.m = m_new
         return delta
@@ -136,7 +179,8 @@ class OnlineKalman:
 
     def state_dict(self):
         return {"m": np.asarray(self.m), "t": np.int64(self.t),
-                "wind_kmps": self.wind, "dt_s": np.float64(self.dt_s)}
+                "wind_kmps": self.wind, "dt_s": np.float64(self.dt_s),
+                "r_scale": np.float64(self.r_scale)}
 
     def load_state(self, state):
         self.m = jnp.asarray(state["m"])
@@ -144,6 +188,8 @@ class OnlineKalman:
         self.wind = np.asarray(state["wind_kmps"])
         if "dt_s" in state:        # pre-upgrade states keep their default
             self.dt_s = float(state["dt_s"])
+        if "r_scale" in state:     # adaptive-R scale rides restarts
+            self.r_scale = float(state["r_scale"])
 
 
 class OnlineEnsembleKalman:
@@ -157,7 +203,9 @@ class OnlineEnsembleKalman:
                  anchors=None, anchor_cov: GPCovariance = None,
                  quadrature: str = "hermite", interp: str = "cubic",
                  anchor_update: str = "sqrt", inner_samples: int = 0,
-                 wind_adapt_iters: int = 0):
+                 wind_adapt_iters: int = 0,
+                 adapt_r: float = 0.0,
+                 adapt_r_bounds=(0.1, 30.0)):
         self.grid = grid
         self.cov = cov
         self.m_clim = jnp.asarray(m0)
@@ -180,6 +228,13 @@ class OnlineEnsembleKalman:
         self.interp = str(interp)
         self.inner_samples = int(inner_samples)   # see OnlineKalman
         self.wind_adapt_iters = int(wind_adapt_iters)   # see OnlineKalman
+        # adaptive observation-noise scale (see OnlineKalman) — the EnKF
+        # form needs no probes: diag(H P_f Hᵀ) is the spread of the
+        # member forwards the updates already compute
+        self.adapt_r = float(adapt_r)
+        self.adapt_r_bounds = (float(adapt_r_bounds[0]),
+                               float(adapt_r_bounds[1]))
+        self.r_scale = 1.0
         self.ens = None      # built by the filter on the first step
         self.t = 0
 
@@ -198,9 +253,11 @@ class OnlineEnsembleKalman:
                              ds=rays_t.ds[None])
         inner_seq = (inner_bundle(rays_seq, self.inner_samples)
                      if self.inner_samples > 0 else None)
+        adapt = self.adapt_r > 0.0
+        noise_eff = jnp.asarray(noise_t) * jnp.float32(self.r_scale)
         res = ensemble_kalman_filter(
             self.grid, rays_seq,
-            jnp.asarray(d_t)[None], jnp.asarray(noise_t),
+            jnp.asarray(d_t)[None], noise_eff,
             self.m_clim, self.cov, self.wind, self.dt_s,
             num_directions=self.nd, key=self.key,
             n_members=self.n_members, i0=self.i0, cg_iters=self.cg_iters,
@@ -213,7 +270,8 @@ class OnlineEnsembleKalman:
             anchor_update=self.anchor_update,
             quadrature=self.quadrature, interp=self.interp,
             m_clim_seq=clim_seq, rays_inner_seq=inner_seq,
-            wind_adapt_iters=self.wind_adapt_iters)
+            wind_adapt_iters=self.wind_adapt_iters,
+            innov_stats=adapt)
         self.ens = res.ensemble
         if self.wind_adapt_iters > 0:
             self.wind = np.asarray(res.wind_seq[0], np.float64)
@@ -221,6 +279,11 @@ class OnlineEnsembleKalman:
         diag = dict(t=self.t - 1, pre_residual=float(res.residuals[0]))
         if self.wind_adapt_iters > 0:
             diag["wind_kmps"] = self.wind.tolist()  # nested for (2,3) shear
+        if adapt:
+            self.r_scale = _ema_scale(self.r_scale,
+                                      float(res.innov_q[0]),
+                                      self.adapt_r, self.adapt_r_bounds)
+            diag["r_scale"] = self.r_scale
         return res.mean_seq[0], res.std_seq[0], diag
 
     def assimilate_probes(self, probes, cov=None, cg_iters: int = None,
@@ -241,12 +304,13 @@ class OnlineEnsembleKalman:
         self.ens = anchors_mod.probe_sqrt_update(
             self.grid, self.ens, probes, cov=cov,
             cg_iters=self.cg_iters if cg_iters is None else cg_iters,
-            cg_tol=cg_tol)
+            cg_tol=cg_tol, interp=self.interp)
         return self.ens.mean(0) - mean0
 
     def state_dict(self):
         return {"ensemble": np.asarray(self.ens), "t": np.int64(self.t),
-                "wind_kmps": self.wind, "dt_s": np.float64(self.dt_s)}
+                "wind_kmps": self.wind, "dt_s": np.float64(self.dt_s),
+                "r_scale": np.float64(self.r_scale)}
 
     def load_state(self, state):
         self.ens = jnp.asarray(state["ensemble"])
@@ -254,3 +318,5 @@ class OnlineEnsembleKalman:
         self.wind = np.asarray(state["wind_kmps"])
         if "dt_s" in state:        # pre-upgrade states keep their default
             self.dt_s = float(state["dt_s"])
+        if "r_scale" in state:     # adaptive-R scale rides restarts
+            self.r_scale = float(state["r_scale"])

@@ -648,8 +648,13 @@ class InversionPipeline:
                     # vertical columns pin the column, not the shape)
                     self._estimate_profile(anchors, probes)
                 else:
+                    # the run's (quadrature, interp) thread through so
+                    # the sequential anchor fit uses the same operator
+                    # discretization as the solves (VERDICT r3 weak #3)
                     self.m_prior = anchors_mod.assimilate_anchors(
-                        self.grid, self.m_prior, self.anchor_cov, anchors)
+                        self.grid, self.m_prior, self.anchor_cov, anchors,
+                        quadrature=self.config.rays.quadrature,
+                        interp=self.config.rays.interp)
                 if solver_name in ("kalman", "enkf"):
                     # time-evolving runs re-anchor every epoch (the state
                     # drifts; the filters' per-step anchor sub-update)
@@ -672,8 +677,9 @@ class InversionPipeline:
                 # the last word); with estimate_profile the probes were
                 # already consumed by the joint (θ, δm) solve above
                 from .anchors import assimilate_probes
-                self.m_prior = assimilate_probes(self.grid, self.m_prior,
-                                                 probes)
+                self.m_prior = assimilate_probes(
+                    self.grid, self.m_prior, probes,
+                    interp=self.config.rays.interp)
         rt = self.config.runtime
         if rt.profile_dir:
             from ..utils.metrics import profile_to
