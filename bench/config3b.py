@@ -70,16 +70,22 @@ def main():
                                 frequency_hz=150e6, n_steps=256,
                                 noise_frac=0.0)
 
-    gn_iters, cg_iters = 2, 20
+    gn_iters = 2
+    cg_iters = int(os.environ.get("BENCH_CG_ITERS", "20"))
+    # round-4 knob: BENCH_WARM=1 — warm-started GN continuation
+    # (same-data Krylov carry, DESIGN.md §16), letting BENCH_CG_ITERS
+    # drop at equal held-out skill. Defaults preserve the r3 row.
+    warm = os.environ.get("BENCH_WARM", "") == "1"
     f = jax.jit(lambda d: solvers.map_gauss_newton(
         grid, rb, d, noise, m_prior, cov, num_directions=100,
         gn_iters=gn_iters, cg_iters=cg_iters, quadrature=quadrature,
-        interp=interp))
+        interp=interp, warm_start=warm))
     res, secs = timed(f, jnp.asarray(d_obs), reps=1)
     emit("config3b", "northstar_128_10k_seconds", secs, "s",
          under_10s=bool(secs < 10.0),
          cg_iters_per_sec=gn_iters * cg_iters / secs,
          n_samples=n_samples, quadrature=quadrature, interp=interp,
+         warm_start=warm, cg_iters=cg_iters,
          covered_rmse_prior=covered_rmse(m_prior, m_true, grid, rb),
          covered_rmse_post=covered_rmse(res.m, m_true, grid, rb),
          heldout_dtec_rms_prior=heldout_dtec_rms(m_prior, grid, ants_h,

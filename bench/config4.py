@@ -93,6 +93,14 @@ def main():
                                 noise_frac=0.0)
 
     gn_iters, cg_iters = 2, 20
+    # round-4 knobs (DESIGN.md §16): BENCH_INTERP_INNER — mixed
+    # field-model fidelity (zp Jacobian / cubic residuals; the zp xy
+    # bias never enters the misfit); BENCH_WARM — stage 2 continues
+    # stage 1's whitened Krylov solution (u_final → u0, same data);
+    # BENCH_CG2 — stage-2 inner depth (warm continuation needs less).
+    interp_inner = os.environ.get("BENCH_INTERP_INNER", "") or None
+    warm = os.environ.get("BENCH_WARM", "") == "1"
+    cg2 = int(os.environ.get("BENCH_CG2", str(cg_iters)))
     progressive = (os.environ.get("BENCH_PROGRESSIVE", "1") == "1"
                    and inner > 0)
     if progressive:
@@ -105,18 +113,22 @@ def main():
             r1 = solvers.map_gauss_newton(
                 grid, rb_inner, d, noise, m_prior, cov,
                 num_directions=100, gn_iters=1, cg_iters=cg_iters,
-                quadrature=quadrature, interp=interp)
+                quadrature=quadrature, interp=interp,
+                warm_start=warm, interp_inner=interp_inner)
             return solvers.map_gauss_newton(
                 grid, rb, d, noise, m_prior, cov, num_directions=100,
-                gn_iters=1, cg_iters=cg_iters, quadrature=quadrature,
+                gn_iters=1, cg_iters=cg2, quadrature=quadrature,
                 interp=interp, m0=r1.m,
+                warm_start=warm, u0=(r1.u_final if warm else None),
+                interp_inner=interp_inner,
                 rays_inner=(rb_inner if os.environ.get(
                     "BENCH_PROGRESSIVE_MIXED", "") == "1" else None))
     else:
         f = jax.jit(lambda d: solvers.map_gauss_newton(
             grid, rb, d, noise, m_prior, cov, num_directions=100,
             gn_iters=gn_iters, cg_iters=cg_iters, quadrature=quadrature,
-            interp=interp, rays_inner=rb_inner))
+            interp=interp, rays_inner=rb_inner,
+            warm_start=warm, interp_inner=interp_inner))
     res, secs = timed(f, jnp.asarray(d_obs), reps=1)
     err_pr = covered_rmse(m_prior, m_true, grid, rb)
     err_po = covered_rmse(res.m, m_true, grid, rb)
@@ -128,6 +140,7 @@ def main():
          cg_iters_per_sec=gn_iters * cg_iters / secs,
          n_samples=n_samples, quadrature=quadrature, interp=interp,
          inner_samples=inner, progressive=progressive,
+         interp_inner=interp_inner, warm_start=warm, cg2=cg2,
          covered_rmse_prior=err_pr, covered_rmse_post=err_po,
          heldout_dtec_rms_prior=ho_pr, heldout_dtec_rms_post=ho_po,
          world=world,

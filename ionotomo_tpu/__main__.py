@@ -12,6 +12,11 @@ import json
 import sys
 
 
+def _interp_arg_opt(value):
+    """--interp-inner: empty string = single field model."""
+    return _interp_arg(value) if value else ""
+
+
 def _interp_arg(value):
     """Validate --interp: "cubic" | "zp" | "zp<order>" (e.g. zp4 — the
     xy-prefilter Neumann order; core.boxspline.zp_order)."""
@@ -90,7 +95,9 @@ def cmd_serve(args):
         rays=RayConfig(n_samples=args.samples,
                        quadrature=args.quadrature,
                        interp=args.interp,
-                       inner_samples=args.inner_samples),
+                       interp_inner=args.interp_inner,
+                       inner_samples=args.inner_samples,
+                       beam_noise=args.beam_noise),
         prior=PriorConfig(sigma=args.prior_sigma,
                           length_scale_km=_prior_length(args.prior_length),
                           kind=args.prior_kind),
@@ -130,9 +137,11 @@ def cmd_invert(args):
         rays=RayConfig(bent=args.bent, n_samples=args.samples,
                        quadrature=args.quadrature,
                        interp=args.interp,
+                       interp_inner=args.interp_inner,
                        inner_samples=args.inner_samples,
                        n_steps=args.n_steps,
-                       retrace_every=args.retrace_every),
+                       retrace_every=args.retrace_every,
+                       beam_noise=args.beam_noise),
         prior=PriorConfig(sigma=args.prior_sigma,
                           length_scale_km=_prior_length(args.prior_length),
                           kind=args.prior_kind,
@@ -140,6 +149,7 @@ def cmd_invert(args):
                           fit_noise=getattr(args, "fit_noise", False)),
         solver=SolverConfig(solver=args.solver, gn_iters=args.gn_iters,
                             cg_iters=args.cg_iters,
+                            warm_start=args.warm_start,
                             kalman_chunk=args.kalman_chunk,
                             kalman_fade=args.fade,
                             estimate_profile=args.estimate_profile,
@@ -345,6 +355,11 @@ def main(argv=None):
     i.add_argument("--retrace-every", type=int, default=0,
                    help="bent only: re-trace rays through the iterate "
                         "every N GN iterations (0 = frozen at prior)")
+    i.add_argument("--beam-noise", type=int, default=0, metavar="P",
+                   help="strong-turbulence error bar: trace a P-path "
+                        "stochastic Fresnel beam per ray each epoch and "
+                        "inflate C_d in quadrature with the chaotic dTEC "
+                        "spread (0 = off)")
     i.add_argument("--enkf-spectrum-blend", type=float, default=0.0,
                    help="enkf: adaptive spectral gain weight (0=off; "
                         "shell-fitted prediction covariance per step)")
@@ -411,6 +426,18 @@ def main(argv=None):
                         "samples (misfit stays full-fidelity); needs "
                         "(samples-1) %% (inner-samples-1) == 0. Measured "
                         "frontier in BENCH_LOCAL.md")
+    i.add_argument("--interp-inner", default="", type=_interp_arg_opt,
+                   help="mixed FIELD-MODEL fidelity: the linear solve's "
+                        "Jacobian on this model, residuals on --interp "
+                        "(256^3 production: --interp cubic "
+                        "--interp-inner zp — the 8-row operator drives "
+                        "the step at ~2x lower cost, its near-Nyquist "
+                        "bias never enters the misfit)")
+    i.add_argument("--warm-start", action="store_true",
+                   help="snapshot GN modes: carry the whitened Krylov "
+                        "solution across GN iterations / IRLS rounds / "
+                        "re-trace calls — same-data continuation, "
+                        "~halves the cg-iters needed at equal skill")
     i.add_argument("--wind-shear", action="store_true",
                    help="kalman/enkf: model the frozen-flow drift as "
                         "rigid + linear-in-height vertical shear (the "
@@ -512,12 +539,18 @@ def main(argv=None):
     v.add_argument("--inner-samples", type=int, default=0,
                    help="mixed-fidelity per-epoch updates (see invert "
                         "--inner-samples)")
+    v.add_argument("--interp-inner", default="", type=_interp_arg_opt,
+                   help="mixed field-model per-epoch updates (see "
+                        "invert --interp-inner)")
     v.add_argument("--wind-shear", action="store_true",
                    help="rigid + vertical-shear drift state (see invert "
                         "--wind-shear)")
     v.add_argument("--wind-adapt", type=int, default=0, metavar="N",
                    help="online wind tracking per epoch (see invert "
                         "--wind-adapt)")
+    v.add_argument("--beam-noise", type=int, default=0, metavar="P",
+                   help="strong-turbulence error bar per epoch (see "
+                        "invert --beam-noise)")
     v.add_argument("--adapt-r", type=float, default=0.0, metavar="ALPHA",
                    help="streaming adaptive observation-noise scale: "
                         "EMA weight of the per-epoch innovation-"

@@ -74,6 +74,17 @@ class RayConfig:
                             # throughput at ~2x LOWER model error on
                             # band-limited fields; core.boxspline,
                             # DESIGN.md sec. 14)
+    interp_inner: str = ""  # non-empty: mixed FIELD-MODEL fidelity — the
+                            # linear solves' Jacobian (rhs and matvec)
+                            # runs on this field model while residuals/
+                            # misfit stay on `interp` (solvers.
+                            # map_gauss_newton / kalman filters,
+                            # interp_inner=). Production 256³ setting:
+                            # interp="cubic", interp_inner="zp" — the
+                            # 8-row operator drives the step at ~2× lower
+                            # gather cost; its near-Nyquist xy bias never
+                            # enters the misfit (DESIGN.md §14/§16).
+                            # Composes with inner_samples.
     n_steps: int = 64     # bent-ray integrator; solver-grade per the
                           # PRECISION.md convergence study (128 buys nothing)
     method: str = "leapfrog"                       # "leapfrog" | "rk4"
@@ -83,6 +94,16 @@ class RayConfig:
                               # reference's calc_rays-inside-the-iterate hot
                               # loop (SURVEY §3.1). 0 = paths frozen at the
                               # prior (pure linearised mode).
+    beam_noise: int = 0       # >0: strong-turbulence forward-model error
+                              # bar — trace a stochastic Fresnel beam of
+                              # this many paths per ray each epoch
+                              # (fermat.beam_noise_for_epoch) and inflate
+                              # C_d in quadrature with the chaotic dTEC
+                              # spread; logged as a beam_noise metrics
+                              # event. 0 = off (the benign-regime
+                              # default; the spread is a no-op there)
+    beam_jitter_rad: float = 0.0   # beam launch jitter; 0 = the Fresnel
+                                   # angle sqrt(lambda/L) default
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,6 +166,17 @@ class SolverConfig:
     gn_iters: int = 3
     cg_iters: int = 40
     cg_tol: float = 1e-4
+    warm_start: bool = False  # snapshot GN modes: carry the whitened CG
+                              # solution across Gauss-Newton iterations,
+                              # IRLS rounds and bent re-trace calls
+                              # (solvers.map_gauss_newton warm_start=) —
+                              # same-data Krylov continuation, so
+                              # cg_iters can drop ~2× at equal skill
+                              # (BENCH_LOCAL.md round 4). NOT offered for
+                              # the sequential filters: warm-starting
+                              # across epochs accumulates fit depth
+                              # against fresh noise and measurably
+                              # diverges (DESIGN.md §16)
     lsqr_iters: int = 64
     kalman_fade: float = 1.0
     wind_adapt_iters: int = 0  # >0: kalman/serving online wind tracking —

@@ -26,16 +26,40 @@ def _vdot(a, b):
 
 
 def cg(matvec: Callable, b, x0=None, max_iters: int = 100, tol: float = 1e-6,
-       preconditioner: Callable = None):
+       preconditioner: Callable = None, scale_x0: bool = False):
     """Conjugate gradients for SPD ``matvec``; pytree-valued operands.
 
     Stops updating (masked) once ‖r‖ ≤ tol·‖b‖. Returns (x, SolveInfo).
+
+    ``scale_x0``: optimally rescale the warm start before iterating —
+    x ← α·x0 with α = ⟨b, A x0⟩/⟨A x0, A x0⟩, the 1-D least-squares
+    minimiser of ‖b − α·A x0‖ along the warm-start direction. Costs
+    nothing beyond the A x0 matvec the warm start already pays, and
+    guarantees the initial residual is never worse than a cold start
+    (α = 0 recovers x0 = 0 exactly when the guess is useless) — the
+    safe form of Krylov warm-starting across sequential solves whose
+    consecutive solutions are correlated but not equal (the filter
+    steps and Gauss-Newton iterates of inversion/; VERDICT r3 #2).
     """
     if x0 is None:
         x0 = jax.tree.map(jnp.zeros_like, b)
+
+    def tdot0(u, v):
+        return sum(jax.tree.leaves(jax.tree.map(_vdot, u, v)))
+
     M = preconditioner or (lambda v: v)
 
-    r0 = jax.tree.map(jnp.subtract, b, matvec(x0))
+    if scale_x0:
+        ax0 = matvec(x0)
+        denom = tdot0(ax0, ax0)
+        alpha0 = jnp.where(denom > 0, tdot0(b, ax0)
+                           / jnp.where(denom > 0, denom, 1.0), 0.0)
+        x0 = jax.tree.map(lambda u: alpha0 * u, x0)
+        # reuse A x0: r0 = b − α·(A x0) — the rescaled warm start costs
+        # exactly one matvec, the same as an unscaled one
+        r0 = jax.tree.map(lambda bb, aa: bb - alpha0 * aa, b, ax0)
+    else:
+        r0 = jax.tree.map(jnp.subtract, b, matvec(x0))
     z0 = M(r0)
     p0 = z0
     bnorm = jnp.sqrt(sum(jax.tree.leaves(jax.tree.map(

@@ -163,7 +163,7 @@ class KalmanResult(NamedTuple):
                                    "advect_first", "anchor_cg_iters",
                                    "quadrature", "interp", "wind_adapt_iters",
                                    "wind_adapt_horizontal", "innov_stats",
-                                   "stats_probes"))
+                                   "stats_probes", "interp_inner"))
 def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
                   m0, cov: GPCovariance, wind_kmps, dt_s,
                   num_directions: int, i0: int = 0, cg_iters: int = 30,
@@ -179,7 +179,7 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
                   wind_adapt_damping: float = 0.1,
                   wind_adapt_horizontal: bool = True,
                   innov_stats: bool = False, stats_key=None,
-                  stats_probes: int = 2):
+                  stats_probes: int = 2, interp_inner: str = None):
     """Run the filter over Nt timesteps.
 
     rays_seq: RayBundle with leading time axis — points (Nt, R, N, 3),
@@ -232,6 +232,15 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
     probe draws are keyed by ``fold_in(stats_key, step)``, so chunked/
     restarted sequences reproduce the statistic bit-exactly.
 
+    ``interp_inner``: mixed FIELD-MODEL fidelity — the update's Jacobian
+    (rhs and matvec) runs on this field model while the innovation and
+    residuals stay on ``interp`` (e.g. interp="cubic",
+    interp_inner="zp" at 256³: the 8-row box-spline operator drives the
+    step at ~2× lower gather cost; its near-Nyquist xy bias never
+    enters the misfit — see solvers.map_gauss_newton and DESIGN.md
+    §14/§16). Composes with ``rays_inner_seq``; with neither, the
+    update is single-fidelity.
+
     ``wind_adapt_iters`` (> 0 enables): online wind tracking. Real
     frozen-flow drift is not constant over an observation run; a fixed
     wrong wind advects structure off its true path and the filter
@@ -265,7 +274,8 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
     cd_seq = (jnp.broadcast_to(jnp.asarray(noise_std), d_seq.shape)
               .reshape(nt, -1) ** 2)
     shift = jnp.asarray(wind_kmps, jnp.float32) * dt_s
-    mixed = rays_inner_seq is not None
+    inner_model = interp_inner or interp
+    mixed = rays_inner_seq is not None or inner_model != interp
 
     def update(m_pred, rays_t, rays_inner_t, d_t, cd_diag, k_stat):
         inv_cd = 1.0 / cd_diag
@@ -306,7 +316,8 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
             def fwd_c(m):
                 return tec_mod.dtec_paired_q(m, grid, rays_inner_t,
                                              num_directions, i0,
-                                             quadrature, interp).ravel()
+                                             quadrature,
+                                             inner_model).ravel()
             _, jvp_c = jax.linearize(fwd_c, m_pred)
         else:
             jvp_c = jvp
@@ -379,7 +390,8 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
         clim = clim_t if has_clim_seq else m_clim
         rays_t = RayBundle(points=rays_pts, ds=rays_ds)
         rays_inner_t = (RayBundle(points=inner_pts, ds=inner_ds)
-                        if mixed else None)
+                        if rays_inner_seq is not None
+                        else (rays_t if mixed else None))
         if adapt:
             # no transition into a fresh sequence's first step → no wind
             # information in its innovation; keep the initial estimate
@@ -403,7 +415,8 @@ def kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq, noise_std,
         return m_new, out
 
     is_first = jnp.zeros((nt,), bool).at[0].set(not advect_first)
-    inner_xs = ((rays_inner_seq.points, rays_inner_seq.ds) if mixed
+    inner_xs = ((rays_inner_seq.points, rays_inner_seq.ds)
+                if rays_inner_seq is not None
                 else (jnp.zeros((nt,), jnp.float32),) * 2)
     if innov_stats:
         assert stats_key is not None, "innov_stats=True needs stats_key"
@@ -440,7 +453,7 @@ class EnsembleKalmanResult(NamedTuple):
                                    "anchor_cg_iters", "anchor_update",
                                    "quadrature", "interp", "wind_adapt_iters",
                                    "wind_adapt_horizontal", "member_axis",
-                                   "innov_stats"))
+                                   "innov_stats", "interp_inner"))
 def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                            noise_std, m0, cov: GPCovariance, wind_kmps,
                            dt_s, num_directions: int, key,
@@ -463,7 +476,8 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                            wind_adapt_damping: float = 0.1,
                            wind_adapt_horizontal: bool = True,
                            member_axis: str = None,
-                           innov_stats: bool = False):
+                           innov_stats: bool = False,
+                           interp_inner: str = None):
     """Ensemble variant: time-propagated posterior uncertainty.
 
     Goes beyond the reference's point-estimate filter: an ensemble of
@@ -524,6 +538,9 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
     ``rays_inner_seq``: mixed-fidelity member updates — misfit and
     linearisation point at full fidelity, the solve's Jacobian (rhs and
     matvec) the coarser bundle's; see ``kalman_filter``.
+
+    ``interp_inner``: mixed field-model member updates (see
+    ``kalman_filter``).
 
     ``wind_adapt_iters``: online wind tracking (see ``kalman_filter``),
     refined on the noiseless ensemble *mean* each step — bulk drift is
@@ -595,7 +612,8 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                     kd, impl=jax.random.key_impl(x))
             return jax.lax.dynamic_slice_in_dim(x, ix0, n_loc, 0)
 
-    mixed = rays_inner_seq is not None
+    inner_model = interp_inner or interp
+    mixed = rays_inner_seq is not None or inner_model != interp
 
     def member_update(m_pred, rays_t, rays_inner_t, d_t, cd_diag, eps,
                       cov_t):
@@ -613,7 +631,8 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
             def fwd_c(m):
                 return tec_mod.dtec_paired_q(m, grid, rays_inner_t,
                                              num_directions, i0,
-                                             quadrature, interp).ravel()
+                                             quadrature,
+                                             inner_model).ravel()
             _, jvp_c = jax.linearize(fwd_c, m_pred)
         else:
             jvp_c = jvp
@@ -652,7 +671,8 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
         clim = clim_t if has_clim_seq else m_clim
         rays_t = RayBundle(points=rays_pts, ds=rays_ds)
         rays_inner_t = (RayBundle(points=inner_pts, ds=inner_ds)
-                        if mixed else None)
+                        if rays_inner_seq is not None
+                        else (rays_t if mixed else None))
         k_t = jax.random.fold_in(key, t_global)
         k_adv, k_obs = jax.random.split(k_t)
         if adapt:
@@ -748,7 +768,8 @@ def ensemble_kalman_filter(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
 
     is_first = jnp.zeros((nt,), bool).at[0].set(not advect_first)
     t_global = step_offset + jnp.arange(nt, dtype=jnp.int32)
-    inner_xs = ((rays_inner_seq.points, rays_inner_seq.ds) if mixed
+    inner_xs = ((rays_inner_seq.points, rays_inner_seq.ds)
+                if rays_inner_seq is not None
                 else (jnp.zeros((nt,), jnp.float32),) * 2)
     xs = (rays_seq.points, rays_seq.ds, *inner_xs, d_seq, cd_seq,
           a_vals_seq, is_first, t_global, clim_xs)

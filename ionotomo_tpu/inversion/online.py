@@ -50,6 +50,7 @@ class OnlineKalman:
                  fade: float = 1.0, anchors=None,
                  anchor_cov: GPCovariance = None,
                  quadrature: str = "hermite", interp: str = "cubic",
+                 interp_inner: str = None,
                  inner_samples: int = 0,
                  wind_adapt_iters: int = 0,
                  adapt_r: float = 0.0,
@@ -71,6 +72,7 @@ class OnlineKalman:
         self.anchor_cov = anchor_cov
         self.quadrature = str(quadrature)
         self.interp = str(interp)
+        self.interp_inner = interp_inner or None
         # >0: mixed-fidelity per-epoch updates — the linear solve's
         # Jacobian from a coarse subsample of each epoch's bundle, misfit
         # full-fidelity (kalman_filter rays_inner_seq; measured frontier
@@ -135,7 +137,7 @@ class OnlineKalman:
             advect_first=(self.t > 0), m_clim=self.m_clim,
             anchors=self.anchors, anchor_values_seq=a_seq,
             anchor_cov=self.anchor_cov, quadrature=self.quadrature,
-            interp=self.interp,
+            interp=self.interp, interp_inner=self.interp_inner,
             m_clim_seq=clim_seq, rays_inner_seq=inner_seq,
             wind_adapt_iters=self.wind_adapt_iters,
             innov_stats=adapt, stats_key=stats_key)
@@ -202,6 +204,7 @@ class OnlineEnsembleKalman:
                  inflation: float = 1.0, spectrum_blend: float = 0.0,
                  anchors=None, anchor_cov: GPCovariance = None,
                  quadrature: str = "hermite", interp: str = "cubic",
+                 interp_inner: str = None,
                  anchor_update: str = "sqrt", inner_samples: int = 0,
                  wind_adapt_iters: int = 0,
                  adapt_r: float = 0.0,
@@ -226,6 +229,7 @@ class OnlineEnsembleKalman:
         self.anchor_cov = anchor_cov
         self.quadrature = str(quadrature)
         self.interp = str(interp)
+        self.interp_inner = interp_inner or None
         self.inner_samples = int(inner_samples)   # see OnlineKalman
         self.wind_adapt_iters = int(wind_adapt_iters)   # see OnlineKalman
         # adaptive observation-noise scale (see OnlineKalman) — the EnKF
@@ -269,6 +273,7 @@ class OnlineEnsembleKalman:
             anchor_values_seq=a_seq, anchor_cov=self.anchor_cov,
             anchor_update=self.anchor_update,
             quadrature=self.quadrature, interp=self.interp,
+            interp_inner=self.interp_inner,
             m_clim_seq=clim_seq, rays_inner_seq=inner_seq,
             wind_adapt_iters=self.wind_adapt_iters,
             innov_stats=adapt)

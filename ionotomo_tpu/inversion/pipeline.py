@@ -397,7 +397,9 @@ class InversionPipeline:
     def _padded_data(self, t: int):
         """(antennas, d_t, noise_t, na_real) with whole-antenna padding so
         Na'·Nd divides the mesh (the padded count is computed — and its
-        metrics event logged — once, in _padded_na)."""
+        metrics event logged — once, in _padded_na). With
+        ``rays.beam_noise > 0`` the noise is inflated in quadrature with
+        the epoch's chaotic beam spread (``_beam_inflation``)."""
         na, nd = self.d_obs.shape[0], self.directions.shape[1]
         na_p = self._padded_na(na, nd)
         d_t = np.asarray(self.d_obs[:, t, :])
@@ -409,7 +411,36 @@ class InversionPipeline:
             d_t = np.concatenate([d_t, np.zeros((pad, nd), d_t.dtype)])
             noise = np.concatenate(
                 [noise, np.full((pad, nd), 1e6, noise.dtype)])
-        return ants, jnp.asarray(d_t), jnp.asarray(noise), na
+        noise = jnp.asarray(noise)
+        if self.config.rays.beam_noise > 0:
+            infl = self._beam_inflation(t, ants)
+            noise = jnp.sqrt(noise * noise + infl * infl)
+        return ants, jnp.asarray(d_t), noise, na
+
+    def _beam_inflation(self, t: int, ants):
+        """Strong-turbulence observation-noise inflation for timestep t
+        (rays.beam_noise > 0): the chaotic dTEC spread of a stochastic
+        Fresnel beam traced through the prior field
+        (geometry.fermat.beam_noise_for_epoch). Keyed by the run seed +
+        epoch index, so chunked and resumed runs inflate bit-identically;
+        the spread magnitudes are logged per epoch. The prior field is
+        the linearisation point — the error bar is a magnitude estimate
+        and stays fixed across Gauss-Newton iterates (re-tracing the
+        beam per iterate would re-randomise the misfit weights)."""
+        rc, p = self.config.rays, self.config.physics
+        key = jax.random.fold_in(
+            jax.random.key(self.config.runtime.seed), 9000017 + t)
+        infl = fermat.beam_noise_for_epoch(
+            self.m_prior, self.grid, ants, self.directions[t],
+            self.datapack.frequency_hz, key, n_paths=rc.beam_noise,
+            i0=self.i0,
+            jitter_rad=(rc.beam_jitter_rad or None),
+            max_length_km=p.max_length_km, n_steps=rc.n_steps,
+            method=rc.method, interp=rc.interp)
+        self.metrics.write(dict(
+            event="beam_noise", t=t, n_paths=rc.beam_noise,
+            mean=float(jnp.mean(infl)), max=float(jnp.max(infl))))
+        return infl
 
     # --- solving -------------------------------------------------------------
 
@@ -417,6 +448,7 @@ class InversionPipeline:
         sc = self.config.solver
         quad = self.config.rays.quadrature
         itp = self.config.rays.interp
+        itp_in = self.config.rays.interp_inner or None
         if sc.solver == "lsqr_smoothness":
             return solvers.lsqr_smoothness(
                 self.grid, rb, d_t, noise, m_start, num_directions=nd,
@@ -429,7 +461,8 @@ class InversionPipeline:
                 num_directions=nd, i0=self.i0, gn_iters=sc.gn_iters,
                 cg_iters=sc.cg_iters, cg_tol=sc.cg_tol,
                 huber_k=sc.huber_k, irls_iters=sc.irls_iters,
-                quadrature=quad, interp=itp, rays_inner=self._inner(rb))
+                quadrature=quad, interp=itp, rays_inner=self._inner(rb),
+                warm_start=sc.warm_start, interp_inner=itp_in)
         if sc.solver == "steepest":
             return solvers.steepest_descent_map(
                 self.grid, rb, d_t, noise, m_start, self.cov,
@@ -439,7 +472,8 @@ class InversionPipeline:
             num_directions=nd, i0=self.i0, gn_iters=sc.gn_iters,
             cg_iters=sc.cg_iters, cg_tol=sc.cg_tol, m0=m0,
             anchors=self.anchors, quadrature=quad, interp=itp,
-            rays_inner=self._inner(rb))
+            rays_inner=self._inner(rb),
+            warm_start=sc.warm_start, interp_inner=itp_in)
 
     def solve_snapshot(self, t: int, m0=None):
         """Invert one timestep; returns (m, diagnostics dict).
@@ -466,7 +500,7 @@ class InversionPipeline:
             retraces = 0
         else:
             m_k, prev_res, res = m_start, float("inf"), None
-            done_iters, retraces = 0, 0
+            done_iters, retraces, u_carry = 0, 0, None
             while done_iters < sc.gn_iters:
                 rb = self._shard(self.rays_for_time(t, m_field=m_k,
                                                     antennas=ants))
@@ -480,7 +514,11 @@ class InversionPipeline:
                     anchors=self.anchors,
                     quadrature=self.config.rays.quadrature,
                 interp=self.config.rays.interp,
-                    rays_inner=self._inner(rb))
+                    rays_inner=self._inner(rb),
+                    warm_start=sc.warm_start, u0=u_carry,
+                    interp_inner=self.config.rays.interp_inner or None)
+                u_carry = res.u_final      # same data, re-traced paths:
+                # the whitened departure keeps its meaning across calls
                 m_k = res.m
                 done_iters += n_iters
                 cur = float(res.residual_norm)   # outer-loop stall check
@@ -821,6 +859,7 @@ class InversionPipeline:
                 anchor_update=sc.enkf_anchor_update,
                 quadrature=self.config.rays.quadrature,
                 interp=self.config.rays.interp,
+                interp_inner=self.config.rays.interp_inner or None,
                 m_clim_seq=self._clim_seq(c0, c1),
                 rays_inner_seq=inner_seq,
                 wind_adapt_iters=sc.wind_adapt_iters)
@@ -880,7 +919,9 @@ class InversionPipeline:
             cg_iters=sc.cg_iters, cg_tol=sc.cg_tol,
             quadrature=self.config.rays.quadrature,
                 interp=self.config.rays.interp,
-            rays_inner_seq=self._inner(rays_seq))
+            rays_inner_seq=self._inner(rays_seq),
+            warm_start=sc.warm_start,
+            interp_inner=self.config.rays.interp_inner or None)
         jax.block_until_ready(res.m)
         dt = time.perf_counter() - t0
         self.metrics.write(dict(solver="batched_gn", seconds=dt,
@@ -979,6 +1020,7 @@ class InversionPipeline:
                             else None),
                 quadrature=self.config.rays.quadrature,
                 interp=self.config.rays.interp,
+                interp_inner=self.config.rays.interp_inner or None,
                 m_clim_seq=self._clim_seq(c0, c1),
                 rays_inner_seq=inner_seq,
                 wind_adapt_iters=sc.wind_adapt_iters)

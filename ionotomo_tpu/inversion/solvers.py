@@ -38,6 +38,10 @@ class InversionResult(NamedTuple):
     m: jax.Array               # reconstructed log-density field
     residual_norm: jax.Array   # ‖W(g(m) − d)‖ final
     info: tuple                # solver-specific diagnostics
+    u_final: jax.Array = None  # whitened departure C^{-1/2}(m − m_prior)
+                               # when warm_start=True — carry it into the
+                               # next solve over the same data (bent
+                               # re-trace / IRLS rounds) as u0
 
 
 def anchored_forward(grid: Grid3D, rays: RayBundle, num_directions: int,
@@ -177,14 +181,17 @@ def lsqr_smoothness(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "gn_iters",
-                                   "cg_iters", "quadrature", "interp"))
+                                   "cg_iters", "quadrature", "interp",
+                                   "warm_start", "interp_inner"))
 def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
                      m_prior, cov: GPCovariance, num_directions: int,
                      i0: int = 0, gn_iters: int = 3, cg_iters: int = 40,
                      cg_tol: float = 1e-4, m0=None, anchors=None,
                      quadrature: str = "hermite", probes=None,
                      rays_inner: RayBundle = None,
-                     interp: str = "cubic"):
+                     interp: str = "cubic",
+                     warm_start: bool = False, u0=None,
+                     interp_inner: str = None):
     """Config 4: Bayesian MAP with GP covariance prior.
 
     Minimises S(m) = ½‖g(m)−d‖²_{C_d⁻¹} + ½‖m−m_prior‖²_{C_m⁻¹}
@@ -217,28 +224,65 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
     Jacobian (rhs and matvec) — mixed-fidelity inexact Gauss-Newton;
     residuals stay full-fidelity; see ``kalman_filter``. Anchor/probe
     rows are shared, so row shapes are unchanged.
+
+    ``interp_inner``: mixed FIELD-MODEL fidelity — the linear solve's
+    Jacobian (rhs and matvec) evaluates on this field model while the
+    residuals/misfit stay on ``interp``. The production 256³ case is
+    interp="cubic", interp_inner="zp": the 8-row box-spline operator is
+    ~2× cheaper per CG iteration but its xy near-Nyquist attenuation
+    loses measured skill at 3-km voxels when used as the FULL model
+    (DESIGN.md §14) — as the inner Jacobian only, that bias never enters
+    the residuals (measured, BENCH_LOCAL.md round 4). Composes with
+    ``rays_inner`` (coarse samples AND coarse model).
+
+    ``warm_start``: carry the whitened CG solution u across Gauss-Newton
+    iterations. The substitution makes u encode the TOTAL departure
+    m_{k+1} = m_prior + C^{1/2}u regardless of the iterate, so
+    consecutive GN systems (same data, refreshed linearisation) solve
+    for nearly the same u — starting iteration k+1's CG from iteration
+    k's solution (optimally rescaled, linalg.cg ``scale_x0``) continues
+    the SAME solve instead of re-discovering the dominant data
+    directions from zero, so ``cg_iters`` can drop at equal skill
+    (measured: BENCH_LOCAL.md round 4). On the same data this
+    accumulation converges toward the exact MAP solution — legitimate
+    deeper fitting, in contrast to the sequential filters where
+    warm-starting across steps accumulates depth against FRESH noise
+    each epoch and measurably diverges (DESIGN.md §16: held-out
+    185k vs 1.9k on the 12-step honest world — kalman_filter therefore
+    has no such knob). ``u0`` carries the whitened departure between
+    CALLS over the same data (bent re-trace / IRLS rounds — pass the
+    previous result's ``u_final``); with u0=None and m0 far from
+    m_prior the first inner solve simply starts cold.
     """
     d = jnp.asarray(d_obs).ravel()
     cd_diag = jnp.broadcast_to(jnp.asarray(noise_std),
                                jnp.asarray(d_obs).shape).ravel() ** 2
     d, cd_diag = _join_anchor_rows(d, cd_diag, anchors, probes)
     inv_cd = 1.0 / cd_diag
+    inner_model = interp_inner or interp
 
-    def gn_step(m_k, _):
+    def gn_step(carry, _):
+        m_k, u_prev = carry
         apply_j, apply_jt, g0 = _dtec_operator(grid, rays, num_directions,
                                                i0, m_k, anchors,
                                                quadrature=quadrature,
                                                probes=probes, interp=interp)
-        if rays_inner is not None:
+        if rays_inner is not None or inner_model != interp:
             # mixed-fidelity (inexact Gauss-Newton; see kalman_filter,
             # measured on config 5, BENCH_LOCAL.md): data misfit and
             # residuals at full fidelity — the coarse rule's systematic
             # quadrature bias never enters them — with the linear
             # solve's Jacobian (rhs AND matvec; both sides or the step
-            # is no contraction) the coarser-sampled operator's
+            # is no contraction) the coarser operator's. The inner
+            # operator may be coarser in SAMPLES (rays_inner), in FIELD
+            # MODEL (interp_inner — e.g. the 8-row zp model driving the
+            # step direction while residuals stay on the 16-pencil
+            # cubic model whose 256³ skill is measured better,
+            # DESIGN.md §14/§16), or both.
             apply_jc, apply_jtc, _ = _dtec_operator(
-                grid, rays_inner, num_directions, i0, m_k, anchors,
-                quadrature=quadrature, probes=probes, interp=interp)
+                grid, rays_inner if rays_inner is not None else rays,
+                num_directions, i0, m_k, anchors,
+                quadrature=quadrature, probes=probes, interp=inner_model)
         else:
             apply_jc, apply_jtc = apply_j, apply_jt
         dm_prior = m_prior - m_k
@@ -251,20 +295,28 @@ def map_gauss_newton(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
             return u + z.ravel()
 
         rhs = cov.apply_sqrt(apply_jtc(r_hat * inv_cd)).ravel()
-        u, info = linalg.cg(matvec, rhs, max_iters=cg_iters, tol=cg_tol)
+        u, info = linalg.cg(matvec, rhs,
+                            x0=(u_prev if warm_start else None),
+                            max_iters=cg_iters, tol=cg_tol,
+                            scale_x0=warm_start)
         dm = dm_prior + cov.apply_sqrt(u.reshape(grid.shape))
         m_next = m_k + dm
         res = jnp.linalg.norm((g0 + apply_j(dm) - d) / jnp.sqrt(cd_diag))
-        return m_next, (res, info.iterations, info.residual_norm)
+        return (m_next, u), (res, info.iterations, info.residual_norm)
 
     m_init = m_prior if m0 is None else m0
-    m_final, diags = jax.lax.scan(gn_step, m_init, None, length=gn_iters)
+    u_init = (jnp.zeros((jnp.asarray(m_init).size,), jnp.float32)
+              if u0 is None else jnp.asarray(u0).ravel())
+    (m_final, u_final), diags = jax.lax.scan(gn_step, (m_init, u_init),
+                                             None, length=gn_iters)
     return InversionResult(m=m_final, residual_norm=diags[0][-1],
-                           info=diags)
+                           info=diags,
+                           u_final=(u_final if warm_start else None))
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "gn_iters",
-                                   "cg_iters", "irls_iters", "quadrature", "interp"))
+                                   "cg_iters", "irls_iters", "quadrature",
+                                   "interp", "warm_start", "interp_inner"))
 def map_gauss_newton_robust(grid: Grid3D, rays: RayBundle, d_obs,
                             noise_std, m_prior, cov: GPCovariance,
                             num_directions: int, i0: int = 0,
@@ -273,7 +325,9 @@ def map_gauss_newton_robust(grid: Grid3D, rays: RayBundle, d_obs,
                             irls_iters: int = 3,
                             quadrature: str = "hermite",
                             rays_inner: RayBundle = None,
-                            interp: str = "cubic"):
+                            interp: str = "cubic",
+                            warm_start: bool = False,
+                            interp_inner: str = None):
     """Outlier-robust MAP: Huber loss on the whitened data residual via
     IRLS — each round re-weights observations by w = min(1, k/|r/σ|) and
     runs Gauss-Newton with noise inflated to σ/√w, so unflagged corrupted
@@ -283,11 +337,16 @@ def map_gauss_newton_robust(grid: Grid3D, rays: RayBundle, d_obs,
 
     ``rays_inner``: mixed-fidelity linear solves (see map_gauss_newton).
     The IRLS re-weighting residual stays full-fidelity.
+
+    ``warm_start``: carry the whitened departure across IRLS rounds too
+    (same data, re-weighted noise — see map_gauss_newton; rounds after
+    the first continue the solve instead of restarting it).
     """
     d = jnp.asarray(d_obs)
     sigma = jnp.broadcast_to(jnp.asarray(noise_std), d.shape)
 
-    def irls_round(m_k, _):
+    def irls_round(carry, _):
+        m_k, u_prev = carry
         g = tec_mod.dtec_paired_q(m_k, grid, rays, num_directions, i0,
                                   quadrature, interp)
         r_w = jnp.abs(g - d) / sigma
@@ -298,11 +357,15 @@ def map_gauss_newton_robust(grid: Grid3D, rays: RayBundle, d_obs,
                                gn_iters=gn_iters, cg_iters=cg_iters,
                                cg_tol=cg_tol, m0=m_k,
                                quadrature=quadrature,
-                               rays_inner=rays_inner, interp=interp)
-        return res.m, (res.residual_norm, jnp.sum(w < 1.0))
+                               rays_inner=rays_inner, interp=interp,
+                               warm_start=warm_start, u0=u_prev,
+                               interp_inner=interp_inner)
+        u_next = res.u_final if warm_start else u_prev
+        return (res.m, u_next), (res.residual_norm, jnp.sum(w < 1.0))
 
-    m_final, (res_hist, n_down) = jax.lax.scan(
-        irls_round, m_prior, None, length=irls_iters)
+    u_init = jnp.zeros((jnp.asarray(m_prior).size,), jnp.float32)
+    (m_final, _), (res_hist, n_down) = jax.lax.scan(
+        irls_round, (m_prior, u_init), None, length=irls_iters)
     return InversionResult(m=m_final, residual_norm=res_hist[-1],
                            info=(res_hist, n_down))
 
@@ -372,7 +435,8 @@ def posterior_samples(grid: Grid3D, rays: RayBundle, d_obs, noise_std,
 
 
 @partial(jax.jit, static_argnames=("num_directions", "i0", "gn_iters",
-                                   "cg_iters", "quadrature", "interp"))
+                                   "cg_iters", "quadrature", "interp",
+                                   "warm_start", "interp_inner"))
 def map_gauss_newton_batched(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                              noise_std, m_prior, cov: GPCovariance,
                              num_directions: int, i0: int = 0,
@@ -380,7 +444,9 @@ def map_gauss_newton_batched(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                              cg_tol: float = 1e-4,
                              quadrature: str = "hermite",
                              rays_inner_seq: RayBundle = None,
-                             interp: str = "cubic"):
+                             interp: str = "cubic",
+                             warm_start: bool = False,
+                             interp_inner: str = None):
     """Independent snapshots inverted as one vmapped batch (SURVEY.md §2.1
     P2 — the reference ran time-chunks on separate dask workers; here they
     are a leading batch axis over the same compiled Gauss-Newton program,
@@ -404,7 +470,8 @@ def map_gauss_newton_batched(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                 m_prior, cov, num_directions=num_directions, i0=i0,
                 gn_iters=gn_iters, cg_iters=cg_iters, cg_tol=cg_tol,
                 quadrature=quadrature, interp=interp,
-                rays_inner=RayBundle(points=ipts, ds=ids))
+                rays_inner=RayBundle(points=ipts, ds=ids),
+                warm_start=warm_start, interp_inner=interp_inner)
 
         return jax.vmap(solve_one_mixed)(
             rays_seq.points, rays_seq.ds, rays_inner_seq.points,
@@ -416,7 +483,8 @@ def map_gauss_newton_batched(grid: Grid3D, rays_seq: RayBundle, d_obs_seq,
                                 num_directions=num_directions, i0=i0,
                                 gn_iters=gn_iters, cg_iters=cg_iters,
                                 cg_tol=cg_tol, quadrature=quadrature,
-                                interp=interp)
+                                interp=interp, warm_start=warm_start,
+                                interp_inner=interp_inner)
 
     return jax.vmap(solve_one)(rays_seq.points, rays_seq.ds, d_seq,
                                noise_seq)

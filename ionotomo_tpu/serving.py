@@ -285,6 +285,7 @@ class EpochService:
                   anchor_cov=self._anchor_cov,
                   quadrature=c.rays.quadrature,
                   interp=c.rays.interp,
+                  interp_inner=c.rays.interp_inner or None,
                   inner_samples=c.rays.inner_samples,
                   adapt_r=c.solver.adapt_r)
         if c.solver.solver == "enkf":
@@ -317,6 +318,43 @@ class EpochService:
                                    scale_km=c.chapman_scale_km,
                                    cos_chi=cc, curved=c.curved_earth)
         return chapman.log_parametrize(ne)
+
+    def _beam_inflation(self, dp: DataPack, dev, t: int):
+        """Per-epoch strong-turbulence noise inflation (rays.beam_noise
+        > 0): the chaotic dTEC spread of a stochastic Fresnel beam traced
+        through the filter's current field estimate
+        (geometry.fermat.beam_noise_for_epoch). The key derives from the
+        persisted global epoch index, and the field estimate is restored
+        exactly on restart, so resumed streams inflate bit-identically.
+        Returns an (Na, Nd) array in working units; logs the spread."""
+        import jax
+
+        from .geometry import fermat
+
+        rc, p = self.config.rays, self.config.physics
+        f = self.filter
+        if hasattr(f, "m"):
+            m_field = f.m                       # point filter state
+        elif f.ens is not None:
+            m_field = f.ens.mean(0)             # EnKF mean
+        else:
+            m_field = f.m_clim                  # first epoch: bootstrap
+        key = jax.random.fold_in(jax.random.key(0xBEA11), f.t)
+        infl = fermat.beam_noise_for_epoch(
+            m_field, self.grid, dev["antennas_enu"],
+            dev["directions_enu"][t], dp.frequency_hz, key,
+            n_paths=rc.beam_noise, i0=f.i0,
+            jitter_rad=(rc.beam_jitter_rad or None),
+            max_length_km=p.max_length_km, n_steps=rc.n_steps,
+            method=rc.method, interp=rc.interp)
+        # keyed "epoch" (not "t") so the restart prune drops records of
+        # epochs that will be re-emitted, like the per-epoch diagnostics
+        with open(self.metrics_path, "a") as fh:
+            fh.write(json.dumps(dict(
+                event="beam_noise", epoch=f.t, n_paths=rc.beam_noise,
+                mean=round(float(jnp.mean(infl)), 4),
+                max=round(float(jnp.max(infl)), 4))) + "\n")
+        return infl
 
     # --- ingest --------------------------------------------------------
 
@@ -474,10 +512,18 @@ class EpochService:
                     origins, dvecs,
                     max_length_km=self.config.physics.max_length_km,
                     n_samples=self.config.rays.n_samples)
+                noise_t = jnp.asarray(noise[:, t, :])
+                if self.config.rays.beam_noise > 0:
+                    # strong-turbulence error bar: inflate C_d with the
+                    # chaotic beam spread traced through the current
+                    # state (keyed by the persisted epoch index —
+                    # restarts inflate bit-identically)
+                    infl = self._beam_inflation(dp, dev, t)
+                    noise_t = jnp.sqrt(noise_t * noise_t + infl * infl)
                 t0 = time.perf_counter()
                 out = self.filter.step(rb,
                                        jnp.asarray(dev["dtec"][:, t, :]),
-                                       jnp.asarray(noise[:, t, :]),
+                                       noise_t,
                                        m_clim=m_clim_t)
                 secs = time.perf_counter() - t0
                 epoch = self.filter.t - 1

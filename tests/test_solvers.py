@@ -453,3 +453,81 @@ def test_mixed_fidelity_map_robust_batched():
                                   np.asarray(bat.m[1]))
     diff_b = float(jnp.sqrt(jnp.mean((bat.m[0] - base.m) ** 2)))
     assert diff_b < 0.25 * upd, (diff_b, upd)
+
+
+def test_warm_start_gn_continuation():
+    """warm_start (DESIGN.md §16): (a) with gn_iters=1 the warm-started
+    solve is bit-identical to cold (the zero guess α-rescales to an exact
+    cold start); (b) the carried u satisfies the substitution invariant
+    m_final = m_prior + C^{1/2} u_final exactly; (c) at half the inner
+    depth, warm gn=2 fits the data at least as well as cold gn=2 (the
+    same-data Krylov continuation — cold re-solves from zero and its
+    final model is the last solve alone)."""
+    w = inversion_world()
+    cov = GPCovariance.create(w["grid"], sigma=0.4, length_scale=90.0,
+                              kind="exponential")
+    kw = dict(num_directions=w["n_dirs"], cg_iters=12, quadrature="simpson")
+    cold1 = solvers.map_gauss_newton(w["grid"], w["rays"], w["d_obs"],
+                                     w["noise_std"], w["m_prior"], cov,
+                                     gn_iters=1, **kw)
+    warm1 = solvers.map_gauss_newton(w["grid"], w["rays"], w["d_obs"],
+                                     w["noise_std"], w["m_prior"], cov,
+                                     gn_iters=1, warm_start=True, **kw)
+    np.testing.assert_array_equal(np.asarray(cold1.m), np.asarray(warm1.m))
+
+    warm2 = solvers.map_gauss_newton(w["grid"], w["rays"], w["d_obs"],
+                                     w["noise_std"], w["m_prior"], cov,
+                                     gn_iters=2, warm_start=True, **kw)
+    recon = w["m_prior"] + cov.apply_sqrt(
+        warm2.u_final.reshape(w["grid"].shape))
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(warm2.m),
+                               rtol=0, atol=1e-5)
+    cold2 = solvers.map_gauss_newton(w["grid"], w["rays"], w["d_obs"],
+                                     w["noise_std"], w["m_prior"], cov,
+                                     gn_iters=2, **kw)
+    # continuation accumulates depth: warm gn=2 fits no worse than cold
+    assert float(warm2.residual_norm) <= 1.02 * float(cold2.residual_norm)
+
+
+def test_interp_inner_mixed_model_fidelity():
+    """interp_inner (DESIGN.md §16): (a) interp_inner equal to interp is
+    bit-identical to the single-model solve; (b) the zp-Jacobian /
+    cubic-residual solve still beats the prior (the inner model only
+    drives the step direction); (c) same contract through the filter."""
+    w = inversion_world()
+    cov = GPCovariance.create(w["grid"], sigma=0.4, length_scale=90.0,
+                              kind="exponential")
+    kw = dict(num_directions=w["n_dirs"], gn_iters=2, cg_iters=12,
+              quadrature="simpson")
+    base = solvers.map_gauss_newton(w["grid"], w["rays"], w["d_obs"],
+                                    w["noise_std"], w["m_prior"], cov,
+                                    **kw)
+    same = solvers.map_gauss_newton(w["grid"], w["rays"], w["d_obs"],
+                                    w["noise_std"], w["m_prior"], cov,
+                                    interp_inner="cubic", **kw)
+    np.testing.assert_array_equal(np.asarray(base.m), np.asarray(same.m))
+    mixed = solvers.map_gauss_newton(w["grid"], w["rays"], w["d_obs"],
+                                     w["noise_std"], w["m_prior"], cov,
+                                     interp_inner="zp", **kw)
+    assert model_err(mixed.m, w) < 0.95 * model_err(w["m_prior"], w)
+
+    from ionotomo_tpu.inversion.kalman import kalman_filter
+    nt = 2
+    rs = rays_mod.RayBundle(
+        points=jnp.broadcast_to(w["rays"].points,
+                                (nt,) + w["rays"].points.shape),
+        ds=jnp.broadcast_to(w["rays"].ds, (nt,) + w["rays"].ds.shape))
+    dseq = jnp.broadcast_to(w["d_obs"], (nt,) + w["d_obs"].shape)
+    f_kw = dict(num_directions=w["n_dirs"], cg_iters=6)
+    k_base = kalman_filter(w["grid"], rs, dseq, w["noise_std"],
+                           w["m_prior"], cov, jnp.zeros(3), 30.0, **f_kw)
+    k_same = kalman_filter(w["grid"], rs, dseq, w["noise_std"],
+                           w["m_prior"], cov, jnp.zeros(3), 30.0,
+                           interp_inner="cubic", **f_kw)
+    np.testing.assert_array_equal(np.asarray(k_base.m_seq),
+                                  np.asarray(k_same.m_seq))
+    k_zp = kalman_filter(w["grid"], rs, dseq, w["noise_std"],
+                         w["m_prior"], cov, jnp.zeros(3), 30.0,
+                         interp_inner="zp", **f_kw)
+    assert np.isfinite(np.asarray(k_zp.m_seq)).all()
+    assert model_err(k_zp.m_seq[-1], w) < model_err(w["m_prior"], w)
