@@ -93,14 +93,21 @@ def main():
                                 noise_frac=0.0)
 
     gn_iters, cg_iters = 2, 20
-    # round-4 knobs (DESIGN.md §16): BENCH_INTERP_INNER — mixed
-    # field-model fidelity (zp Jacobian / cubic residuals; the zp xy
-    # bias never enters the misfit); BENCH_WARM — stage 2 continues
-    # stage 1's whitened Krylov solution (u_final → u0, same data);
-    # BENCH_CG2 — stage-2 inner depth (warm continuation needs less).
+    # round-4 default (DESIGN.md §16, BENCH_LOCAL.md): warm_start —
+    # stage 2 CONTINUES stage 1's whitened Krylov solution (u_final →
+    # u0, same data) at cg2=10, measured 7.01 s at held-out 1379 vs the
+    # r3 cold default's 9.67 s at 1435 — 28% faster AND 4% more
+    # skilled (warm continuation = legitimately deeper fitting of the
+    # same data). BENCH_WARM=0 restores the r3 cold schedule.
+    # BENCH_INTERP_INNER=zp (mixed field-model Jacobian) measured
+    # 5.81 s once but is GATED OFF: the zp operator inside large
+    # 256³ CG programs is non-reproducible on this backend — same
+    # jitted solve, same inputs, different answers; see DESIGN.md §17
+    # and re-probe with python -m bench.probe_zp256 after toolchain
+    # bumps before trusting it.
     interp_inner = os.environ.get("BENCH_INTERP_INNER", "") or None
-    warm = os.environ.get("BENCH_WARM", "") == "1"
-    cg2 = int(os.environ.get("BENCH_CG2", str(cg_iters)))
+    warm = os.environ.get("BENCH_WARM", "1") == "1"
+    cg2 = int(os.environ.get("BENCH_CG2", "10" if warm else str(cg_iters)))
     progressive = (os.environ.get("BENCH_PROGRESSIVE", "1") == "1"
                    and inner > 0)
     if progressive:

@@ -41,6 +41,12 @@ def main(n_samples=65, cg_iters=10, inner_samples=49):
     # (836 vs 843) on the analytic world — DESIGN.md §14
     interp = os.environ.get("BENCH_INTERP", "zp")
     world = os.environ.get("BENCH_WORLD", "analytic")
+    # sweep knobs (round 4): per-step CG depth and the mixed-fidelity
+    # inner sample count (0 disables the inner bundle)
+    cg_iters = int(os.environ.get("BENCH_CG", str(cg_iters)))
+    inner_env = os.environ.get("BENCH_INNER_SAMPLES", "")
+    if inner_env:
+        inner_samples = int(inner_env) or None
     # inner_samples=49 (mixed-fidelity update, kalman_filter
     # rays_inner_seq) is the measured default: 35.1 s at held-out 699
     # vs 42.0 s at 706 full-fidelity — strictly dominant (faster AND

@@ -94,3 +94,49 @@ def test_batched_cg_via_vmap():
     xs = jax.vmap(solve)(a_batch, b_batch)
     np.testing.assert_allclose(np.asarray(xs), np.asarray(x_batch),
                                atol=5e-3)
+
+
+def outlier_spd_system(n=200, k=6, seed=3):
+    """I + PSD with k large outlier eigenvalues over a unit bulk — the
+    shape of the inversion engine's whitened update operator."""
+    rng = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    eig = np.concatenate([np.logspace(4, 2, k), np.ones(n - k)])
+    a = (q * eig) @ q.T
+    return (jnp.asarray(a, jnp.float32), jnp.asarray(q[:, :k], jnp.float32),
+            jnp.asarray(eig[:k], jnp.float32))
+
+
+def test_subspace_eigs_recovers_outlier_spectrum():
+    a, u_true, lam_true = outlier_spd_system()
+    u, lam = linalg.subspace_eigs(lambda v: a @ v, 200, 6,
+                                  jax.random.PRNGKey(0), iters=3)
+    np.testing.assert_allclose(np.asarray(lam), np.asarray(lam_true),
+                               rtol=1e-3)
+    # eigenvectors match up to sign
+    overlap = np.abs(np.asarray(jnp.sum(u * u_true, axis=0)))
+    np.testing.assert_allclose(overlap, 1.0, atol=1e-3)
+    # columns orthonormal
+    np.testing.assert_allclose(np.asarray(u.T @ u), np.eye(6), atol=1e-3)
+
+
+def test_spectral_preconditioner_collapses_outliers():
+    """With the outliers deflated, PCG reaches the f32 floor in a handful
+    of iterations where plain CG at the same depth is nowhere near —
+    the run-to-convergence use these utilities are FOR. (Deflating a
+    truncation-REGULARISED solve is measurably harmful and rejected:
+    bench/probe_deflation.py, DESIGN.md §17.)"""
+    a, u_true, lam_true = outlier_spd_system()
+    u, lam = linalg.subspace_eigs(lambda v: a @ v, 200, 6,
+                                  jax.random.PRNGKey(0), iters=3)
+    rng = np.random.default_rng(5)
+    x_true = jnp.asarray(rng.normal(size=200), jnp.float32)
+    b = a @ x_true
+    m = linalg.spectral_preconditioner(u, lam)
+    xp, _ = linalg.cg(lambda v: a @ v, b, max_iters=4, tol=1e-12,
+                      preconditioner=m)
+    xc, _ = linalg.cg(lambda v: a @ v, b, max_iters=4, tol=1e-12)
+    err_p = float(jnp.linalg.norm(xp - x_true) / jnp.linalg.norm(x_true))
+    err_c = float(jnp.linalg.norm(xc - x_true) / jnp.linalg.norm(x_true))
+    assert err_p < 0.02
+    assert err_p < 0.1 * err_c
