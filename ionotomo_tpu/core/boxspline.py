@@ -235,15 +235,19 @@ def interp_rows(coef2d: jax.Array, grid: Grid3D, points: jax.Array
                 ) -> jax.Array:
     """Row-gather box-spline interpolation — ONE aligned 8-row gather
     group per point. ``coef2d`` is ``prefilter(field)`` reshaped to
-    (nx*ny, nz) once outside any scan."""
-    hi = jax.lax.Precision.HIGHEST
+    (nx*ny, nz) once outside any scan. The linear coef→values map runs
+    as ``core.tricubic.rows_value_p`` (xy-first contraction, this
+    module's measured order) so its transpose is the 24-scalar-per-point
+    hand scatter — see the round-4 custom-adjoint block in
+    core/tricubic.py and DESIGN.md §18 — not XLA's dense-row derived
+    one."""
+    from .tricubic import rows_value
+
     bx, by, bz, u, v, w = _neighborhood(grid, points)
     dx, dy, wxy = _xy_weights(u, v, with_grad=False)
-    rows = _sharded_take(coef2d, _row_index(bx, by, dx, dy, grid))
-    nz = grid.shape[2]
-    s = jnp.einsum("nkz,nk->nz", rows, wxy, precision=hi)
-    band = _z_band3(bz, _qb_weights(w), nz)
-    return jnp.einsum("nz,nz->n", s, band, precision=hi)
+    ri = _row_index(bx, by, dx, dy, grid)
+    zi = bz[:, None] + jnp.arange(-1, 2, dtype=jnp.int32)[None, :]
+    return rows_value(coef2d, ri, wxy, zi, _qb_weights(w), xy_first=True)
 
 
 def interp_rows_with_grad(coef2d: jax.Array, grid: Grid3D,

