@@ -15,9 +15,14 @@ Run after every jax / Mosaic / axon toolchain bump:
 
     python -m bench.probe_zp256          # needs the TPU (axon) backend
 
+ZP256_INTERP selects the inner field model under test (default "zp";
+"zpc" probes the round-5 ZP-xy × cubic-z hybrid — VERDICT r4 #6 gates
+any 256³ use of it behind this same determinism check).
+
 Prints PASS/FAIL per case; exits nonzero on FAIL. ~10 min including
 remote compiles.
 """
+import os
 import sys
 
 import jax
@@ -48,6 +53,7 @@ def main():
     rb_inner = rays_mod.sample_straight_rays(origins, dvecs, n_samples=33)
     d = jnp.asarray(d_obs)
 
+    inner = os.environ.get("ZP256_INTERP", "zp")
     ok = True
     for warm in (False, True):
         outs = []
@@ -56,7 +62,7 @@ def main():
                 grid, rb_inner, d, noise, m_prior, cov,
                 num_directions=100, gn_iters=1, cg_iters=20,
                 quadrature="hermite", interp="cubic",
-                warm_start=warm, interp_inner="zp")
+                warm_start=warm, interp_inner=inner)
             outs.append((float(r.residual_norm),
                          float(jnp.abs(r.m - m_prior).max())))
         (res0, dm0), (res1, dm1) = outs
@@ -64,18 +70,18 @@ def main():
         sane = max(dm0, dm1) < 5.0 and max(res0, res1) < 1e5
         status = "PASS" if (deterministic and sane) else "FAIL"
         ok &= deterministic and sane
-        print(f"[{status}] zp-inner 256^3 warm={warm}: "
+        print(f"[{status}] {inner}-inner 256^3 warm={warm}: "
               f"res {res0:.6g} / {res1:.6g} "
               f"|m-prior|max {dm0:.3g} / {dm1:.3g} "
               f"(deterministic={deterministic}, sane={sane})",
               flush=True)
 
     if ok:
-        print("PASS: zp at 256^3 is deterministic and sane on this "
+        print(f"PASS: {inner} at 256^3 is deterministic and sane on this "
               "toolchain — the DESIGN.md §17 gate can be lifted "
               "(re-measure the §17 config-4 zp-inner frontier first).")
     else:
-        print("FAIL: zp at 256^3 remains untrustworthy on this backend "
+        print(f"FAIL: {inner} at 256^3 remains untrustworthy on this backend "
               "— keep config 4 on interp=cubic (DESIGN.md §17).")
     sys.exit(0 if ok else 1)
 

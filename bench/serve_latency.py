@@ -14,7 +14,9 @@ Run:  python -m bench.serve_latency          (one JSON line)
 Env:  SERVE_INTERP (cubic|zp, default zp — production-trustworthy at
       <=128^3, DESIGN.md section 17), SERVE_INNER (default 33),
       SERVE_CG (default 8), SERVE_EPOCHS (default 24), SERVE_WARMUP (4),
-      SERVE_SOLVER (kalman|enkf), SERVE_ADAPT_R (EMA weight, 0 = off).
+      SERVE_SOLVER (kalman|enkf), SERVE_ADAPT_R (EMA weight, 0 = off),
+      SERVE_BEAM (stochastic-beam paths for per-ray noise inflation,
+      0 = off — the round-4 feature, costs one beam trace per epoch).
 """
 import json
 import os
@@ -40,6 +42,7 @@ def main():
     warmup = int(os.environ.get("SERVE_WARMUP", "4"))
     solver = os.environ.get("SERVE_SOLVER", "kalman")
     adapt_r = float(os.environ.get("SERVE_ADAPT_R", "0"))
+    beam = int(os.environ.get("SERVE_BEAM", "0"))
 
     root = tempfile.mkdtemp(prefix="serve_bench_")
     watch, out = os.path.join(root, "in"), os.path.join(root, "out")
@@ -48,7 +51,7 @@ def main():
     cfg = EngineConfig(
         grid=GridConfig(shape=(64, 64, 64)),
         rays=RayConfig(n_samples=65, interp=interp,
-                       inner_samples=(inner or None)),
+                       inner_samples=(inner or None), beam_noise=beam),
         prior=PriorConfig(sigma=0.3, length_scale_km=80.0,
                           kind="von_karman"),
         solver=SolverConfig(solver=solver, cg_iters=cg, adapt_r=adapt_r),
@@ -79,7 +82,7 @@ def main():
              min=round(float(steady.min()), 4),
              epochs=n_epochs, warmup=warmup, interp=interp,
              inner_samples=inner, cg_iters=cg, solver=solver,
-             adapt_r=adapt_r,
+             adapt_r=adapt_r, beam_noise=beam,
              data="62 ant x 10 dir / 64^3 grid, one file per epoch, "
                   "full ingest->filter->persist path")
     finally:
