@@ -12,12 +12,17 @@ the same linear map, measured at config-5 inner-Jacobian scale
                   (xy-neighborhood block x dense z-band)
   D segment     — sort contributions by row, segment_sum, one dense add
 
-The hypothesis under test: TPU scatter cost is per-INDEX bound, not
-per-byte — measured round 4: the 24-scalar/point form (A) runs 3.5x
-SLOWER than the 40x-more-traffic dense-row form (B) on v5e.
+The hypothesis under test round 4: TPU scatter cost is per-INDEX bound,
+not per-byte. Round-5 correction (DESIGN.md §18): the round-4 run used
+PURELY RANDOM indices (despite the old comment claiming ray locality)
+and its cross-variant error check was broken (shape mismatch — B/C/D
+never actually ran to a recorded number). Production scatters are
+spatially COHERENT — consecutive points advance along rays, so
+consecutive stencils overlap — and coherence changes the ranking;
+SCAT_RANDOM=1 restores the round-4 random-index regime for comparison.
 
 Run: python -m bench.probe_scatter   (JSON lines)
-Env: SCAT_N (default 490000), SCAT_GRID (128).
+Env: SCAT_N (default 490000), SCAT_GRID (128), SCAT_RANDOM (0).
 """
 import json
 import os
@@ -37,19 +42,43 @@ def t(fn, *args, reps=10):
     return (time.perf_counter() - t0) / reps
 
 
+def ray_coherent_bases(n, g, rng, n_samples=49):
+    """Integer stencil base positions with production ray locality:
+    n/n_samples rays, each a straight line of n_samples steps (~0.7
+    voxels/step) from a random boundary-ish origin in a random upward
+    direction — the access pattern the TEC operators actually scatter
+    with."""
+    n_rays = -(-n // n_samples)
+    o = np.stack([rng.uniform(1, g - 2, n_rays),
+                  rng.uniform(1, g - 2, n_rays),
+                  np.full(n_rays, 1.0)], -1)
+    zen = rng.uniform(0.0, 0.5, n_rays)
+    az = rng.uniform(0, 2 * np.pi, n_rays)
+    d = np.stack([np.sin(zen) * np.sin(az), np.sin(zen) * np.cos(az),
+                  np.cos(zen)], -1)
+    s = np.arange(n_samples) * 0.7
+    pts = o[:, None, :] + s[None, :, None] * d[:, None, :]
+    pts = pts.reshape(-1, 3)[:n]
+    return np.clip(np.floor(pts), 1, g - 2).astype(np.int32).T
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     n = int(os.environ.get("SCAT_N", "490000"))
     g = int(os.environ.get("SCAT_GRID", "128"))
+    random_idx = os.environ.get("SCAT_RANDOM", "0") == "1"
     n_rows, nz = g * g, g
     k, l = 8, 3
     rng = np.random.default_rng(0)
-    # realistic ray-like locality: points advance along rays
-    bx = jnp.asarray(rng.integers(1, g - 1, n), jnp.int32)
-    by = jnp.asarray(rng.integers(1, g - 1, n), jnp.int32)
-    bz = jnp.asarray(rng.integers(1, g - 1, n), jnp.int32)
+    if random_idx:
+        bx = jnp.asarray(rng.integers(1, g - 1, n), jnp.int32)
+        by = jnp.asarray(rng.integers(1, g - 1, n), jnp.int32)
+        bz = jnp.asarray(rng.integers(1, g - 1, n), jnp.int32)
+    else:
+        bxyz = ray_coherent_bases(n, g, rng)
+        bx, by, bz = (jnp.asarray(a) for a in bxyz)
     dx = jnp.asarray(rng.integers(-1, 2, (n, k)), jnp.int32)
     dy = jnp.asarray(rng.integers(-1, 2, (n, k)), jnp.int32)
     wxy = jnp.asarray(rng.normal(size=(n, k)), jnp.float32)
@@ -119,7 +148,7 @@ def main():
     for name, fn in fns.items():
         try:
             jf = jax.jit(fn)
-            out = jf(y)
+            out = jf(y).ravel()       # variants differ in output layout
             if ref is None:
                 ref = out
                 err = 0.0
@@ -128,6 +157,7 @@ def main():
                             / jnp.maximum(jnp.abs(ref).max(), 1e-30))
             secs = t(jf, y)
             print(json.dumps({"probe": "scatter", "variant": name,
+                              "coherent": not random_idx,
                               "seconds": round(secs, 5),
                               "rel_err_vs_A": round(err, 9)}), flush=True)
         except Exception as e:

@@ -18,18 +18,23 @@ def _interp_arg_opt(value):
 
 
 def _interp_arg(value):
-    """Validate --interp: "cubic" | "zp" | "zp<order>" (e.g. zp4 — the
-    xy-prefilter Neumann order; core.boxspline.zp_order)."""
+    """Validate --interp: "cubic" | "zp" | "zp<order>" | "zpc" |
+    "zpc<order>" (order = xy-prefilter Neumann order;
+    core.boxspline.zp_order / core.zpcubic.zpc_order)."""
     if value == "cubic":
         return value
     try:
-        from .core.boxspline import zp_order
-        zp_order(value)
+        if value.startswith("zpc"):
+            from .core.zpcubic import zpc_order
+            zpc_order(value)
+        else:
+            from .core.boxspline import zp_order
+            zp_order(value)
         return value
     except ValueError:
         raise SystemExit(
-            f"--interp must be 'cubic', 'zp', or 'zp<order>=2>' "
-            f"(e.g. zp4), got {value!r}")
+            f"--interp must be 'cubic', 'zp', 'zp<order>=2>', 'zpc', or "
+            f"'zpc<order>=2>' (e.g. zp4), got {value!r}")
 
 
 def _prior_length(values):

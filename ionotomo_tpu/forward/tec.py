@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants
-from ..core import boxspline, tricubic
+from ..core import boxspline, tricubic, zpcubic
 from ..core.grids import Grid3D
 from ..geometry.rays import RayBundle, simpson_weights, trapezoid_weights
 
@@ -51,6 +51,9 @@ def _coef2d(field_m: jax.Array, grid: Grid3D, interp: str) -> jax.Array:
     nx, ny, nz = grid.shape
     if interp == "cubic":
         return field_m.reshape(nx * ny, nz)
+    if interp.startswith("zpc"):     # before "zp": shared prefix
+        order = zpcubic.zpc_order(interp)
+        return zpcubic.prefilter(field_m, order).reshape(nx * ny, nz)
     if interp.startswith("zp"):
         order = boxspline.zp_order(interp)
         return boxspline.prefilter(field_m, order).reshape(nx * ny, nz)
@@ -58,6 +61,8 @@ def _coef2d(field_m: jax.Array, grid: Grid3D, interp: str) -> jax.Array:
 
 
 def _rows_of(interp: str):
+    if interp.startswith("zpc"):
+        return zpcubic
     if interp.startswith("zp"):
         return boxspline
     return {"cubic": tricubic}[interp]

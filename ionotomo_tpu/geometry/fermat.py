@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants
-from ..core import boxspline, tricubic, triquadratic
+from ..core import boxspline, tricubic, triquadratic, zpcubic
 from ..core.grids import Grid3D
 from .rays import RayBundle
 
@@ -110,6 +110,10 @@ def field_evaluator(field_m: jax.Array, grid: Grid3D,
     if interp == "cubic":
         field2d = field_m.reshape(nx * ny, nz)
         return lambda x: tricubic.interp_rows_with_grad(field2d, grid, x)
+    if interp.startswith("zpc"):     # before "zp": shared prefix
+        order = zpcubic.zpc_order(interp)
+        coef2d = zpcubic.prefilter(field_m, order).reshape(nx * ny, nz)
+        return lambda x: zpcubic.interp_rows_with_grad(coef2d, grid, x)
     if interp.startswith("zp"):
         order = boxspline.zp_order(interp)
         coef2d = boxspline.prefilter(field_m, order).reshape(nx * ny, nz)

@@ -260,11 +260,12 @@ def test_higher_prefilter_order_sharpens_near_nyquist(rng):
 
 
 def test_hand_transpose_matches_derived_adjoint():
-    """Round-4 custom adjoint (core.boxspline._zp_rows_value_p and its
-    tricubic twin): the hand 24/64-scalar-per-point scatter must be the
-    EXACT transpose of the row-gather forward (adjoint identity through
-    the filter's linearize + linear_transpose path), and must agree with
-    the mechanically derived transpose of the plain implementation."""
+    """Round-4 custom adjoint (core.tricubic.rows_value_p, shared by the
+    tricubic and box-spline row paths): the hand 24/64-scalar-per-point
+    scatter must be the EXACT transpose of the row-gather forward
+    (adjoint identity through the filter's linearize + linear_transpose
+    path), and must agree with the mechanically derived transpose of the
+    plain implementation."""
     rng = np.random.default_rng(5)
     grid = Grid3D.from_bounds((0, 0, 0), (10, 10, 10), (12, 12, 16))
     f = jnp.asarray(rng.normal(size=grid.shape), jnp.float32)
@@ -300,15 +301,95 @@ def test_hand_transpose_matches_derived_adjoint():
                                np.asarray(acc), atol=2e-6)
 
 
-def test_value_path_rejects_point_differentiation():
-    """AD w.r.t. sample points is deliberately undefined through the
-    custom-adjoint value path (the tracer consumes explicit gradients
-    from interp_rows_with_grad instead) — it must fail loudly, not
-    silently return zeros."""
-    import pytest
+def test_batched_field_vmap_keeps_hand_adjoint_and_matches_derived():
+    """vmap over the FIELD axis is the EnKF member axis (DESIGN.md §13).
+    Round 5 gives it the batched hand transpose (one shared-index scatter
+    with a member axis on the updates — VERDICT r4 #3) instead of the
+    round-4 fallback to XLA's derived adjoint. Contract: batched forward
+    and batched VJP are numerically identical to the per-member derived
+    path, for both field models, including inside jit and linearize."""
+    from ionotomo_tpu.core.tricubic import rows_value, _rows_value_impl
+    from functools import partial
+
+    rng = np.random.default_rng(13)
     grid = Grid3D.from_bounds((0, 0, 0), (10, 10, 10), (12, 12, 16))
-    f = jnp.ones(grid.shape, jnp.float32)
+    n_mem, n_pts = 5, 120
+    fields = jnp.asarray(rng.normal(size=(n_mem,) + tuple(grid.shape)),
+                         jnp.float32)
+    pts = jnp.asarray(rng.uniform(0.5, 9.5, (n_pts, 3)), jnp.float32)
+    cts = jnp.asarray(rng.normal(size=(n_mem, n_pts)), jnp.float32)
+    nx, ny, nz = grid.shape
+
+    for fwd in (
+        lambda ff: boxspline.interp(boxspline.prefilter(ff), grid, pts),
+        lambda ff: tricubic.interp_rows(
+            ff.reshape(nx * ny, nz), grid, pts),
+    ):
+        # forward parity: vmapped primitive == stacked per-member calls
+        out_v = jax.jit(jax.vmap(fwd))(fields)
+        out_s = jnp.stack([fwd(fields[i]) for i in range(n_mem)])
+        np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_s),
+                                   atol=2e-5)
+
+        # VJP parity under vmap (the EnKF member update's exact shape:
+        # per-member linearize + transpose, all under one vmap)
+        def member_vjp(f1, c1):
+            _, jvp = jax.linearize(fwd, f1)
+            (g,) = jax.linear_transpose(jvp, f1)(c1)
+            return g
+        g_v = jax.jit(jax.vmap(member_vjp))(fields, cts)
+        g_s = jnp.stack([member_vjp(fields[i], cts[i])
+                         for i in range(n_mem)])
+        np.testing.assert_allclose(np.asarray(g_v), np.asarray(g_s),
+                                   atol=2e-4,
+                                   rtol=2e-4)
+
+    # and at primitive level: batched hand scatter == batched derived
+    f2d = fields.reshape(n_mem, nx * ny, nz)
+    idx, frac, row_idx = tricubic._row_neighborhood(grid, pts)
+    wx = tricubic._catmull_rom_weights(frac[:, 0])
+    wy = tricubic._catmull_rom_weights(frac[:, 1])
+    wxy = (wx[:, :, None] * wy[:, None, :]).reshape(-1, 16)
+    wz4 = tricubic._catmull_rom_weights(frac[:, 2])
+    zi = idx[:, 2]
+
+    def one_prim(tb, c):
+        f = lambda t: rows_value(t, row_idx, wxy, zi, wz4, xy_first=False)
+        return jax.vjp(f, tb)[1](c)[0]
+
+    def one_plain(tb, c):
+        f = partial(_rows_value_impl, ri=row_idx, wxy=wxy, zi=zi, wz=wz4,
+                    xy_first=False)
+        return jax.vjp(lambda t: f(t), tb)[1](c)[0]
+
+    gp = jax.jit(jax.vmap(one_prim))(f2d, cts)
+    gd = jax.jit(jax.vmap(one_plain))(f2d, cts)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gd), atol=2e-5)
+
+
+def test_value_path_point_differentiation_falls_back_to_derived_ad():
+    """AD w.r.t. sample points takes the plain-impl (derived-AD) path
+    through the custom-adjoint primitive (round 5, ADVICE r4): the old
+    pre-primitive semantics at the old cost, instead of the round-4
+    trace-time NotImplementedError. The point gradient must match the
+    kernel's own analytic spatial gradient (interp_rows_with_grad),
+    and the table-only fast path must be unaffected."""
+    rng = np.random.default_rng(9)
+    grid = Grid3D.from_bounds((0, 0, 0), (10, 10, 10), (12, 12, 16))
+    f = jnp.asarray(rng.normal(size=grid.shape), jnp.float32)
     coef = boxspline.prefilter(f)
-    pts = jnp.asarray([[5.0, 5.0, 5.0]], jnp.float32)
-    with pytest.raises(NotImplementedError):
-        jax.grad(lambda p: boxspline.interp(coef, grid, p).sum())(pts)
+    pts = jnp.asarray(rng.uniform(1.5, 8.5, (30, 3)), jnp.float32)
+
+    g_ad = jax.grad(lambda p: boxspline.interp(coef, grid, p).sum())(pts)
+    nx, ny, nz = grid.shape
+    _, g_an = boxspline.interp_rows_with_grad(
+        coef.reshape(nx * ny, nz), grid, pts)
+    np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_an),
+                               atol=5e-4)
+
+    g_tc = jax.grad(lambda p: tricubic.interp_rows(
+        f.reshape(nx * ny, nz), grid, p).sum())(pts)
+    _, g_tc_an = tricubic.interp_rows_with_grad(
+        f.reshape(nx * ny, nz), grid, pts)
+    np.testing.assert_allclose(np.asarray(g_tc), np.asarray(g_tc_an),
+                               atol=5e-4)

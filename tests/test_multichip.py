@@ -221,6 +221,89 @@ def test_pipeline_kalman_shards_rays_with_padding():
         assert np.abs(sol_sh.m - sol_un.m).max() < 0.05 * delta
 
 
+@pytest.mark.parametrize("interp", ["cubic", "zp"])
+def test_sharded_operator_applies_match_unsharded_tightly(interp):
+    """Operator-level shard-parity contract (ADVICE r4): one J apply and
+    one Jᵀ apply of the linearised dTEC operator on a padded + sharded
+    ray axis must match the unsharded operator to near-f32-rounding
+    tolerance, independent of any CG amplification. This keeps the
+    sharply-conditioned regime covered after the end-to-end Kalman
+    parity test moved to physical (1e-2 TECU) noise: a genuine
+    cross-shard reduction bug shows up HERE at 1e-6, not hidden inside
+    a 3e5×-amplified filter trajectory."""
+    nd = 5
+    grid, m, o, d = world(nx=12, n_rays=0)
+    rng = np.random.default_rng(5)
+    na = 7                                # 35 rays: 35 % 8 != 0 → padding
+    ants = np.concatenate([rng.uniform(-40, 40, (na, 2)),
+                           np.zeros((na, 1))], -1).astype(np.float32)
+    zen = rng.uniform(0.05, 0.4, nd)
+    az = rng.uniform(0, 2 * np.pi, nd)
+    dirs = np.stack([np.sin(zen) * np.sin(az), np.sin(zen) * np.cos(az),
+                     np.cos(zen)], -1).astype(np.float32)
+    origins, dvecs = rays_mod.make_ray_batch(ants, dirs)
+    rb = rays_mod.sample_straight_rays(origins, dvecs, n_samples=17)
+
+    def fwd(mm, rr):
+        return tec_mod.dtec_paired_q(mm, grid, rr, nd, 0,
+                                     "hermite", interp).ravel()
+
+    v = jnp.asarray(rng.normal(size=grid.shape).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(na * nd,)).astype(np.float32))
+
+    _, jvp_un = jax.linearize(lambda mm: fwd(mm, rb), jnp.asarray(m))
+    j_un = np.asarray(jvp_un(v))
+    (jt_un,) = jax.linear_transpose(jvp_un, jnp.asarray(m))(w)
+    jt_un = np.asarray(jt_un)
+
+    # pad the antenna axis (the pipeline's padding unit: whole antennas,
+    # so paired dTEC referencing stays row-major) and shard the ray axis
+    mesh = shard_mod.ray_mesh()
+    ndev = mesh.devices.size
+    na_p = na
+    while (na_p * nd) % ndev:
+        na_p += 1
+    pts = rb.points.reshape(na, nd, -1, 3)
+    pts_p = jnp.concatenate(
+        [pts, jnp.broadcast_to(pts[-1:], (na_p - na,) + pts.shape[1:])],
+        axis=0).reshape(na_p * nd, -1, 3)
+    ds_p = jnp.concatenate(
+        [rb.ds.reshape(na, nd),
+         jnp.broadcast_to(rb.ds.reshape(na, nd)[-1:], (na_p - na, nd))],
+        axis=0).reshape(-1)
+    sh = shard_mod.ray_sharding(mesh)
+    pts_p = jax.device_put(pts_p, sh)
+    ds_p = jax.device_put(ds_p, sh)
+    (m_r, v_r) = shard_mod.replicate(mesh, jnp.asarray(m), v)
+    rb_p = rays_mod.RayBundle(points=pts_p, ds=ds_p)
+    w_p = jnp.concatenate(
+        [w, jnp.zeros(((na_p - na) * nd,), w.dtype)], axis=0)
+    # the cotangent lives in data space: it must carry the operator
+    # output's ray sharding
+    w_r = jax.device_put(w_p, sh)
+
+    @jax.jit
+    def apply_j(mm, vv, pp, ss):
+        rr = rays_mod.RayBundle(points=pp, ds=ss)
+        _, jvp = jax.linearize(lambda x: fwd(x, rr), mm)
+        return jvp(vv)
+
+    @jax.jit
+    def apply_jt(mm, ww, pp, ss):
+        rr = rays_mod.RayBundle(points=pp, ds=ss)
+        _, jvp = jax.linearize(lambda x: fwd(x, rr), mm)
+        (out,) = jax.linear_transpose(jvp, mm)(ww)
+        return out
+
+    j_sh = np.asarray(apply_j(m_r, v_r, pts_p, ds_p))[:na * nd]
+    jt_sh = np.asarray(apply_jt(m_r, w_r, pts_p, ds_p))
+
+    np.testing.assert_allclose(j_sh, j_un, rtol=3e-6,
+                               atol=3e-6 * np.abs(j_un).max())
+    np.testing.assert_allclose(jt_sh, jt_un, rtol=3e-6,
+                               atol=3e-6 * np.abs(jt_un).max())
+
+
 def test_anchored_solve_with_sharded_rays_matches_unsharded():
     """Joint anchor rows (replicated) + dTEC rays (sharded) in one MAP
     solve: the mixed-sharding program must run and match the unsharded

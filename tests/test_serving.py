@@ -463,3 +463,32 @@ def test_service_adaptive_r_streams_and_restarts(tmp_path):
     rb = [json.loads(l)["r_scale"] for l in open(out_b / "epochs.jsonl")
           if "epoch" in json.loads(l)]
     assert ra == rb
+
+
+def test_service_diag_spectrum_events(tmp_path):
+    """The serving twin of the pipeline's update-spectrum diagnostic
+    (VERDICT r4 #5): with ``solver.diag_spectrum_every = N``, every N-th
+    assimilated epoch logs an ``update_spectrum`` record into the
+    epochs.jsonl stream — the deployment-facing view of the update
+    operator's conditioning."""
+    import dataclasses
+
+    watch = tmp_path / "in"; watch.mkdir()
+    out = tmp_path / "out"
+    _epoch_files(str(watch), 3)
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, diag_spectrum_every=2))
+    svc = EpochService(str(watch), str(out), cfg)
+    assert svc.process_available() == 3
+    recs = [json.loads(l) for l in open(out / "epochs.jsonl")]
+    evs = [r for r in recs if r.get("event") == "update_spectrum"]
+    assert [e["epoch"] for e in evs] == [0, 2]
+    for e in evs:
+        lam = e["lam"]
+        assert lam[0] >= lam[-1] >= 0.9
+        assert e["kappa_bound"] >= 1.0
+    # the regular per-epoch records are untouched
+    eps = [r for r in recs if "seconds" in r and "epoch" in r
+           and r.get("event") is None]
+    assert len(eps) == 3
