@@ -110,7 +110,9 @@ def cmd_serve(args):
                             kalman_fade=args.fade,
                             wind_adapt_iters=args.wind_adapt,
                             wind_shear=args.wind_shear,
-                            adapt_r=args.adapt_r),
+                            adapt_r=args.adapt_r,
+                            diag_spectrum_every=getattr(
+                                args, "diag_spectrum", 0)),
     )
     svc = EpochService(args.watch_dir, args.out_dir, cfg,
                        wind_kmps=args.wind,
@@ -165,7 +167,9 @@ def cmd_invert(args):
                             posterior_samples=getattr(
                                 args, "posterior_samples", 0),
                             noise_adapt_every=getattr(
-                                args, "noise_adapt", 0)),
+                                args, "noise_adapt", 0),
+                            diag_spectrum_every=getattr(
+                                args, "diag_spectrum", 0)),
         runtime=RuntimeConfig(checkpoint_dir=args.checkpoint_dir,
                               metrics_path=args.metrics),
     )
@@ -393,6 +397,12 @@ def main(argv=None):
                         "rescaling every N-th chunk boundary by exact "
                         "evidence on that epoch's innovation (tracks "
                         "drifting instrument noise; checkpointed)")
+    i.add_argument("--diag-spectrum", type=int, default=0, metavar="N",
+                   help="kalman/enkf: log the update operator's top-rank "
+                        "spectrum (condition-number bound kappa_bound) "
+                        "as an update_spectrum metrics event every N-th "
+                        "chunk boundary — surfaces when truncated CG "
+                        "enters the f32 rounding-amplification regime")
     i.add_argument("--estimate-profile", action="store_true",
                    help="MAP-estimate the profile parameters from "
                         "timestep-0 data + the --vtec-anchors rows "
@@ -556,6 +566,10 @@ def main(argv=None):
     v.add_argument("--beam-noise", type=int, default=0, metavar="P",
                    help="strong-turbulence error bar per epoch (see "
                         "invert --beam-noise)")
+    v.add_argument("--diag-spectrum", type=int, default=0, metavar="N",
+                   help="log an update_spectrum record (top-rank "
+                        "eigenvalues + kappa_bound of the update "
+                        "operator) into epochs.jsonl every N-th epoch")
     v.add_argument("--adapt-r", type=float, default=0.0, metavar="ALPHA",
                    help="streaming adaptive observation-noise scale: "
                         "EMA weight of the per-epoch innovation-"

@@ -94,6 +94,23 @@ def _sharded_take(table: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take(table, idx, axis=0)
 
 
+def _sharded_take_batched(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather rows of a leading-batched ``table`` (B, R, nz) at shared
+    point indices ``idx`` (N, K) → (B, N, K, nz), propagating the
+    indices' point sharding to the output's point axis (the batch axis —
+    the EnKF member axis or a Krylov block — stays replicated)."""
+    try:
+        sh = jax.typeof(idx).sharding
+        if any(s is not None for s in sh.spec):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            out_spec = P(None, *sh.spec, None)
+            return table.at[:, idx].get(
+                mode="clip", out_sharding=NamedSharding(sh.mesh, out_spec))
+    except (TypeError, ValueError, AttributeError):
+        pass
+    return jnp.take(table, idx, axis=1)
+
+
 def _gather_blocks(field: jax.Array, grid: Grid3D, idx: jax.Array):
     """Gather the 4×4×4 neighbourhoods.
 
@@ -275,7 +292,7 @@ def _rows_value_impl(table, ri, wxy, zi, wz, *, xy_first):
         return jnp.sum(pencil * wxy, axis=-1)
     # batched: shared indices, batch axis on table and/or weights
     if table.ndim == 3:
-        rows = jnp.take(table, ri, axis=1)               # (B,N,K,nz)
+        rows = _sharded_take_batched(table, ri)          # (B,N,K,nz)
     else:
         rows = _sharded_take(table, ri)[None]            # (1,N,K,nz)
     if wz.ndim == 3:
@@ -302,6 +319,14 @@ def _rows_value_abstract(table, ri, wxy, zi, wz, *, xy_first):
         b = max(table.shape[0] if table.ndim == 3 else 1,
                 wxy.shape[0] if wxy.ndim == 3 else 1,
                 wz.shape[0] if wz.ndim == 3 else 1)
+        sh = getattr(ri, "sharding", None)
+        if sh is not None and getattr(sh, "mesh", None) is not None \
+                and not getattr(sh.mesh, "empty", False):
+            try:
+                from jax.sharding import PartitionSpec as _P
+                kw["sharding"] = sh.update(spec=_P(None, sh.spec[0]))
+            except (TypeError, ValueError, AttributeError):
+                pass
         return _jcore.ShapedArray((b, ri.shape[0]), table.dtype, **kw)
     sh = getattr(ri, "sharding", None)
     if sh is not None and getattr(sh, "mesh", None) is not None \
@@ -366,8 +391,17 @@ def _rows_value_transpose(ct, table, ri, wxy, zi, wz, *, xy_first):
     if batched:
         # one shared-index scatter, member axis on the updates only
         out = jnp.zeros((b, n_rows * nz), ct.dtype)
+        kw = {}
+        try:
+            sh = jax.typeof(flat).sharding
+            if any(s is not None for s in sh.spec):
+                from jax.sharding import NamedSharding as _NS, \
+                    PartitionSpec as _P
+                kw["out_sharding"] = _NS(sh.mesh, _P(None, None))
+        except (TypeError, ValueError, AttributeError):
+            pass
         out = out.at[:, flat].add(
-            contrib.reshape(b, -1)).reshape(b, n_rows, nz)
+            contrib.reshape(b, -1), **kw).reshape(b, n_rows, nz)
         return [out, None, None, None, None]
     if contrib.ndim == 4:
         # batched weights against an unbatched table: every batch

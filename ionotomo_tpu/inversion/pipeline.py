@@ -593,6 +593,31 @@ class InversionPipeline:
         _, i_r = np.unravel_index(int(np.argmax(ll)), ll.shape)
         return float(rhos[i_r])
 
+    def _diag_spectrum(self, t: int, m_lin, noise_scale: float) -> None:
+        """One update-operator conditioning diagnostic
+        (solver.diag_spectrum_every, VERDICT r4 #5): the randomized
+        top-rank spectrum of I + C^½JᵀC_d⁻¹JC^½ linearised at the
+        current filter state on timestep t's rays, logged as an
+        ``update_spectrum`` metrics event. λ₁ IS the operator's
+        condition-number bound (the spectrum lives in [1, λ₁]), the
+        quantity that converts f32 rounding into field error under
+        truncated CG (3e5× amplification measured at 1e-3 TECU noise —
+        tests/test_multichip.py)."""
+        from .kalman import update_operator_eigs
+        sc = self.config.solver
+        nd = self.directions.shape[1]
+        ants, _, noise, _ = self._padded_data(t)
+        rb = self._shard(self.rays_for_time(t, antennas=ants))
+        rank = min(sc.diag_spectrum_rank, self.grid.num_voxels)
+        _, lam = update_operator_eigs(
+            self.grid, rb, noise * noise_scale, m_lin, self.cov, nd,
+            jax.random.key(t), rank=rank, i0=self.i0,
+            quadrature=self.config.rays.quadrature,
+            interp=self.config.rays.interp)
+        lam = [float(v) for v in np.asarray(lam)]
+        self.metrics.write(dict(event="update_spectrum", t=t, rank=rank,
+                                lam=lam, kappa_bound=lam[0]))
+
     def _config_compatible(self, cfg_json: str) -> bool:
         """A checkpoint is resumable only if its engine config matches ours
         on every physics/grid/ray/prior/solver field (runtime fields —
@@ -837,6 +862,11 @@ class InversionPipeline:
                 noise_scale *= rho
                 self.metrics.write(dict(event="noise_adapted", t=c0,
                                         rho=rho, noise_scale=noise_scale))
+            if (sc.diag_spectrum_every > 0
+                    and (c0 // chunk) % sc.diag_spectrum_every == 0):
+                self._diag_spectrum(
+                    c0, jnp.asarray(mean_list[-1]) if mean_list
+                    else self.m_prior, noise_scale)
             rays_seq, inner_seq, d_chunk, noise_chunk = \
                 self._chunk_arrays(c0, c1, shard=not member_mode)
             filter_fn = (partial(member_parallel_enkf, m_mesh)
@@ -1007,6 +1037,9 @@ class InversionPipeline:
                 noise_scale *= rho
                 self.metrics.write(dict(event="noise_adapted", t=c0,
                                         rho=rho, noise_scale=noise_scale))
+            if (sc.diag_spectrum_every > 0
+                    and (c0 // chunk) % sc.diag_spectrum_every == 0):
+                self._diag_spectrum(c0, m_cur, noise_scale)
             rays_seq, inner_seq, d_chunk, noise_chunk = \
                 self._chunk_arrays(c0, c1)
             res = kalman_filter(

@@ -54,6 +54,7 @@ import os
 import time
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .config import EngineConfig
@@ -543,6 +544,29 @@ class EpochService:
                     f.write(json.dumps(dict(epoch=epoch, file=name,
                                             seconds=round(secs, 3),
                                             **diag)) + "\n")
+                every = self.config.solver.diag_spectrum_every
+                if every > 0 and epoch % every == 0:
+                    # deployment-facing update-operator conditioning
+                    # diagnostic (VERDICT r4 #5): randomized top-rank
+                    # spectrum of I + C^½JᵀC_d⁻¹JC^½ at the freshly
+                    # assimilated state, keyed by "epoch" so the
+                    # restart prune treats it like any epoch record
+                    from .inversion.kalman import update_operator_eigs
+                    rank = min(self.config.solver.diag_spectrum_rank,
+                               self.grid.num_voxels)
+                    _, lam = update_operator_eigs(
+                        self.grid, rb, noise_t,
+                        jnp.asarray(m_t), self.filter.cov,
+                        dev["dtec"].shape[-1], jax.random.key(epoch),
+                        rank=rank, i0=self.filter.i0,
+                        quadrature=self.config.rays.quadrature,
+                        interp=self.config.rays.interp)
+                    lam = [float(v) for v in np.asarray(lam)]
+                    with open(self.metrics_path, "a") as f:
+                        f.write(json.dumps(dict(
+                            event="update_spectrum", epoch=epoch,
+                            rank=rank, lam=lam,
+                            kappa_bound=lam[0])) + "\n")
                 n_epochs += 1
             self.processed.append(name)
             self._save_state()

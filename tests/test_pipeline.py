@@ -15,7 +15,8 @@ def small_config(tmp_path, **solver_kw):
         grid=GridConfig(shape=(14, 14, 14)),
         rays=RayConfig(n_samples=33),
         prior=PriorConfig(sigma=0.3, length_scale_km=90.0, kind="sqexp"),
-        solver=SolverConfig(gn_iters=2, cg_iters=15, **solver_kw),
+        solver=SolverConfig(**{"gn_iters": 2, "cg_iters": 15,
+                               **solver_kw}),
         runtime=RuntimeConfig(checkpoint_dir=str(tmp_path / "ckpt"),
                               metrics_path=str(tmp_path / "m.jsonl")),
     )
