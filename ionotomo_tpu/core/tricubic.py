@@ -425,6 +425,14 @@ def _rows_value_transpose(ct, table, ri, wxy, zi, wz, *, xy_first):
     return [out, None, None, None, None]
 
 
+# A/B switch for bench/probe_enkf_adjoint.py ONLY: force the round-4
+# derived-adjoint fallback under vmap to measure what the batched hand
+# transpose buys the EnKF member axis. Never set in production.
+import os as _os
+_BATCH_FALLBACK = _os.environ.get(
+    "ROWS_VALUE_BATCH_FALLBACK", "0") == "1"
+
+
 def _rows_value_batch(args, dims, *, xy_first):
     # vmap over the FIELD axis is the EnKF member axis (DESIGN.md §13).
     # When the stencil indices are batch-invariant — the production
@@ -436,7 +444,7 @@ def _rows_value_batch(args, dims, *, xy_first):
     table, ri, wxy, zi, wz = args
     dt, di, dwxy, dzi, dwz = dims
     nb = _batching.not_mapped
-    if (di is nb and dzi is nb
+    if (not _BATCH_FALLBACK and di is nb and dzi is nb
             and (dt is nb or table.ndim == 3)
             and (dwxy is nb or wxy.ndim == 3)
             and (dwz is nb or wz.ndim == 3)):
