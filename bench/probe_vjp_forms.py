@@ -181,10 +181,18 @@ def main():
                 return jax.vjp(f, tb)[1](c)[0]
             return jax.vmap(one)(tbs, cs)
         vrun = jax.jit(vrun)
-        print(json.dumps({"probe": "vjp_forms",
-                          "variant": f"vmap{b}_vjp_{name}",
-                          "seconds": round(t(vrun, tables, cts), 5)}),
-              flush=True)
+        try:
+            print(json.dumps({"probe": "vjp_forms",
+                              "variant": f"vmap{b}_vjp_{name}",
+                              "seconds": round(t(vrun, tables, cts), 5)}),
+                  flush=True)
+        except Exception as e:
+            # the derived form's (B,N,K,nz) backward intermediate OOMs
+            # at production scale — that is itself the finding
+            print(json.dumps({"probe": "vjp_forms",
+                              "variant": f"vmap{b}_vjp_{name}",
+                              "error": f"{type(e).__name__}: {e}"[:160]}),
+                  flush=True)
     # batched hand forms (the round-5 batched-primitive candidates):
     # shared indices, member axis only on the cotangent/updates
     def vmap_hand_scalar(cs):

@@ -217,20 +217,22 @@ def _z_band(idx_z: jax.Array, w: jax.Array, nz: int):
     return band
 
 
-# --- custom adjoint for the row-gather value path (round 4) --------------
+# --- custom adjoint for the row-gather value path (round 4, corrected
+# --- round 5) ------------------------------------------------------------
 #
-# Measured defect (bench/probe_c5_breakdown.py, DESIGN.md §18): XLA's
-# mechanically derived transpose of the row-gather forward scatter-adds
-# K FULL nz-deep rows per point into the field table, but only L z-taps
-# per row are nonzero (L=4 tricubic, L=3 box spline) — ~nz/L (≈ 32–64×
-# at 128³–256³) excess scatter traffic. At config-5 scale the VJP costs
-# 31.3 ms vs the forward tangent's 13.3 ms, and the adjoint runs
-# 2·cg_iters times per filter step — over half the step.
+# Measured facts (bench/probe_vjp_forms.py, .sweeps/r5_baseline2.log,
+# DESIGN.md §18): at config-5 inner-Jacobian scale (490k points, 128³,
+# zp) the DENSE-ROW transpose — K full nz-deep rows ct·w_xy⊗band(w_z)
+# per point, K row indices — costs 0.030 s, identical to XLA's derived
+# transpose of the plain impl; the K×L SCALAR form (ct·w_xy·w_z at K·L
+# flat indices, which round 4 shipped on an un-re-measured ~nz/L
+# traffic theory) costs 0.108 s — 3.5× slower, because TPU scatter is
+# per-INDEX bound, not per-byte, and ray coherence does not change the
+# ranking (coherent == random within noise). The unbatched transpose is
+# therefore the dense-row form.
 #
 # ``rows_value_p`` keeps each model's measured-fast forward contraction
-# order (a static param) and pairs it with a hand transpose scattering
-# exactly the K×L scalar contributions ct·w_xy⊗w_z per point — for
-# tricubic that is the same 64-entry stencil forward.tec.
+# order (a static param) with that hand transpose; forward.tec.
 # tec_linear_adjoint scatters by hand for the LSQR path.
 # jax.custom_derivatives.linear_call would express this without a
 # primitive, but it has no batching rule — and vmap over the FIELD is
@@ -377,19 +379,20 @@ def _rows_value_transpose(ct, table, ri, wxy, zi, wz, *, xy_first):
     batched = table.aval.ndim == 3
     if batched:
         b, n_rows, nz = table.aval.shape
-    else:
-        n_rows, nz = table.aval.shape
-    # ct (…N,) → the K×L nonzero scalar contributions per point, scatter-
-    # added at flat (row, z) indices (all in bounds: both index sets are
-    # clamped by the neighborhood builders).
-    contrib = (ct[..., :, None, None]
-               * (wxy[..., :, :, None] if wxy.ndim == 3
-                  else wxy[:, :, None])
-               * (wz[..., :, None, :] if wz.ndim == 3
-                  else wz[:, None, :]))
-    flat = (ri[:, :, None] * nz + zi[:, None, :]).reshape(-1)
-    if batched:
-        # one shared-index scatter, member axis on the updates only
+        # Batched (EnKF member) case: the K×L SCALAR contributions per
+        # point, scatter-added at shared flat (row, z) indices with the
+        # member axis riding the updates. Two measured reasons this is
+        # the scalar form while the unbatched path is dense-row
+        # (DESIGN.md §18): the dense-row update tensor (B,N,K,nz) is
+        # B× the forward pencil — 16 GB at config-5 scale, an immediate
+        # OOM — and scatter cost is per-INDEX bound, so B members
+        # amortize one index stream.
+        contrib = (ct[..., :, None, None]
+                   * (wxy[..., :, :, None] if wxy.ndim == 3
+                      else wxy[:, :, None])
+                   * (wz[..., :, None, :] if wz.ndim == 3
+                      else wz[:, None, :]))
+        flat = (ri[:, :, None] * nz + zi[:, None, :]).reshape(-1)
         out = jnp.zeros((b, n_rows * nz), ct.dtype)
         kw = {}
         try:
@@ -403,14 +406,36 @@ def _rows_value_transpose(ct, table, ri, wxy, zi, wz, *, xy_first):
         out = out.at[:, flat].add(
             contrib.reshape(b, -1), **kw).reshape(b, n_rows, nz)
         return [out, None, None, None, None]
-    if contrib.ndim == 4:
-        # batched weights against an unbatched table: every batch
-        # member scatters into the same cotangent
-        contrib = contrib.sum(axis=0)
-    out = jnp.zeros((n_rows * nz,), ct.dtype)
+    n_rows, nz = table.aval.shape
+    # Unbatched: DENSE-ROW scatter (probe_scatter form B) — K full
+    # nz-rows ct·w_xy ⊗ band(w_z) per point, scatter-added at the K row
+    # indices. Measured 3.5× FASTER than the K×L scalar form on this
+    # backend (0.030 s vs 0.108 s at config-5 inner-Jacobian scale,
+    # .sweeps/r5_baseline2.log): TPU scatter cost is per-index bound,
+    # so K indices of nz-deep rows beat K·L indices of scalars despite
+    # ~nz/L more scattered bytes. Round 4 shipped the scalar form on
+    # exactly the opposite theory without an end-to-end re-measurement
+    # — the 2.6× config-5 regression is reconciled in DESIGN.md §18.
+    if wxy.ndim == 3 or wz.ndim == 3:
+        # batched weights against an unbatched table (rare; not a
+        # production path): every batch member scatters into the same
+        # cotangent — scalar contributions summed over the batch
+        contrib = (ct[..., :, None, None]
+                   * (wxy[..., :, :, None] if wxy.ndim == 3
+                      else wxy[:, :, None])
+                   * (wz[..., :, None, :] if wz.ndim == 3
+                      else wz[:, None, :])).sum(axis=0)
+        flat = (ri[:, :, None] * nz + zi[:, None, :]).reshape(-1)
+        out = jnp.zeros((n_rows * nz,), ct.dtype)
+        out = out.at[flat].add(contrib.reshape(-1)).reshape(n_rows, nz)
+        return [out, None, None, None, None]
+    band = _z_band(zi, wz, nz)                           # (N,nz)
+    rows_ct = (ct[:, None, None] * wxy[:, :, None]
+               * band[:, None, :])                       # (N,K,nz)
+    out = jnp.zeros((n_rows, nz), ct.dtype)
     kw = {}
     try:
-        sh = jax.typeof(flat).sharding
+        sh = jax.typeof(ri).sharding
         if any(s is not None for s in sh.spec):
             # explicit-sharding mode: scatter of point-sharded updates
             # into the replicated table cotangent (the engine's standard
@@ -418,10 +443,10 @@ def _rows_value_transpose(ct, table, ri, wxy, zi, wz, *, xy_first):
             # own operators, never this path)
             from jax.sharding import NamedSharding as _NS, \
                 PartitionSpec as _P
-            kw["out_sharding"] = _NS(sh.mesh, _P(None))
+            kw["out_sharding"] = _NS(sh.mesh, _P(None, None))
     except (TypeError, ValueError, AttributeError):
         pass
-    out = out.at[flat].add(contrib.reshape(-1), **kw).reshape(n_rows, nz)
+    out = out.at[ri].add(rows_ct, **kw)
     return [out, None, None, None, None]
 
 
