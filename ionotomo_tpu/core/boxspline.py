@@ -237,10 +237,10 @@ def interp_rows(coef2d: jax.Array, grid: Grid3D, points: jax.Array
     group per point. ``coef2d`` is ``prefilter(field)`` reshaped to
     (nx*ny, nz) once outside any scan. The linear coef→values map runs
     as ``core.tricubic.rows_value_p`` (xy-first contraction, this
-    module's measured order) so its transpose is the 24-scalar-per-point
-    hand scatter — see the round-4 custom-adjoint block in
-    core/tricubic.py and DESIGN.md §18 — not XLA's dense-row derived
-    one."""
+    module's measured order); its transpose is the dense-row hand
+    scatter when the table is unbatched and the shared-index scalar
+    scatter under the EnKF member vmap — see the custom-adjoint block
+    in core/tricubic.py and DESIGN.md §18 for the measurements."""
     from .tricubic import rows_value
 
     bx, by, bz, u, v, w = _neighborhood(grid, points)

@@ -96,8 +96,8 @@ def interp_rows(coef2d: jax.Array, grid: Grid3D, points: jax.Array
     per point, 4 dense z taps. ``coef2d`` is ``prefilter(field)``
     reshaped to (nx*ny, nz) once outside any scan. The linear
     coef→values map runs as ``core.tricubic.rows_value_p`` (xy-first,
-    the box-spline family's measured order) so its transpose is the
-    32-scalar-per-point hand scatter (DESIGN.md §18)."""
+    the box-spline family's measured order) with the dense-row /
+    batched-scalar hand transpose (DESIGN.md §18)."""
     bx, by, u, v, zi, fz = _neighborhood(grid, points)
     dx, dy, wxy = _xy_weights(u, v, with_grad=False)
     ri = _row_index(bx, by, dx, dy, grid)
