@@ -512,9 +512,10 @@ def interp_rows(field2d: jax.Array, grid: Grid3D, points: jax.Array
 
     ``field2d`` is the field pre-reshaped to (nx*ny, nz) — pass it reshaped
     once outside any scan so the layout change isn't paid per step. The
-    linear field→values map runs as ``rows_value_p`` so its transpose is
-    the 64-scalar-per-point hand scatter (block comment above), not XLA's
-    dense-row derived one.
+    linear field→values map runs as ``rows_value_p`` for its batching rule
+    (the EnKF member axis keeps a hand scatter) and sharding contract; the
+    unbatched transpose is the dense-row scatter (block comment above —
+    measured equal to XLA's derived adjoint, DESIGN.md §18).
     """
     idx, frac, row_idx = _row_neighborhood(grid, points)
     wx = _catmull_rom_weights(frac[:, 0])
