@@ -13,6 +13,8 @@ Units: ray geometry in km, n_e in m^-3; TEC returned in working units of
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -77,17 +79,22 @@ def _interp_fast(field_m: jax.Array, grid: Grid3D, pts2d: jax.Array,
     core.boxspline / DESIGN.md §14).
 
     Large point batches are processed in lax.map chunks so the gathered
-    (N, rows, nz) pencil intermediate stays bounded (~512 MB) — a 256³
-    grid with 1.3M quadrature points would otherwise materialise ~21 GB
-    and exhaust HBM (config 4 scale). Chunked scan also bounds the VJP's
-    memory, which is what the Krylov solvers differentiate through.
+    (N, rows, nz) pencil intermediate stays bounded — a 256³ grid with
+    1.3M quadrature points would otherwise materialise ~21 GB and
+    exhaust HBM (config 4 scale). Chunked scan also bounds the VJP's
+    memory, which is what the Krylov solvers differentiate through —
+    but chunking is not free: the lax.map VJP pays a separate scatter
+    kernel + backward-scan step per chunk (measured 2.4× the monolithic
+    VJP at 4 chunks, DESIGN.md §18/§20), so the budget should be as
+    large as HBM headroom allows. ``IONO_TEC_CHUNK_MB`` overrides the
+    default pencil budget (in MiB) for measurement and tuning.
     """
     nz = grid.shape[2]
     mod = _rows_of(interp)
     table = _coef2d(field_m, grid, interp)
     n_rows = 16 if interp == "cubic" else 8
     n = pts2d.shape[0]
-    budget = 512 * 1024 * 1024  # bytes for the pencil intermediate
+    budget = int(os.environ.get("IONO_TEC_CHUNK_MB", "512")) * 1024 * 1024
     chunk = max(8192, budget // (n_rows * nz * 4))
     if n <= chunk:
         return mod.interp_rows(table, grid, pts2d)
