@@ -493,3 +493,33 @@ def test_map_gn_zp_matches_cubic_solution():
     dm = np.abs(sols["zp"] - sols["cubic"]).max()
     span = np.abs(sols["cubic"] - np.asarray(m_prior)).max()
     assert dm < 0.15 * span, (dm, span)
+
+
+def test_interp_fast_chunked_matches_monolithic(monkeypatch):
+    """The lax.map point-chunking of tec._interp_fast (pencil-memory
+    bound, budget overridable via IONO_TEC_CHUNK_MB — DESIGN.md §20) is
+    a pure execution-shape choice: values AND the VJP through the field
+    must match the monolithic path to f32 reduction-order noise, for
+    every field model. Guards the budget knob: a wrong chunk/pad seam
+    would show up here as a value or adjoint mismatch."""
+    _, _, grid, m = small_world(nx=16)
+    rng = np.random.default_rng(3)
+    lo = np.asarray(grid.origin) + 1.0
+    hi = lo + (np.asarray(grid.shape) - 3) * np.asarray(grid.spacing)
+    pts = jnp.asarray(rng.uniform(lo, hi, (20011, 3)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(20011,)), jnp.float32)
+    for interp in ("cubic", "zp", "zpc"):
+        def val(field, p=pts, i=interp):
+            return tec_mod._interp_fast(field, grid, p, i)
+        monkeypatch.delenv("IONO_TEC_CHUNK_MB", raising=False)
+        v_mono, vjp_mono = jax.vjp(val, m)
+        g_mono = vjp_mono(ct)[0]
+        # budget of 1 MiB forces the lax.map path (chunk=8192 < 20011)
+        monkeypatch.setenv("IONO_TEC_CHUNK_MB", "1")
+        v_chunk, vjp_chunk = jax.vjp(val, m)
+        g_chunk = vjp_chunk(ct)[0]
+        vtol = 1e-5 * float(jnp.abs(v_mono).max())
+        np.testing.assert_allclose(np.asarray(v_chunk), np.asarray(v_mono),
+                                   rtol=0, atol=vtol, err_msg=interp)
+        scale = float(jnp.abs(g_mono).max())
+        assert float(jnp.abs(g_chunk - g_mono).max()) <= 1e-5 * scale, interp
