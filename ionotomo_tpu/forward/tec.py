@@ -86,15 +86,18 @@ def _interp_fast(field_m: jax.Array, grid: Grid3D, pts2d: jax.Array,
     but chunking is not free: the lax.map VJP pays a separate scatter
     kernel + backward-scan step per chunk (measured 2.4× the monolithic
     VJP at 4 chunks, DESIGN.md §18/§20), so the budget should be as
-    large as HBM headroom allows. ``IONO_TEC_CHUNK_MB`` overrides the
-    default pencil budget (in MiB) for measurement and tuning.
+    large as HBM headroom allows. Default 4096 MiB (round 5, measured:
+    config-5-scale solves go monolithic, config 4 drops from 40 chunks
+    to 5 — end-to-end wins at identical held-out skill, DESIGN.md §20);
+    ``IONO_TEC_CHUNK_MB`` overrides the budget (in MiB) for tuning and
+    for HBM-constrained deployments.
     """
     nz = grid.shape[2]
     mod = _rows_of(interp)
     table = _coef2d(field_m, grid, interp)
     n_rows = 16 if interp == "cubic" else 8
     n = pts2d.shape[0]
-    budget = int(os.environ.get("IONO_TEC_CHUNK_MB", "512")) * 1024 * 1024
+    budget = int(os.environ.get("IONO_TEC_CHUNK_MB", "4096")) * 1024 * 1024
     chunk = max(8192, budget // (n_rows * nz * 4))
     if n <= chunk:
         return mod.interp_rows(table, grid, pts2d)
