@@ -85,21 +85,24 @@ def _interp_fast(field_m: jax.Array, grid: Grid3D, pts2d: jax.Array,
     memory, which is what the Krylov solvers differentiate through —
     but chunking is not free: the lax.map VJP pays a separate scatter
     kernel + backward-scan step per chunk (measured 2.4× the monolithic
-    VJP at 4 chunks, DESIGN.md §18/§20), so the budget should be as
-    large as HBM headroom allows. Default 4096 MiB (round 5, measured:
-    config-5-scale solves go monolithic, config 4 drops from 40 chunks
-    to 5 — end-to-end wins at identical held-out skill, DESIGN.md §20);
-    ``IONO_TEC_CHUNK_MB`` overrides the budget (in MiB) for tuning and
-    for HBM-constrained deployments.
+    VJP at 4 chunks, DESIGN.md §18/§20). The measured two-regime design
+    (round 5, DESIGN.md §20): go MONOLITHIC whenever the whole pencil
+    fits ``IONO_TEC_MONO_MB`` (default 4096 MiB — config 3: 2.31→1.99 s,
+    config 5: 18.2→15.7 s at identical held-out); when it cannot fit
+    (256³-class), chunk at ``IONO_TEC_CHUNK_MB`` (default 512 MiB —
+    bigger 4-GiB chunks measured SLOWER end-to-end: config 4
+    7.07→9.40 s at 5×4 GiB vs 40×512 MiB).
     """
     nz = grid.shape[2]
     mod = _rows_of(interp)
     table = _coef2d(field_m, grid, interp)
     n_rows = 16 if interp == "cubic" else 8
     n = pts2d.shape[0]
-    budget = int(os.environ.get("IONO_TEC_CHUNK_MB", "4096")) * 1024 * 1024
-    chunk = max(8192, budget // (n_rows * nz * 4))
-    if n <= chunk:
+    per_pt = n_rows * nz * 4  # pencil bytes per point
+    mono = int(os.environ.get("IONO_TEC_MONO_MB", "4096")) * 1024 * 1024
+    budget = int(os.environ.get("IONO_TEC_CHUNK_MB", "512")) * 1024 * 1024
+    chunk = max(8192, budget // per_pt)
+    if n <= chunk or n * per_pt <= mono:
         return mod.interp_rows(table, grid, pts2d)
     n_chunks = -(-n // chunk)
     n_pad = n_chunks * chunk

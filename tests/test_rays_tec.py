@@ -497,7 +497,8 @@ def test_map_gn_zp_matches_cubic_solution():
 
 def test_interp_fast_chunked_matches_monolithic(monkeypatch):
     """The lax.map point-chunking of tec._interp_fast (pencil-memory
-    bound, budget overridable via IONO_TEC_CHUNK_MB — DESIGN.md §20) is
+    bound, budgets overridable via IONO_TEC_MONO_MB / IONO_TEC_CHUNK_MB
+    — DESIGN.md §20) is
     a pure execution-shape choice: values AND the VJP through the field
     must match the monolithic path to f32 reduction-order noise, for
     every field model. Guards the budget knob: a wrong chunk/pad seam
@@ -512,10 +513,12 @@ def test_interp_fast_chunked_matches_monolithic(monkeypatch):
         def val(field, p=pts, i=interp):
             return tec_mod._interp_fast(field, grid, p, i)
         monkeypatch.delenv("IONO_TEC_CHUNK_MB", raising=False)
+        monkeypatch.delenv("IONO_TEC_MONO_MB", raising=False)
         v_mono, vjp_mono = jax.vjp(val, m)
         g_mono = vjp_mono(ct)[0]
         # budget of 1 MiB forces the lax.map path (chunk=8192 < 20011)
         monkeypatch.setenv("IONO_TEC_CHUNK_MB", "1")
+        monkeypatch.setenv("IONO_TEC_MONO_MB", "0")
         v_chunk, vjp_chunk = jax.vjp(val, m)
         g_chunk = vjp_chunk(ct)[0]
         vtol = 1e-5 * float(jnp.abs(v_mono).max())
