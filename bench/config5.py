@@ -35,7 +35,7 @@ from ionotomo_tpu.models.frozen_flow import advect_periodic
 from ionotomo_tpu.models.turbulence import FourierModes, analytic_ne_fn
 
 
-def main(n_samples=65, cg_iters=10, inner_samples=49):
+def main(n_samples=65, cg_iters=10, inner_samples=33):
     import os
     # zp field model: measured 17.4 s vs 35.0 s at better held-out skill
     # (836 vs 843) on the analytic world — DESIGN.md §14
@@ -47,12 +47,13 @@ def main(n_samples=65, cg_iters=10, inner_samples=49):
     inner_env = os.environ.get("BENCH_INNER_SAMPLES", "")
     if inner_env:
         inner_samples = int(inner_env) or None
-    # inner_samples=49 (mixed-fidelity update, kalman_filter
-    # rays_inner_seq) is the measured default: 35.1 s at held-out 699
-    # vs 42.0 s at 706 full-fidelity — strictly dominant (faster AND
-    # better skill; the coarse Jacobian mildly extra-regularises the
-    # truncated-CG step). inner@33 is the latency option: 27.2 s at
-    # 716.5 (+1.5%). BENCH_LOCAL.md round-3 study.
+    # inner_samples=33 (mixed-fidelity update, kalman_filter
+    # rays_inner_seq) is the round-5 judged default, picked from the
+    # post-fix monolithic frontier (.sweeps/r5_fixed3.log, BENCH_LOCAL
+    # round 5): cg10/inner33 = 11.21 s at held-out 861 strictly
+    # dominates cg7/inner49 (11.98/992); cg10/inner49 = 15.69/836 is
+    # the +3%-skill option (BENCH_INNER_SAMPLES=49), cg15/inner49 =
+    # 21.86/706 the best-skill point.
     nt, chunk = 30, 6
     ants, dirs = make_rays(100, 100)  # 10k rays per step
     grid = chapman.grid_enclosing_rays(ants, dirs, shape=(128, 128, 128),
