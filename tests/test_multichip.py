@@ -469,8 +469,18 @@ def test_member_parallel_enkf_matches_unsharded():
         diff = float(jnp.abs(a - b).max())
         ref = scale if name != "wind_seq" else 1.0
         # f32 reduction-order drift compounds through 3 nonlinear filter
-        # steps (anchored + wind-adaptive); observed ~1.6e-4 at scale ~1
-        assert diff < 5e-4 * max(ref, 1.0), (name, diff)
+        # steps (anchored + wind-adaptive). Round 5 widened the expected
+        # drift: the member-vmapped path runs the BATCHED rows_value_p
+        # transpose (shared-index scalar scatter) while each shard_map
+        # member runs the unbatched dense-row form — different f32
+        # summation orders BY DESIGN (DESIGN.md §18), observed ~7e-4 at
+        # scale ~1 (was ~1.6e-4 when both paths shared one form).
+        # Operator-level sharded parity stays pinned at 3e-6
+        # (test_sharded_operator_applies_match_unsharded_tightly) and
+        # batched-vs-plain vmap parity at operator level in
+        # test_boxspline.py — this end-to-end bound only guards against
+        # gross cross-member reduction bugs.
+        assert diff < 2e-3 * max(ref, 1.0), (name, diff)
     rel = float(jnp.abs(base.residuals - sh.residuals).max()
                 / jnp.abs(base.residuals).max())
     assert rel < 1e-4, rel
